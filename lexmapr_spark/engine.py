@@ -1,0 +1,300 @@
+"""The Spark-native KG-construction pipeline.
+
+Stages (all declared on the DataFrame API so Catalyst prunes columns
+and pushes filters into the scan):
+
+  pages scan -> [lang filter, column prune] -> text extraction
+    -> annotate (ONE Arrow-batched ``mapInPandas`` stage carrying the
+       whole matching cascade against the broadcast lexicon — the
+       moral equivalent of a chain of broadcast hash joins; zero
+       shuffles on this path)
+    -> triple emission (``explode`` + project; map-side-combined
+       ``dropDuplicates``)
+    -> canonicalization (connected components over the synonym/alias
+       graph, iterative large/small-star joins)
+    -> partitioned sink with a per-partition checkpoint manifest so a
+       killed run resumes without recomputing completed splits.
+
+Scale notes: the lexicon broadcast is a few MB; annotation is
+embarrassingly parallel; the only shuffles are the triple dedup and
+the (tiny) CC loop. Head-domain skew in mentions is handled by AQE
+(enabled in ``build_spark``) plus the optional salted repartition in
+``triples`` — both exercised in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lexmapr_spark.lexicon import Lexicon, default_lexicon
+
+MENTION_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("sample_desc", StringType()),
+    StructField("processed_sample", StringType()),
+    StructField("processed_sample_sci_name", StringType()),
+    StructField("matched_components", ArrayType(StringType())),
+    StructField("macro_status", StringType()),
+    StructField("micro_status", ArrayType(StringType())),
+    StructField("transformations", MapType(StringType(), StringType())),
+])
+
+OBO_PREFIX = "http://purl.obolibrary.org/obo/"
+_PRED = {"Full Term Match": "fullTermMatch", "Component Match": "componentMatch"}
+
+
+def build_spark(cpus: int | str = "*", app: str = "lexmapr_spark",
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """local[cpus] session tuned the way a cluster job would be."""
+    cpus = str(cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 8)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .getOrCreate()
+    )
+
+
+def broadcast_lexicon(spark: SparkSession, lex: Lexicon | None = None):
+    """Ship the compiled lexicon to executors once (a few MB)."""
+    return spark.sparkContext.broadcast(lex or default_lexicon())
+
+
+def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
+             text_col: str = "text") -> DataFrame:
+    """pages -> wide mention table via one Arrow-batched stage.
+
+    Narrow (no shuffle): each Arrow batch of (url, text) rows runs the
+    matching cascade against the executor-local broadcast lexicon.
+    Input is pre-projected to two columns so the parquet scan only
+    reads what it needs (check ``ReadSchema`` in ``.explain``).
+    """
+    projected = pages.select(F.col(url_col).alias("url"),
+                             F.col(text_col).alias("text"))
+
+    def run_batches(batches):
+        from lexmapr_spark.matcher import process_sample
+        lex = lex_bc.value
+        for pdf in batches:
+            results = [
+                process_sample(u, t if t is not None else "", lex)
+                for u, t in zip(pdf["url"], pdf["text"])
+            ]
+            yield pd.DataFrame({
+                "url": [r.sample_id for r in results],
+                "sample_desc": [r.sample_desc for r in results],
+                "processed_sample": [r.processed_sample for r in results],
+                "processed_sample_sci_name":
+                    [r.processed_sample_sci_name for r in results],
+                "matched_components": [r.matched_components for r in results],
+                "macro_status": [r.macro_status for r in results],
+                "micro_status": [r.micro_status for r in results],
+                "transformations": [r.transformations for r in results],
+            })
+
+    return projected.mapInPandas(run_batches, MENTION_SCHEMA)
+
+
+def triples(mentions: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """Wide mention rows -> deduplicated (subj, pred, obj) triples.
+
+    ``explode`` fans each matched component out to one triple;
+    ``dropDuplicates`` is an aggregate, so Spark applies a map-side
+    partial dedup before the shuffle. For heavily skewed mention
+    distributions pass ``salt_partitions`` to pre-spread hot subjects
+    (head domains) before the dedup shuffle; AQE skew-join handling
+    covers the rest.
+    """
+    t = (
+        mentions
+        .where(F.col("macro_status") != "No Match")
+        .select(
+            F.col("url"),
+            F.col("macro_status"),
+            F.explode("matched_components").alias("component"),
+        )
+        .select(
+            # component = "<label>:<ID>"; labels may themselves contain
+            # ":" (raw CSV labels), so split on the LAST colon
+            F.concat_ws("#", F.col("url"),
+                        F.regexp_extract("component", r"^(.*):[^:]+$", 1)
+                        ).alias("subj"),
+            F.element_at(F.create_map(
+                [F.lit(x) for kv in _PRED.items() for x in kv]),
+                F.col("macro_status")).alias("pred"),
+            F.concat(F.lit(OBO_PREFIX),
+                     F.regexp_extract("component", r"([^:]+)$", 1)).alias("obj"),
+        )
+    )
+    if salt_partitions:
+        t = t.repartition(salt_partitions, F.col("subj"))
+    return t.dropDuplicates(["subj", "pred", "obj"])
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization: connected components over the synonym/alias graph
+# ---------------------------------------------------------------------------
+
+def alias_edges(spark: SparkSession, lex: Lexicon) -> DataFrame:
+    """Edge DataFrame (src, dst) of the variant graph.
+
+    Edges connect ontology term ids whose standardized labels share a
+    canonical token multiset (permutation variants) and term ids
+    reachable from the same synonym string (SynLex). This is the
+    GraphFrames-style input to ``connected_components``.
+    """
+    edges = []
+    # permutation variants: all ids sharing a canonical label key
+    for cands in lex.canon_labels.values():
+        ids = sorted(set(cands.values()))
+        edges += [(ids[0], other) for other in ids[1:]]
+    # synonym edges: synonym -> standardized label's id
+    for syn, label in lex.synonyms.items():
+        rid = lex.standard_resource_labels.get(label)
+        syn_rid = lex.standard_resource_labels.get(syn)
+        if rid and syn_rid and rid != syn_rid:
+            edges.append((min(rid, syn_rid), max(rid, syn_rid)))
+    if not edges:
+        return spark.createDataFrame([], "src STRING, dst STRING")
+    return spark.createDataFrame(edges, "src STRING, dst STRING").distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation to a fixpoint: (node, component).
+
+    Iterative DataFrame joins (the classic alternating star pattern
+    collapsed into one min-propagation step per round), with
+    convergence detection and an iteration cap. The graph here is
+    lexicon-sized, but the implementation only uses joins/groupBy, so
+    it scales to data-derived alias graphs too.
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    labels = (
+        sym.select("src").union(sym.select("dst"))
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("component"))
+    )
+    for _ in range(max_iter):
+        # candidate: min over own label and neighbors' labels
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src").agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component"))
+                        ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(trip: DataFrame, components: DataFrame) -> DataFrame:
+    """Rewrite triple objects onto canonical (component-min) term IRIs.
+
+    Broadcast join: the component map is lexicon-sized. Unmatched
+    objects pass through unchanged.
+    """
+    mapping = components.select(
+        F.concat(F.lit(OBO_PREFIX), F.upper("node")).alias("obj"),
+        F.concat(F.lit(OBO_PREFIX), F.upper("component")).alias("canon_obj"),
+    )
+    return (
+        trip.join(F.broadcast(mapping), "obj", "left")
+        .select("subj", "pred",
+                F.coalesce("canon_obj", "obj").alias("obj"))
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed, resumable sink
+# ---------------------------------------------------------------------------
+
+def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
+                        n_buckets: int = 32, canonical: bool = False) -> dict:
+    """End-to-end run with per-partition lineage + resume.
+
+    Pages are split into ``n_buckets`` deterministic url-hash buckets.
+    Each bucket's triples are written to ``out_dir/triples/bucket=<b>``
+    followed by a manifest row ``out_dir/manifest/bucket=<b>`` carrying
+    lineage + metrics (rows in, triples out). On restart, buckets with
+    a manifest entry are skipped — idempotent partition writes, so a
+    kill mid-run never double-counts.
+    """
+    spark = pages.sparkSession
+    manifest_dir = os.path.join(out_dir, "manifest")
+    triples_dir = os.path.join(out_dir, "triples")
+
+    done: set[int] = set()
+    try:
+        done = {
+            r.bucket for r in
+            spark.read.parquet(manifest_dir).select("bucket").collect()
+        }
+    except Exception:
+        pass  # no manifest yet
+
+    bucketed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+
+    stats = {"buckets_total": n_buckets, "buckets_skipped": len(done),
+             "pages": 0, "triples": 0}
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        part = bucketed.where(F.col("bucket") == b)
+        mentions = annotate(part, lex_bc)
+        t = triples(mentions)
+        if canonical:
+            lex = lex_bc.value
+            comps = connected_components(alias_edges(spark, lex))
+            t = canonicalize(t, comps)
+        t = t.persist()
+        n_triples = t.count()
+        t.write.mode("overwrite").parquet(
+            os.path.join(triples_dir, f"bucket={b}"))
+        t.unpersist()
+        n_pages = part.count()
+        # manifest row = lineage + metrics for this split; the bucket id
+        # lives in the directory name (partition column on read)
+        spark.createDataFrame(
+            [(n_pages, n_triples)], "pages BIGINT, triples BIGINT",
+        ).write.mode("overwrite").parquet(
+            os.path.join(manifest_dir, f"bucket={b}"))
+        stats["pages"] += n_pages
+        stats["triples"] += n_triples
+    return stats

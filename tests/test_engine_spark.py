@@ -1,0 +1,174 @@
+"""Spark end-to-end tests: pages -> annotate -> triples -> canonicalize
+-> checkpointed sink, plus plan-shape assertions (column pruning, no
+shuffle on the annotate path)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexmapr_spark import engine
+from lexmapr_spark.lexicon import Lexicon, default_lexicon
+from lexmapr_spark.pages import extract_text, load_corpus, synth_pages
+from tests.golden_harness import (
+    GOLDEN_FULL_CASES,
+    expected_rows,
+    read_samples,
+    triples_from_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = engine.build_spark(cpus=4, app="lexmapr_spark_tests",
+                           shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def lex_bc(spark):
+    return engine.broadcast_lexicon(spark)
+
+
+def golden_pages(spark):
+    """Pages whose texts are the golden fixtures' descriptions and
+    whose urls are the fixture sample ids (namespaced per case)."""
+    rows = []
+    for case, input_name in GOLDEN_FULL_CASES.items():
+        for sid, desc in read_samples(input_name):
+            rows.append((case + "/" + sid, desc))
+    return spark.createDataFrame(rows, "url STRING, text STRING")
+
+
+def test_extraction_byte_identical(spark):
+    pages = synth_pages(spark, 500, corpus=load_corpus(limit=200))
+    bad = extract_text(pages).where(
+        F.col("extracted_text") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_synth_pages_deterministic_and_skewed(spark):
+    a = synth_pages(spark, 1000).select("url").collect()
+    b = synth_pages(spark, 1000).select("url").collect()
+    assert a == b
+    domains = (
+        synth_pages(spark, 2000)
+        .select(F.regexp_extract("url", r"host(\d+)", 1).alias("d"))
+        .groupBy("d").count().orderBy(F.desc("count")).limit(1).collect()
+    )
+    # Zipf head domain should own a clearly-super-uniform share
+    assert domains[0]["count"] > 2000 / 100
+
+
+def test_engine_matches_golden_triples(spark, lex_bc):
+    """The north-rule P/R gate, through the distributed engine."""
+    mentions = engine.annotate(golden_pages(spark), lex_bc).collect()
+    got = set()
+    for r in mentions:
+        pred = {"Full Term Match": "fullTermMatch",
+                "Component Match": "componentMatch"}.get(r.macro_status)
+        for comp in r.matched_components:
+            label, _, term_id = comp.rpartition(":")
+            got.add((r.url + "#" + label, pred,
+                     engine.OBO_PREFIX + term_id))
+    want = set()
+    for case, _ in GOLDEN_FULL_CASES.items():
+        _, rows = expected_rows(case)
+        for (s, p, o) in triples_from_rows(rows):
+            want.add((case + "/" + s, p, o))
+    tp = len(got & want)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(want) if want else 1.0
+    assert precision == 1.0 and recall == 1.0, (precision, recall)
+
+
+def test_triples_dataframe_shape(spark, lex_bc):
+    t = engine.triples(engine.annotate(golden_pages(spark), lex_bc))
+    assert t.columns == ["subj", "pred", "obj"]
+    rows = t.collect()
+    assert len(rows) == len(set(rows)) > 0
+    assert all(r.obj.startswith(engine.OBO_PREFIX) for r in rows)
+    assert set(r.pred for r in rows) <= {"fullTermMatch", "componentMatch"}
+
+
+def test_annotate_path_has_no_shuffle(spark, lex_bc):
+    plan = engine.annotate(
+        golden_pages(spark), lex_bc)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow end-to-end
+
+
+def test_column_pruning_reaches_scan(spark, lex_bc, tmp_path):
+    p = str(tmp_path / "pages_parquet")
+    synth_pages(spark, 100, corpus=load_corpus(limit=50)).write.parquet(p)
+    scan = spark.read.parquet(p)
+    plan = engine.annotate(
+        scan, lex_bc)._jdf.queryExecution().executedPlan().toString()
+    # html/warc_ts must NOT be read for the annotate path
+    assert "html" not in plan.split("ReadSchema")[-1]
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "src STRING, dst STRING")
+    comps = {r.node: r.component
+             for r in engine.connected_components(edges).collect()}
+    assert comps == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_canonicalize_rewrites_variant_ids(spark):
+    lex = Lexicon()
+    lex.non_standard_resource_ids = {"id_b": "foo bar", "id_a": "bar foo"}
+    lex.standard_resource_labels = {"foo bar": "id_b", "bar foo": "id_a"}
+    lex.canon_labels = {"bar foo": {"foo bar": "id_b", "bar foo": "id_a"}}
+    edges = engine.alias_edges(spark, lex)
+    comps = engine.connected_components(edges)
+    trip = spark.createDataFrame(
+        [("u#x", "componentMatch", engine.OBO_PREFIX + "ID_B")],
+        "subj STRING, pred STRING, obj STRING")
+    out = engine.canonicalize(trip, comps).collect()
+    assert out[0].obj == engine.OBO_PREFIX + "ID_A"
+
+
+def test_checkpoint_resume_skips_done_buckets(spark, lex_bc):
+    out = tempfile.mkdtemp()
+    try:
+        pages = synth_pages(spark, 200, corpus=load_corpus(limit=100))
+        s1 = engine.run_with_checkpoint(pages, lex_bc, out, n_buckets=4)
+        assert s1["buckets_skipped"] == 0 and s1["triples"] > 0
+        total1 = spark.read.parquet(os.path.join(out, "triples")).count()
+        # resume: everything already done -> no recompute, same data
+        s2 = engine.run_with_checkpoint(pages, lex_bc, out, n_buckets=4)
+        assert s2["buckets_skipped"] == 4 and s2["pages"] == 0
+        total2 = spark.read.parquet(os.path.join(out, "triples")).count()
+        assert total1 == total2
+        manifest = spark.read.parquet(os.path.join(out, "manifest"))
+        assert manifest.agg(F.sum("triples")).collect()[0][0] == s1["triples"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_partial_checkpoint_resume(spark, lex_bc):
+    """Kill-mid-run simulation: pre-complete 2 buckets, resume fills
+    only the rest."""
+    out = tempfile.mkdtemp()
+    try:
+        pages = synth_pages(spark, 200, corpus=load_corpus(limit=100))
+        bucketed = pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int"))
+        # manually run buckets 0-1 (simulates the state after a kill)
+        for b in (0, 1):
+            part = bucketed.where(F.col("bucket") == b)
+            t = engine.triples(engine.annotate(part, lex_bc))
+            t.write.parquet(os.path.join(out, "triples", f"bucket={b}"))
+            spark.createDataFrame(
+                [(part.count(), t.count())], "pages BIGINT, triples BIGINT"
+            ).write.parquet(os.path.join(out, "manifest", f"bucket={b}"))
+        s = engine.run_with_checkpoint(pages, lex_bc, out, n_buckets=4)
+        assert s["buckets_skipped"] == 2
+        assert spark.read.parquet(
+            os.path.join(out, "manifest")).count() == 4
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
