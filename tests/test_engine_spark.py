@@ -96,8 +96,16 @@ def test_triples_dataframe_shape(spark, lex_bc):
 
 def test_annotate_path_has_no_shuffle(spark, lex_bc):
     plan = engine.annotate(
-        golden_pages(spark), lex_bc)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # narrow end-to-end
+        golden_pages(spark), lex_bc,
+        min_partitions=None)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow end-to-end when not fanning out
+
+
+def test_annotate_auto_fanout_small_input(spark, lex_bc):
+    one_part = golden_pages(spark).coalesce(1)
+    fanned = engine.annotate(one_part, lex_bc)
+    assert fanned.rdd.getNumPartitions() >= \
+        spark.sparkContext.defaultParallelism
 
 
 def test_column_pruning_reaches_scan(spark, lex_bc, tmp_path):

@@ -1,0 +1,126 @@
+"""Tests for the training-data pipeline operators (dedup, similarity,
+text stats, multimodal plumbing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexmapr_spark import engine
+from lexmapr_spark.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = engine.build_spark(cpus=4, app="ops_tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),      # exact dup
+        (3, "the quick brown fox leaps over the lazy dog"),      # near dup
+        (4, "completely different content about spark engines"),
+        (5, "der schnelle braune fuchs und der faule hund ist"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dupes == 2 and groups[0].keeper_id == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.jaccard_near_duplicates(docs, 0.7).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (3, 1) in pairs  # one-token edit
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_simhash_near_dup(docs):
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.simhash_near_duplicates(docs, 8).collect()}
+    assert (1, 2) in pairs       # identical -> hamming 0
+    assert (1, 4) not in pairs   # unrelated
+
+
+def test_simhash_deterministic(docs):
+    a = sorted(dedup.simhash64(docs).collect())
+    b = sorted(dedup.simhash64(docs).collect())
+    assert a == b
+
+
+def test_cosine_topk_vs_bruteforce_recall(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 16))
+    base[13] = base[0] + rng.standard_normal(16) * 0.01  # planted neighbor
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    brute = [r.vec_id for r in
+             similarity.cosine_topk(emb, query_id=0, k=5).collect()]
+    assert brute[0] == 13
+    ann = [r.vec_id for r in similarity.srp_bucketed_topk(
+        emb, query_id=0, k=5, n_planes=8, prefix_bits=4).collect()]
+    assert 13 in ann  # planted near-duplicate lands in the same bucket
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pairs = {(r.id_a, r.id_b)
+             for r in similarity.embedding_near_duplicates(
+                 emb, threshold=0.99, n_planes=6, prefix_bits=3).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_token_count_and_fingerprint(docs):
+    tc = {r.doc_id: r.n_tokens for r in textstats.token_count(docs).collect()}
+    assert tc[1] == 9 and tc[6] == 0
+    fp = {r.doc_id: r.fingerprint
+          for r in textstats.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]      # same token set
+    assert fp[1] != fp[4]
+
+
+def test_quality_score_orders_sensibly(docs):
+    qual = {r.doc_id: r.quality
+            for r in textstats.quality_score(docs).collect()}
+    assert qual[1] > qual[6]   # real sentence beats empty text
+
+
+def test_lang_id(docs):
+    langs = {r.doc_id: r.lang_pred for r in textstats.lang_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "de"
+    assert langs[6] == "und"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synth_media(spark, 30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+    again = multimodal.extract_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))  # deterministic
+
+
+def test_multimodal_real_decoder_is_gated(spark):
+    media = multimodal.synth_media(spark, 3)
+    with pytest.raises(Exception):  # NotImplementedError inside workers
+        multimodal.extract_features(media, decoder="real").collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, 9)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert rows and all(r.frame_ts_ms % 1000 == 0 for r in rows)
+    videos = media.where(F.col("kind") == "video").count()
+    assert plan.select("media_id").distinct().count() == videos
