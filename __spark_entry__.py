@@ -89,6 +89,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return m.groupBy("macro_status").agg(F.count("*").alias("n"))
     q["kg_match_histogram"] = kg_match_histogram
 
+    def kg_classification_histogram(spark, sf):
+        m = engine.annotate(_docs_as_pages(spark, sf), _lex_bc(spark),
+                            classify=True)
+        return (m.select(F.explode_outer("ifsac_labels").alias("label"))
+                .groupBy("label").agg(F.count("*").alias("n")))
+    q["kg_classification_histogram"] = kg_classification_histogram
+
     def kg_canonical_triples(spark, sf):
         lex = _lex_bc(spark).value
         t = engine.triples(

@@ -114,7 +114,8 @@ def broadcast_lexicon(spark: SparkSession, lex: Lexicon | None = None):
 
 def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
              text_col: str = "text",
-             min_partitions: int | None = 0) -> DataFrame:
+             min_partitions: int | None = 0,
+             classify: bool = False) -> DataFrame:
     """pages -> wide mention table via one Arrow-batched stage.
 
     Narrow on the matching path: each Arrow batch of (url, text) rows
@@ -130,6 +131,7 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
     ``None`` to forbid any shuffle (big scans already arrive with
     thousands of splits and skip this automatically).
     """
+    ship_package(pages.sparkSession)
     projected = pages.select(F.col(url_col).alias("url"),
                              F.col(text_col).alias("text"))
     if min_partitions is not None:
@@ -142,10 +144,11 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
         lex = lex_bc.value
         for pdf in batches:
             results = [
-                process_sample(u, t if t is not None else "", lex)
+                process_sample(u, t if t is not None else "", lex,
+                               classify=classify)
                 for u, t in zip(pdf["url"], pdf["text"])
             ]
-            yield pd.DataFrame({
+            out = {
                 "url": [r.sample_id for r in results],
                 "sample_desc": [r.sample_desc for r in results],
                 "processed_sample": [r.processed_sample for r in results],
@@ -155,9 +158,17 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
                 "macro_status": [r.macro_status for r in results],
                 "micro_status": [r.micro_status for r in results],
                 "transformations": [r.transformations for r in results],
-            })
+            }
+            if classify:
+                out["ifsac_labels"] = [
+                    r.third_party_classification for r in results]
+            yield pd.DataFrame(out)
 
-    return projected.mapInPandas(run_batches, MENTION_SCHEMA)
+    schema = MENTION_SCHEMA
+    if classify:
+        schema = StructType(MENTION_SCHEMA.fields + [
+            StructField("ifsac_labels", ArrayType(StringType()))])
+    return projected.mapInPandas(run_batches, schema)
 
 
 def triples(mentions: DataFrame, salt_partitions: int | None = None) -> DataFrame:

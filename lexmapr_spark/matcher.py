@@ -50,6 +50,11 @@ class MatchResult:
     macro_status: str = "No Match"
     micro_status: list = field(default_factory=list)
     transformations: dict = field(default_factory=dict)
+    # --bucket tier (populated when classify=True)
+    lexmapr_classification: list = field(default_factory=list)
+    lexmapr_bucket: list = field(default_factory=list)
+    third_party_bucket: list = field(default_factory=list)
+    third_party_classification: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -359,6 +364,10 @@ def process_sample(sample_id: str, original_sample: str, lex: Lexicon,
         if classify:
             from lexmapr_spark.classification import classify_sample
             cls = classify_sample(sample, matched_components, lex)
+            res.lexmapr_classification = cls["lexmapr_hierarchy_buckets"]
+            res.lexmapr_bucket = cls["lexmapr_final_buckets"]
+            res.third_party_bucket = cls["ifsac_final_buckets"]
+            res.third_party_classification = cls["ifsac_final_labels"]
             third_party_classification = cls["ifsac_final_labels"]
     else:
         # Component matches (pipeline.py:193-220)
@@ -411,6 +420,10 @@ def process_sample(sample_id: str, original_sample: str, lex: Lexicon,
         if classify:
             from lexmapr_spark.classification import classify_sample
             cls = classify_sample(sample, matched_components, lex)
+            res.lexmapr_classification = cls["lexmapr_hierarchy_buckets"]
+            res.lexmapr_bucket = cls["lexmapr_final_buckets"]
+            res.third_party_bucket = cls["ifsac_final_buckets"]
+            res.third_party_classification = cls["ifsac_final_labels"]
             third_party_classification = cls["ifsac_final_labels"]
 
     # standardize ids (pipeline_helpers.py:555-574)
@@ -429,7 +442,8 @@ def process_sample(sample_id: str, original_sample: str, lex: Lexicon,
     return res
 
 
-def format_output_row(res: MatchResult, full: bool = True) -> list:
+def format_output_row(res: MatchResult, full: bool = True,
+                      bucket: bool = False) -> list:
     """Reference TSV cell rendering (pipeline.py:279-290): lists/dicts
     serialized with Python ``str()``."""
     row = [res.sample_id, res.sample_desc, res.processed_sample,
@@ -437,4 +451,9 @@ def format_output_row(res: MatchResult, full: bool = True) -> list:
            res.macro_status]
     if full:
         row += [str(res.micro_status), str(res.transformations)]
+    if bucket:
+        if full:
+            row += [str(res.lexmapr_classification), str(res.lexmapr_bucket),
+                    str(res.third_party_bucket)]
+        row += [str(res.third_party_classification)]
     return row

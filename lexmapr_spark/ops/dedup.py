@@ -133,6 +133,9 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     """
     import pandas as pd
 
+    from lexmapr_spark.engine import ship_package
+    ship_package(docs.sparkSession)
+
     out_schema = f"{id_col} long, simhash long"
 
     def batches(it):

@@ -87,6 +87,9 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     per-batch vectorization, no shuffle — the canonical shape for
     100 TB of media: partition by file group, stream batches through.
     """
+    from lexmapr_spark.engine import ship_package
+    ship_package(media.sparkSession)
+
     fn = DECODERS[decoder]
     pruned = media.select("media_id", "kind", "payload")
 

@@ -83,6 +83,8 @@ def srp_bucketed_topk(embeds: DataFrame, query_id: int, k: int = 10,
     re-ranked exactly. At scale the signature is precomputed and the
     table is bucketed/partitioned by prefix, turning a full scan into
     a single-partition read."""
+    from lexmapr_spark.engine import ship_package
+    ship_package(embeds.sparkSession)
     dim = len(embeds.select(vec_col).first()[0])
     planes = srp_hyperplanes(dim, n_planes)
     sig = embeds.withColumn("sig", srp_signature(F.col(vec_col), planes))
@@ -109,6 +111,8 @@ def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
                               vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP bucket self-join +
     exact verification — the embedding analogue of MinHash-LSH."""
+    from lexmapr_spark.engine import ship_package
+    ship_package(embeds.sparkSession)
     dim = len(embeds.select(vec_col).first()[0])
     planes = srp_hyperplanes(dim, n_planes)
     sig = embeds.select(

@@ -1,0 +1,227 @@
+"""Ontology-compile tests, transcribed from the reference's
+TestOntologyMapping (lexmapr/tests/test_pipeline.py:484-933), running
+fully offline against the OWL fixtures in tests/ontologies/."""
+
+import pytest
+
+from lexmapr_spark.lexicon import Lexicon, default_lexicon
+from lexmapr_spark.matcher import process_sample
+from lexmapr_spark.ontology import (
+    compile_config,
+    fetch_ontology,
+    local_test_ontology,
+    merge_lexicons,
+)
+
+OBO = "http://purl.obolibrary.org/obo/"
+
+
+def bfo(root=""):
+    return (local_test_ontology("bfo.owl"), (OBO + root) if root else "")
+
+
+def dup(root=""):
+    return (local_test_ontology("bfo_duplicate_entities.owl"),
+            (OBO + root) if root else "")
+
+
+def test_fetch_no_root_has_36_specs():
+    f = fetch_ontology(local_test_ontology("bfo.owl"))
+    assert len(f["specifications"]) == 36
+
+
+def test_fetch_with_root_has_3_specs():
+    f = fetch_ontology(*bfo("BFO_0000015"))
+    assert len(f["specifications"]) == 3
+
+
+def test_resource_ids_material_entity():
+    lex = compile_config([bfo("BFO_0000040")])
+    assert lex.non_standard_resource_ids == {
+        "bfo_0000024": "fiat object part",
+        "bfo_0000027": "object aggregate",
+        "bfo_0000030": "object",
+    }
+
+
+def test_resource_ids_multiple_ontologies():
+    lex = compile_config([
+        bfo("BFO_0000040"),
+        (local_test_ontology("pizza.owl"),
+         "http://www.co-ode.org/ontologies/pizza/pizza.owl#Spiciness"),
+    ])
+    assert lex.non_standard_resource_ids == {
+        "bfo_0000024": "fiat object part",
+        "bfo_0000027": "object aggregate",
+        "bfo_0000030": "object",
+        "pizza.owl_hot": "picante",
+        "pizza.owl_medium": "media",
+        "pizza.owl_mild": "naopicante",
+    }
+
+
+def test_resource_labels_material_entity():
+    lex = compile_config([bfo("BFO_0000040")])
+    assert lex.standard_resource_labels == {
+        "fiat object part": "bfo_0000024",
+        "object aggregate": "bfo_0000027",
+        "object": "bfo_0000030",
+    }
+
+
+def test_synonyms_full_bfo():
+    lex = compile_config([bfo()])
+    assert lex.synonyms == {
+        "temporal instant.": "zero dimensional temporal region",
+        "lonely dimensional continuant fiat boundary.":
+            "two dimensional continuant fiat boundary",
+        "lonelier dimensional continuant fiat boundary.":
+            "one dimensional continuant fiat boundary",
+        "loneliest dimensional continuant fiat boundary.":
+            "zero dimensional continuant fiat boundary",
+        "loneliestest dimensional continuant fiat boundary.":
+            "zero dimensional continuant fiat boundary",
+    }
+
+
+def test_varying_synonyms():
+    lex = compile_config([
+        (local_test_ontology("bfo_varying_synonyms.owl"), "")])
+    assert lex.synonyms == {
+        "lonely dimensional continuant fiat boundary.":
+            "two dimensional continuant fiat boundary",
+        "lonely dimensional continuant fiat boundary..":
+            "two dimensional continuant fiat boundary",
+        "lonelier dimensional continuant fiat boundary.":
+            "one dimensional continuant fiat boundary",
+        "loneliest dimensional continuant fiat boundary.":
+            "zero dimensional continuant fiat boundary",
+        "loneliestest dimensional continuant fiat boundary.":
+            "zero dimensional continuant fiat boundary",
+    }
+
+
+def test_parents_one_level():
+    lex = compile_config([bfo("BFO_0000015")])
+    assert lex.parents == {
+        "bfo_0000182": ["bfo_0000015"],
+        "bfo_0000144": ["bfo_0000015"],
+    }
+
+
+def test_parents_two_roots():
+    lex = compile_config([bfo("BFO_0000015"), bfo("BFO_0000040")])
+    assert lex.parents == {
+        "bfo_0000182": ["bfo_0000015"],
+        "bfo_0000144": ["bfo_0000015"],
+        "bfo_0000024": ["bfo_0000040"],
+        "bfo_0000027": ["bfo_0000040"],
+        "bfo_0000030": ["bfo_0000040"],
+    }
+
+
+def test_parents_multiple_levels():
+    lex = compile_config([bfo("BFO_0000017")])
+    assert lex.parents == {
+        "bfo_0000034": ["bfo_0000016"],
+        "bfo_0000016": ["bfo_0000017"],
+        "bfo_0000023": ["bfo_0000017"],
+    }
+
+
+def test_multiple_parents_per_resource():
+    lex = compile_config([dup("BFO_0000020")])
+    assert {k: sorted(v) for k, v in lex.parents.items()} == {
+        "bfo_0000019": ["bfo_0000020"],
+        "bfo_0000017": ["bfo_0000020"],
+        "bfo_0000145": ["bfo_0000017", "bfo_0000019"],
+        "bfo_0000016": ["bfo_0000017"],
+        "bfo_0000023": ["bfo_0000017"],
+        "bfo_0000034": ["bfo_0000016"],
+    }
+
+
+def test_overlapping_parents_from_different_fetches():
+    lex = compile_config([dup("BFO_0000015"), dup("BFO_0000040")])
+    assert {k: sorted(v) for k, v in lex.parents.items()} == {
+        "bfo_0000182": ["bfo_0000015"],
+        "bfo_0000144": ["bfo_0000015"],
+        "bfo_0000024": ["bfo_0000015", "bfo_0000040"],
+        "bfo_0000027": ["bfo_0000015", "bfo_0000040"],
+        "bfo_0000030": ["bfo_0000015", "bfo_0000040"],
+    }
+
+
+def test_duplicate_fetch_is_idempotent():
+    lex = compile_config([bfo("BFO_0000015"), bfo("BFO_0000015")])
+    assert lex.parents == {
+        "bfo_0000182": ["bfo_0000015"],
+        "bfo_0000144": ["bfo_0000015"],
+    }
+
+
+def test_label_permutation_index_material_entity():
+    lex = compile_config([bfo("BFO_0000040")])
+    # canonical-key form of the reference's 9 enumerated permutations
+    assert lex.canon_perms == {
+        "fiat object part": "bfo_0000024",
+        "aggregate object": "bfo_0000027",
+        "object": "bfo_0000030",
+    }
+
+
+# pizza_two.owl deliberately reuses the pizza.owl namespace (ids
+# Hottwo/Mediumtwo/Mildtwo under the same #Spiciness root)
+PIZZA_SP = "http://www.co-ode.org/ontologies/pizza/pizza.owl#Spiciness"
+PIZZA2_SP = PIZZA_SP
+
+
+def test_first_config_entry_wins_pizza_first():
+    lex = compile_config([
+        (local_test_ontology("pizza.owl"), PIZZA_SP),
+        (local_test_ontology("pizza_two.owl"), PIZZA2_SP),
+    ])
+    assert lex.standard_resource_labels == {
+        "picante": "pizza.owl_hot",
+        "media": "pizza.owl_medium",
+        "naopicante": "pizza.owl_mild",
+    }
+
+
+def test_first_config_entry_wins_pizza_two_first():
+    lex = compile_config([
+        (local_test_ontology("pizza_two.owl"), PIZZA2_SP),
+        (local_test_ontology("pizza.owl"), PIZZA_SP),
+    ])
+    assert lex.standard_resource_labels == {
+        "picante": "pizza.owl_hottwo",
+        "media": "pizza.owl_mediumtwo",
+        "naopicante": "pizza.owl_mildtwo",
+    }
+
+
+def test_merge_two_wins():
+    one = Lexicon()
+    one.abbreviations = {"a": "1", "b": "1"}
+    two = Lexicon()
+    two.abbreviations = {"b": "2", "c": "2"}
+    merged = merge_lexicons(one, two)
+    assert merged.abbreviations == {"a": "1", "b": "2", "c": "2"}
+
+
+def test_merged_lexicon_matches_and_suppresses_ancestors():
+    """End-to-end J7: with a fetched ontology merged onto the
+    predefined lexicon, a sample matching both a term and its ancestor
+    keeps only the descendant (pipeline.py:222-238)."""
+    base = default_lexicon()
+    merged = merge_lexicons(base, compile_config([bfo()]))
+    # 'history' (bfo_0000182) is a child of 'process' (bfo_0000015)
+    assert merged.ancestors["bfo_0000182"] >= {"bfo_0000015"}
+    r = process_sample("s1", "history process", merged)
+    ids = [c.rpartition(":")[2] for c in r.matched_components]
+    assert "BFO_0000182" in ids
+    assert "BFO_0000015" not in ids  # ancestor suppressed
+    # sanity: without the component co-occurring, process still matches
+    r2 = process_sample("s2", "zzz process", merged)
+    assert any(i == "BFO_0000015" for i in
+               [c.rpartition(":")[2] for c in r2.matched_components])
