@@ -93,6 +93,11 @@ def ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if ".zip" in pkg_dir or not os.path.isdir(pkg_dir):
+        # already imported from a --py-files archive: workers get the
+        # same archive from spark-submit, nothing to ship
+        _SHIPPED.add(key)
+        return
     zip_path = os.path.join(tempfile.mkdtemp(prefix="lexmapr_pyfiles"),
                             "lexmapr_spark.zip")
     with zipfile.ZipFile(zip_path, "w") as zf:

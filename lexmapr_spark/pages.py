@@ -53,6 +53,13 @@ def load_corpus(limit: int | None = None) -> list[str]:
                     texts.append(desc)
         if limit and len(texts) >= limit:
             return texts[:limit]
+    if not texts:
+        # fallback when fixture CSVs aren't on disk (e.g. the package
+        # was imported from a --py-files zip): a tiny embedded corpus
+        texts = ["Chicken Breast", "Baked Potato", "Canned Corn",
+                 "Frozen Yogurt", "Apple Pie", "gastric vein",
+                 "Salmonella enterica pork shoulder", "banana leaf",
+                 "proximal phalanx tissue swab", "mixed salad greens"]
     return texts
 
 

@@ -118,6 +118,27 @@ def test_column_pruning_reaches_scan(spark, lex_bc, tmp_path):
     assert "html" not in plan.split("ReadSchema")[-1]
 
 
+def test_salted_triples_equal_unsalted(spark, lex_bc):
+    """Skew mitigation must not change results: salted pre-spread
+    before the dedup shuffle yields the identical triple set."""
+    mentions = engine.annotate(golden_pages(spark), lex_bc)
+    plain = set(map(tuple, engine.triples(mentions).collect()))
+    salted = set(map(tuple, engine.triples(mentions,
+                                           salt_partitions=16).collect()))
+    assert plain == salted and len(plain) > 0
+
+
+def test_lang_filter_pushdown_reaches_scan(spark, lex_bc, tmp_path):
+    p = str(tmp_path / "pages_pushdown")
+    synth_pages(spark, 200, corpus=load_corpus(limit=50)).write.parquet(p)
+    scan = spark.read.parquet(p).where(F.col("lang") == "en")
+    plan = engine.annotate(
+        scan, lex_bc)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "lang" in pushed  # the lang predicate reached the parquet scan
+
+
 def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("x", "y")], "src STRING, dst STRING")
