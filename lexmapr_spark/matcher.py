@@ -89,11 +89,16 @@ def _map_term_helper(term: str, lex: Lexicon):
 def map_term(term: str, lex: Lexicon, consider_suffixes: bool = False):
     """Full-term mapping cascade (pipeline_helpers.py:451-502)."""
     if consider_suffixes:
-        for suffix in lex.suffixes:
-            mapping = _map_term_helper(term + " " + suffix, lex)
-            if mapping:
-                mapping["status"].insert(-2, "Suffix Addition")
-                return mapping
+        # canonical guard: the suffix loop can only ever hit when the
+        # term's sorted-token key is a known suffix-extension base —
+        # one probe replaces 15 (or 30) exact lookups on the miss path.
+        # (Necessary condition only: the loop itself stays exact.)
+        if canonical_key(term.split()) in lex.suffix_bases:
+            for suffix in lex.suffixes:
+                mapping = _map_term_helper(term + " " + suffix, lex)
+                if mapping:
+                    mapping["status"].insert(-2, "Suffix Addition")
+                    return mapping
     else:
         mapping = _map_term_helper(term, lex)
         if mapping:
@@ -277,9 +282,12 @@ def _clean_sample(sample: str, lex: Lexicon):
     return cleaned, annotated, micro_status, transformations
 
 
-def _get_gram_chunks(input_str: str, num: int):
-    """pipeline_helpers.py:252-273 semantics."""
-    tokens = word_tokenize(input_str)
+def _get_gram_chunks(input_str: str, num: int, tokens: list | None = None):
+    """pipeline_helpers.py:252-273 semantics. ``tokens`` may carry the
+    pre-computed ``word_tokenize(input_str)`` (it's the same for every
+    gram size, so callers tokenize once per row, not once per size)."""
+    if tokens is None:
+        tokens = word_tokenize(input_str)
     if len(tokens) < 15:
         return list(combinations(tokens, num))
     split = input_str.split(" ")
@@ -374,8 +382,9 @@ def process_sample(sample_id: str, original_sample: str, lex: Lexicon,
         component_matches: list = []
         covered_tokens: set = set()
         vocab = lex.vocab
+        cleaned_tokens = word_tokenize(cleaned)
         for i in range(5, 0, -1):
-            for gram_chunk in _get_gram_chunks(cleaned, i):
+            for gram_chunk in _get_gram_chunks(cleaned, i, cleaned_tokens):
                 # vocabulary pruning: a chunk with any token outside
                 # the lexicon token vocabulary cannot match any tier
                 # (matching only ever ADDS suffix tokens), and skipping

@@ -83,8 +83,15 @@ _CONTRACTIONS3 = [
 # work as-is for tokenization (the detokenizer swaps it for "\s").
 
 
+# a string of plain lowercase-alnum tokens separated by single spaces
+# tokenizes to its split() — every Treebank rule is a no-op on it
+_PLAIN_SENTENCE = re.compile(r"^[a-z0-9]+( [a-z0-9]+)*$")
+
+
 def treebank_tokenize(text: str) -> list[str]:
     """Tokenize one sentence, NLTKWordTokenizer (improved Treebank) style."""
+    if _PLAIN_SENTENCE.match(text):
+        return text.split(" ")
     for regexp, substitution in _STARTING_QUOTES:
         text = regexp.sub(substitution, text)
 
@@ -124,6 +131,8 @@ def sent_tokenize(text: str) -> list[str]:
 
 def word_tokenize(text: str) -> list[str]:
     """nltk.word_tokenize equivalent: sentence split + Treebank."""
+    if _PLAIN_SENTENCE.match(text):
+        return text.split(" ")
     return [tok for sent in sent_tokenize(text) for tok in treebank_tokenize(sent)]
 
 
@@ -159,9 +168,14 @@ _DETOK_STARTING_QUOTES = [
 ]
 
 
+_PLAIN_TOKEN_RE = re.compile(r"^[a-z0-9]+$")
+
+
 def treebank_detokenize(tokens: list[str]) -> str:
     """TreebankWordDetokenizer.detokenize equivalent."""
     text = " ".join(tokens)
+    if _PLAIN_SENTENCE.match(text):
+        return text
 
     for regexp in _CONTRACTIONS3:
         text = re.sub(regexp.pattern.replace("(?#X)", r"\\s"), r"\1\2", text)

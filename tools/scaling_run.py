@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_PAGES = int(os.environ.get("SCALING_PAGES", "120000"))
+N_PAGES = int(os.environ.get("SCALING_PAGES", "320000"))
 
 
 def measure(cpus: int) -> dict:
