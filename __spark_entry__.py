@@ -104,6 +104,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return engine.canonicalize(t, comps)
     q["kg_canonical_triples"] = kg_canonical_triples
 
+    # ---- per-row invariant: byte-identical extracted text per url
+    def kg_text_extraction(spark, sf):
+        docs = _t(spark, sf, "documents")
+        wrapped = docs.select(
+            "doc_id",
+            F.col("text"),
+            F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                              F.lit("</p></body></html>")), "UTF-8"
+                     ).alias("html"))
+        return wrapped.select(
+            "doc_id",
+            (F.regexp_extract(F.decode("html", "UTF-8"),
+                              r"<p>(.*)</p>", 1) == F.col("text")
+             ).alias("extraction_ok"))
+    q["kg_text_extraction"] = kg_text_extraction
+
     # ---- SURVEY §2.1 S2: multi-column coalesce
     q["s2_multicol_coalesce"] = lambda spark, sf: (
         _t(spark, sf, "documents").select(
@@ -158,19 +174,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_event_histogram"] = lambda spark, sf: (
         _t(spark, sf, "events").groupBy("event_type")
         .agg(F.count("*").alias("n"),
-             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value")))
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("total_value")))
 
     q["agg_tpch_pricing"] = lambda spark, sf: (
         _t(spark, sf, "lineitem")
         .where(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_qty"),
              F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-                   ).alias("sum_base_price"),
+                   ).cast("double").alias("sum_base_price"),
              F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1).cast("decimal(18,2)")
                        - F.col("l_discount").cast("decimal(18,2)")))
-                   ).alias("sum_disc_price"),
+                   ).cast("double").alias("sum_disc_price"),
              F.count("*").alias("count_order")))
 
     # ---- §2.3-style broadcast dim join on TPC-H tables
@@ -182,7 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("c_mktsegment")
                 .agg(F.count("*").alias("n_orders"),
                      F.sum(F.col("o_totalprice").cast("decimal(18,2)")
-                           ).alias("revenue")))
+                           ).cast("double").alias("revenue")))
     q["join_orders_customer"] = join_orders_customer
 
     # ---- §2.5 set ops
@@ -196,7 +214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "orders")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .select("o_orderkey",
-                F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"))
+                F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+                .alias("totalprice"))
         .limit(10))
 
     # ---- dedup suite
@@ -289,6 +308,11 @@ def oracle_sql() -> dict[str, str]:
         for b in range(4))
 
     return {
+        "kg_text_extraction":
+            "SELECT doc_id, regexp_extract('<html><body><p>' || text || "
+            "'</p></body></html>', '<p>(.*)</p>', 1) = text "
+            "AS extraction_ok FROM documents",
+
         "s2_multicol_coalesce":
             "SELECT doc_id, trim(concat_ws(' ', lang, source)) AS joined "
             "FROM documents",
@@ -323,22 +347,22 @@ def oracle_sql() -> dict[str, str]:
 
         "agg_event_histogram":
             "SELECT event_type, count(*) AS n, "
-            "sum(CAST(value AS DECIMAL(18,2))) AS total_value "
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
             "FROM events GROUP BY event_type",
 
         "agg_tpch_pricing":
             "SELECT l_returnflag, l_linestatus, "
-            "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, "
-            "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, "
-            "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
             "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-            "AS sum_disc_price, count(*) AS count_order "
+            "AS DOUBLE) AS sum_disc_price, count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= DATE '1998-09-01' "
             "GROUP BY l_returnflag, l_linestatus",
 
         "join_orders_customer":
             "SELECT c_mktsegment, count(*) AS n_orders, "
-            "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment",
 
@@ -347,8 +371,8 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT SELECT o_custkey AS custkey FROM orders",
 
         "sort_topk_orders":
-            "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS "
-            "totalprice FROM orders "
+            "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) "
+            "AS totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
 
         "dedup_exact":
