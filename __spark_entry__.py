@@ -203,6 +203,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            ).cast("double").alias("revenue")))
     q["join_orders_customer"] = join_orders_customer
 
+    # ---- §2.8 window functions (engine extension; none in reference)
+    def window_user_event_seq(spark, sf):
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (_t(spark, sf, "events")
+                .select("user_id", "event_id",
+                        F.row_number().over(w).alias("seq"))
+                .where(F.col("seq") <= 3))
+    q["window_user_event_seq"] = window_user_event_seq
+
     # ---- §2.5 set ops
     q["set_customers_without_orders"] = lambda spark, sf: (
         _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
@@ -365,6 +375,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment",
+
+        "window_user_event_seq":
+            "SELECT user_id, event_id, seq FROM ("
+            "SELECT user_id, event_id, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS seq "
+            "FROM events) WHERE seq <= 3",
 
         "set_customers_without_orders":
             "SELECT c_custkey AS custkey FROM customer "

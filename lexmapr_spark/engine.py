@@ -212,6 +212,19 @@ def triples(mentions: DataFrame, salt_partitions: int | None = None) -> DataFram
     return t.dropDuplicates(["subj", "pred", "obj"])
 
 
+def write_triples(trip: DataFrame, path: str,
+                  partition_by: tuple = ("pred",),
+                  mode: str = "overwrite") -> None:
+    """Partitioned triple-table materialization.
+
+    Partitioned parquet here; on a cluster with an Iceberg catalog the
+    same plan is ``trip.writeTo(table).partitionedBy(*partition_by)``
+    — this sandbox ships no Iceberg runtime jars, so parquet stands in
+    (identical layout: one directory per partition value, prunable on
+    read via partition filters)."""
+    trip.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # Canonicalization: connected components over the synonym/alias graph
 # ---------------------------------------------------------------------------

@@ -118,6 +118,19 @@ def test_column_pruning_reaches_scan(spark, lex_bc, tmp_path):
     assert "html" not in plan.split("ReadSchema")[-1]
 
 
+def test_partitioned_triple_write_prunes(spark, lex_bc, tmp_path):
+    out = str(tmp_path / "triples_partitioned")
+    t = engine.triples(engine.annotate(golden_pages(spark), lex_bc))
+    engine.write_triples(t, out)
+    back = spark.read.parquet(out)
+    assert back.count() == t.count()
+    # partition pruning: a pred filter must prune to matching dirs only
+    plan = back.where(F.col("pred") == "fullTermMatch") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pred" in plan.split(
+        "PartitionFilters: [")[1].split("]")[0]
+
+
 def test_salted_triples_equal_unsalted(spark, lex_bc):
     """Skew mitigation must not change results: salted pre-spread
     before the dedup shuffle yields the identical triple set."""
