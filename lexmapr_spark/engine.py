@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    MapType,
     StringType,
     StructField,
     StructType,
@@ -47,7 +46,12 @@ MENTION_SCHEMA = StructType([
     StructField("matched_components", ArrayType(StringType())),
     StructField("macro_status", StringType()),
     StructField("micro_status", ArrayType(StringType())),
-    StructField("transformations", MapType(StringType(), StringType())),
+    # ordered (token, lemma) pairs — a MapType would lose insertion
+    # order through Arrow, breaking byte-exact reference TSV rendering
+    StructField("transformations", ArrayType(StructType([
+        StructField("token", StringType()),
+        StructField("lemma", StringType()),
+    ]))),
 ])
 
 OBO_PREFIX = "http://purl.obolibrary.org/obo/"
@@ -162,7 +166,10 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
                 "matched_components": [r.matched_components for r in results],
                 "macro_status": [r.macro_status for r in results],
                 "micro_status": [r.micro_status for r in results],
-                "transformations": [r.transformations for r in results],
+                "transformations": [
+                    [{"token": k, "lemma": v}
+                     for k, v in r.transformations.items()]
+                    for r in results],
             }
             if classify:
                 out["ifsac_labels"] = [
@@ -210,6 +217,41 @@ def triples(mentions: DataFrame, salt_partitions: int | None = None) -> DataFram
     if salt_partitions:
         t = t.repartition(salt_partitions, F.col("subj"))
     return t.dropDuplicates(["subj", "pred", "obj"])
+
+
+WIDE_HEADERS_BASE = [
+    "Sample_Id", "Sample_Desc", "Processed_Sample",
+    "Processed_Sample (With Scientific Name)", "Matched_Components",
+    "Match_Status(Macro Level)",
+]
+WIDE_HEADERS_FULL = ["Match_Status(Micro Level)", "Sample_Transformations"]
+WIDE_HEADERS_BUCKET_FULL = ["LexMapr Classification (Full List)",
+                            "LexMapr Bucket", "Third Party Bucket"]
+WIDE_HEADER_BUCKET = "Third Party Classification"
+
+
+def render_wide_tsv(mentions_rows, full: bool = True,
+                    bucket: bool = False) -> str:
+    """Reference-format TSV text (pipeline.py:62-95,279-292): header,
+    '\\n'-prefixed rows, Python-str() cells, trailing newline. Takes
+    collected mention rows (order preserved by the caller)."""
+    headers = list(WIDE_HEADERS_BASE)
+    if full:
+        headers += WIDE_HEADERS_FULL
+    if bucket:
+        if full:
+            headers += WIDE_HEADERS_BUCKET_FULL
+        headers += [WIDE_HEADER_BUCKET]
+    out = ["\t".join(headers)]
+    for r in mentions_rows:
+        cells = [r.url, r.sample_desc, r.processed_sample,
+                 r.processed_sample_sci_name,
+                 str(list(r.matched_components)), r.macro_status]
+        if full:
+            cells += [str(list(r.micro_status)),
+                      str({p.token: p.lemma for p in r.transformations})]
+        out.append("\t".join(cells))
+    return "\n".join(out) + "\n"
 
 
 def write_triples(trip: DataFrame, path: str,

@@ -118,6 +118,31 @@ def test_column_pruning_reaches_scan(spark, lex_bc, tmp_path):
     assert "html" not in plan.split("ReadSchema")[-1]
 
 
+def test_spark_wide_output_byte_exact_vs_reference(spark, lex_bc):
+    """The distributed engine reproduces the reference's golden TSVs
+    byte-for-byte (not just triple P/R): annotate in Spark, render the
+    reference TSV format, compare whole files."""
+    import os
+
+    from tests.golden_harness import EXPECTED_DIR, read_samples
+
+    for case, input_name in [("small_simple", "small_simple.csv"),
+                             ("test_full_term_perm_match",
+                              "test_full_term_perm_match.csv"),
+                             ("test_abbreviations", "test_abbreviations.csv"),
+                             ("test_candidate_phrase",
+                              "test_candidate_phrase.csv")]:
+        rows = list(read_samples(input_name))
+        df = spark.createDataFrame(rows, "url STRING, text STRING") \
+            .coalesce(1)
+        collected = engine.annotate(df, lex_bc, min_partitions=None).collect()
+        # order preserved: single partition, no shuffle
+        rendered = engine.render_wide_tsv(collected, full=True)
+        with open(os.path.join(EXPECTED_DIR, case + ".tsv")) as f:
+            expected = f.read()
+        assert rendered == expected, f"byte mismatch in {case}"
+
+
 def test_partitioned_triple_write_prunes(spark, lex_bc, tmp_path):
     out = str(tmp_path / "triples_partitioned")
     t = engine.triples(engine.annotate(golden_pages(spark), lex_bc))
