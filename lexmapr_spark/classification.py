@@ -72,27 +72,8 @@ DISAMBIGUATION_WORDS = {"ground", "scraps", "cut", "smoke", "moon", "plain"}
 # C1/C2: hierarchy walk + level-min bucket
 # ---------------------------------------------------------------------------
 
-def term_parent_hierarchies(term_id: str, parents: dict) -> list:
-    """All root-ward paths from ``term_id`` (inclusive), cycle-broken
-    at ``bfo_0000001`` — pipeline_helpers.py:415-448 semantics."""
-    hierarchies = [[term_id]]
-    i = 0
-    while i < len(hierarchies):
-        hierarchy = hierarchies[i]
-        node = hierarchy[-1]
-        if str(node) == "bfo_0000001":
-            break
-        node_parents = parents.get(node)
-        if node_parents:
-            # guard (beyond the reference) against non-bfo cycles
-            fresh = [p for p in node_parents if p not in hierarchy]
-            if fresh:
-                for p in fresh:
-                    hierarchies.append(hierarchy + [p])
-                hierarchies.pop(i)
-                continue
-        i += 1
-    return hierarchies
+# (shared with the matcher's ancestor-closure precompute)
+from lexmapr_spark.lexicon import term_parent_hierarchies  # noqa: E402,F401
 
 
 def hierarchy_buckets(hierarchy: list, buckets: dict) -> dict:

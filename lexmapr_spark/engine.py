@@ -44,6 +44,11 @@ MENTION_SCHEMA = StructType([
     StructField("processed_sample", StringType()),
     StructField("processed_sample_sci_name", StringType()),
     StructField("matched_components", ArrayType(StringType())),
+    # unmangled (label, id) pairs for triple emission (see matcher)
+    StructField("matched_pairs", ArrayType(StructType([
+        StructField("label", StringType()),
+        StructField("term_id", StringType()),
+    ]))),
     StructField("macro_status", StringType()),
     StructField("micro_status", ArrayType(StringType())),
     # ordered (token, lemma) pairs — a MapType would lose insertion
@@ -164,6 +169,9 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
                 "processed_sample_sci_name":
                     [r.processed_sample_sci_name for r in results],
                 "matched_components": [r.matched_components for r in results],
+                "matched_pairs": [
+                    [{"label": lb, "term_id": ti} for lb, ti in r.matched_pairs]
+                    for r in results],
                 "macro_status": [r.macro_status for r in results],
                 "micro_status": [r.micro_status for r in results],
                 "transformations": [
@@ -183,37 +191,43 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
     return projected.mapInPandas(run_batches, schema)
 
 
+def triples_projection(mentions: DataFrame) -> DataFrame:
+    """Mention rows -> raw (subj, pred, obj) triples (no dedup).
+
+    Shared by the batch (``triples``) and streaming
+    (``streaming.stream_triples``) emission paths so they can't drift.
+    Uses the unmangled ``matched_pairs`` column — the display-form
+    ``matched_components`` strings destroy IDs of labels containing
+    ':' (a preserved reference quirk).
+    """
+    return (
+        mentions
+        .where(F.col("macro_status") != "No Match")
+        .select(
+            F.col("url"),
+            F.col("macro_status"),
+            F.explode("matched_pairs").alias("pair"),
+        )
+        .select(
+            F.concat_ws("#", F.col("url"), F.col("pair.label")).alias("subj"),
+            F.element_at(F.create_map(
+                [F.lit(x) for kv in _PRED.items() for x in kv]),
+                F.col("macro_status")).alias("pred"),
+            F.concat(F.lit(OBO_PREFIX), F.col("pair.term_id")).alias("obj"),
+        )
+    )
+
+
 def triples(mentions: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     """Wide mention rows -> deduplicated (subj, pred, obj) triples.
 
-    ``explode`` fans each matched component out to one triple;
     ``dropDuplicates`` is an aggregate, so Spark applies a map-side
     partial dedup before the shuffle. For heavily skewed mention
     distributions pass ``salt_partitions`` to pre-spread hot subjects
     (head domains) before the dedup shuffle; AQE skew-join handling
     covers the rest.
     """
-    t = (
-        mentions
-        .where(F.col("macro_status") != "No Match")
-        .select(
-            F.col("url"),
-            F.col("macro_status"),
-            F.explode("matched_components").alias("component"),
-        )
-        .select(
-            # component = "<label>:<ID>"; labels may themselves contain
-            # ":" (raw CSV labels), so split on the LAST colon
-            F.concat_ws("#", F.col("url"),
-                        F.regexp_extract("component", r"^(.*):[^:]+$", 1)
-                        ).alias("subj"),
-            F.element_at(F.create_map(
-                [F.lit(x) for kv in _PRED.items() for x in kv]),
-                F.col("macro_status")).alias("pred"),
-            F.concat(F.lit(OBO_PREFIX),
-                     F.regexp_extract("component", r"([^:]+)$", 1)).alias("obj"),
-        )
-    )
+    t = triples_projection(mentions)
     if salt_partitions:
         t = t.repartition(salt_partitions, F.col("subj"))
     return t.dropDuplicates(["subj", "pred", "obj"])
@@ -295,7 +309,8 @@ def alias_edges(spark: SparkSession, lex: Lexicon) -> DataFrame:
     return spark.createDataFrame(edges, "src STRING, dst STRING").distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         strict: bool = True) -> DataFrame:
     """Min-label propagation to a fixpoint: (node, component).
 
     Iterative DataFrame joins (the classic alternating star pattern
@@ -303,7 +318,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     convergence detection and an iteration cap. The graph here is
     lexicon-sized, but the implementation only uses joins/groupBy, so
     it scales to data-derived alias graphs too.
+
+    Min-propagation advances one hop per round, so ``max_iter`` bounds
+    the component diameter it can resolve. ``strict`` (default) raises
+    instead of silently returning split components when the cap is hit.
     """
+    converged = False
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     labels = (
@@ -335,7 +355,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (component diameter exceeds the cap); raise "
+            "max_iter or pass strict=False to accept split components")
     return labels
 
 
@@ -390,15 +416,18 @@ def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
 
     stats = {"buckets_total": n_buckets, "buckets_skipped": len(done),
              "pages": 0, "triples": 0}
+    comps = None
+    if canonical:
+        # lexicon-derived: identical for every bucket, compute once
+        comps = connected_components(alias_edges(spark, lex_bc.value))
+        comps = comps.persist()
     for b in range(n_buckets):
         if b in done:
             continue
         part = bucketed.where(F.col("bucket") == b)
         mentions = annotate(part, lex_bc)
         t = triples(mentions)
-        if canonical:
-            lex = lex_bc.value
-            comps = connected_components(alias_edges(spark, lex))
+        if comps is not None:
             t = canonicalize(t, comps)
         t = t.persist()
         n_triples = t.count()

@@ -106,22 +106,6 @@ class Lexicon:
     # replacing 15 sort+join canonical probes per chunk
     suffix_bases: frozenset = frozenset()
 
-    def add_label(self, resource_id: str, raw_label: str, index_perms_over_7_rule=True,
-                  exclude_ncbitaxon=False) -> None:
-        """Register one (id, label); mirrors pipeline_resources.py:230-248."""
-        self.non_standard_resource_ids[resource_id] = raw_label
-        label = punctuation_treatment(raw_label)
-        self.standard_resource_labels[label] = resource_id
-
-        split_tokens = label.split()
-        ckey = canonical_key(split_tokens)
-        self.canon_labels.setdefault(ckey, {})[label] = resource_id
-
-        # permutation-index coverage rule: word_tokenize-count < 7
-        if len(word_tokenize(label)) < 7 and not (
-                exclude_ncbitaxon and "ncbitaxon" in resource_id):
-            self.canon_perms[ckey] = resource_id
-
     def add_synonym(self, raw_synonym: str, standardized_label: str) -> None:
         self.synonyms[raw_synonym] = standardized_label
         self.canon_syns.setdefault(
@@ -162,34 +146,46 @@ class Lexicon:
         self.suffix_bases = frozenset(bases)
 
 
-def compute_ancestor_closure(parents: dict[str, list]) -> dict[str, frozenset]:
-    """Strict-ancestor transitive closure over the parents DAG.
+def term_parent_hierarchies(term_id: str, parents: dict) -> list:
+    """All root-ward paths from ``term_id`` (inclusive) — the
+    reference's quirky expansion (``pipeline_helpers.py:415-448``): the
+    WHOLE loop breaks the moment any hierarchy's tip is
+    ``bfo_0000001``, leaving later hierarchies unexpanded (their
+    partial contents still count). We add a guard against non-bfo
+    cycles (where the reference would loop forever)."""
+    hierarchies = [[term_id]]
+    i = 0
+    while i < len(hierarchies):
+        hierarchy = hierarchies[i]
+        node = hierarchy[-1]
+        if str(node) == "bfo_0000001":
+            break
+        node_parents = parents.get(node)
+        if node_parents:
+            fresh = [p for p in node_parents if p not in hierarchy]
+            if fresh:
+                for p in fresh:
+                    hierarchies.append(hierarchy + [p])
+                hierarchies.pop(i)
+                continue
+        i += 1
+    return hierarchies
 
-    Replaces the reference's per-row hierarchy DFS
-    (``pipeline_helpers.py:415-448``) with a one-time memoized closure
-    computed at lexicon-compile time (driver side; the DAG is tiny).
-    The reference breaks cycles at ``bfo_0000001``; we stop expanding
-    at that node and guard against arbitrary cycles with a visit stack.
+
+def compute_ancestor_closure(parents: dict[str, list]) -> dict[str, frozenset]:
+    """Per-term strict-ancestor sets, precomputed at lexicon-compile
+    time from the SAME quirky hierarchy expansion the reference runs
+    per row (``pipeline.py:222-233``: union of every returned
+    hierarchy minus its first element — including hierarchies left
+    unexpanded by the bfo_0000001 break). Byte-for-byte reproduction of
+    the reference's ancestor set per term, without per-row graph walks.
     """
     closure: dict[str, frozenset] = {}
-
-    def walk(node: str, stack: set) -> frozenset:
-        if node in closure:
-            return closure[node]
-        if node in stack:
-            return frozenset()
-        anc: set = set()
-        if str(node) != "bfo_0000001":
-            stack.add(node)
-            for p in parents.get(node, ()):
-                anc.add(p)
-                anc |= walk(p, stack)
-            stack.discard(node)
-            closure[node] = frozenset(anc)
-        return frozenset(anc)
-
     for term in parents:
-        walk(term, set())
+        anc: set = set()
+        for hierarchy in term_parent_hierarchies(term, parents):
+            anc |= set(hierarchy[1:])
+        closure[term] = frozenset(anc)
     return closure
 
 

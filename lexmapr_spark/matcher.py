@@ -47,6 +47,11 @@ class MatchResult:
     processed_sample: str = ""
     processed_sample_sci_name: str = ""
     matched_components: list = field(default_factory=list)
+    # (label, ID_UPPER) pairs split on the LAST colon — the reference's
+    # display standardization (split(':')[1], pipeline_helpers.py:569)
+    # destroys IDs for labels that contain ':' (e.g. 'escherichia coli
+    # o26:h11'); the KG path must use these unmangled pairs
+    matched_pairs: list = field(default_factory=list)
     macro_status: str = "No Match"
     micro_status: list = field(default_factory=list)
     transformations: dict = field(default_factory=dict)
@@ -177,18 +182,23 @@ def _collapse(s: str) -> str:
 # of plain tokens is the chunk itself — skips ~300 tokenizer calls/row.
 _PLAIN_TOKEN = re.compile(r"^[a-z0-9]+$")
 
-# Per-process memo of the deterministic per-token cleaning step,
-# keyed by lexicon identity (web text repeats tokens heavily; the
-# reference recomputes 4 dict probes + up to 32 regex rules per
-# occurrence, lexmapr/pipeline.py:132-144).
-_TOKEN_MEMO: dict = {}
+# Cap on the per-lexicon token-cleaning memo (web text repeats tokens
+# heavily; the reference recomputes 4 dict probes + up to 32 regex
+# rules per occurrence, lexmapr/pipeline.py:132-144). The memo lives ON
+# the lexicon instance, so its lifetime matches the lexicon's (no
+# id()-reuse staleness) and it is bounded on long-lived executors.
+_TOKEN_MEMO_MAX = 1_000_000
 
 
 def _clean_token(token: str, lex: Lexicon):
     """Date/number drop + preprocess + 4 normalization tiers for one
     raw token. Returns (dropped, token_after_preprocess, lemma,
     micro_entries tuple)."""
-    memo = _TOKEN_MEMO.setdefault(id(lex), {})
+    memo = lex.__dict__.get("_token_memo")
+    if memo is None:
+        memo = lex.__dict__["_token_memo"] = {}
+    elif len(memo) > _TOKEN_MEMO_MAX:
+        memo.clear()
     hit = memo.get(token)
     if hit is not None:
         return hit
@@ -435,7 +445,14 @@ def process_sample(sample_id: str, original_sample: str, lex: Lexicon,
             res.third_party_classification = cls["ifsac_final_labels"]
             third_party_classification = cls["ifsac_final_labels"]
 
-    # standardize ids (pipeline_helpers.py:555-574)
+    # unmangled (label, id) pairs for the KG path (ids never contain
+    # ':', so last-colon split is exact here)
+    res.matched_pairs = [
+        (m.rpartition(":")[0], m.rpartition(":")[2].upper())
+        for m in matched_components
+    ]
+    # standardize ids for display (pipeline_helpers.py:555-574) —
+    # including the reference's split(":")[1] quirk on colon-labels
     res.matched_components = [
         m.split(":")[0] + ":" + m.split(":")[1].upper() for m in matched_components
     ]

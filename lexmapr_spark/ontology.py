@@ -124,8 +124,7 @@ def fetch_ontology(path: str, root_iri: str = "") -> dict:
             # (language, value) order wins (multilingual labels: the
             # reference tests pin the pt label over the en one)
             resource["label"] = max(c["labels"])[1]
-        parent_iris = sorted(p for p in c["parents"] if p in classes
-                             or True)  # keep all named parents
+        parent_iris = sorted(c["parents"])  # all named parents, IRI order
         if parent_iris:
             resource["parent_id"] = short_id(parent_iris[0])
             if len(parent_iris) > 1:

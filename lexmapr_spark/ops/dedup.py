@@ -179,8 +179,12 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     blocks = h.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[
+            # bitwiseAND, not %: Spark's % keeps the dividend's sign,
+            # which would give negative simhashes a different block-0
+            # key and break the pigeonhole guarantee
             F.concat_ws(":", F.lit(str(i)),
-                        F.shiftrightunsigned("simhash", 16 * i) % F.lit(65536))
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(65535)))
             for i in range(4)
         ])).alias("block_key"),
     )

@@ -82,11 +82,8 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
         for lang, words in LANG_MARKERS.items()
     }
     best = F.greatest(*hit_cols.values())
-    pred = F.lit("und")
-    for lang in sorted(LANG_MARKERS):  # reverse priority fold
-        pred = F.when((hit_cols[lang] > 0) & (hit_cols[lang] == best),
-                      F.lit(lang)).otherwise(pred)
-    # earlier langs override later: fold again in priority order
+    # fold in reverse code order so the alphabetically-first language
+    # wins ties (the outermost WHEN is evaluated first)
     expr = F.lit("und")
     for lang in reversed(sorted(LANG_MARKERS)):
         expr = F.when((hit_cols[lang] > 0) & (hit_cols[lang] == best),

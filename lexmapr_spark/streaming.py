@@ -54,22 +54,7 @@ def stream_triples(pages_stream, lex_bc, out_dir: str, checkpoint_dir: str,
     the sink table, not in stream state.
     """
     mentions = engine.annotate(pages_stream, lex_bc, min_partitions=None)
-    triples = (
-        mentions.where(F.col("macro_status") != "No Match")
-        .select(F.col("url"), F.col("macro_status"),
-                F.explode("matched_components").alias("component"))
-        .select(
-            F.concat_ws("#", F.col("url"),
-                        F.regexp_extract("component", r"^(.*):[^:]+$", 1)
-                        ).alias("subj"),
-            F.when(F.col("macro_status") == "Full Term Match",
-                   F.lit("fullTermMatch"))
-             .otherwise(F.lit("componentMatch")).alias("pred"),
-            F.concat(F.lit(engine.OBO_PREFIX),
-                     F.regexp_extract("component", r"([^:]+)$", 1)
-                     ).alias("obj"),
-        )
-    )
+    triples = engine.triples_projection(mentions)
 
     def write_batch(batch_df, _batch_id):
         # per-batch dedup keeps the stream stateless (a bare streaming

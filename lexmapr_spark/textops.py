@@ -84,14 +84,28 @@ _CONTRACTIONS3 = [
 
 
 # a string of plain lowercase-alnum tokens separated by single spaces
-# tokenizes to its split() — every Treebank rule is a no-op on it
+# tokenizes to its split() — every Treebank rule is a no-op on it,
+# EXCEPT the apostrophe-free MacIntyre contractions, which must split
 _PLAIN_SENTENCE = re.compile(r"^[a-z0-9]+( [a-z0-9]+)*$")
+_PLAIN_CONTRACTIONS = frozenset(
+    ["cannot", "gimme", "gonna", "gotta", "lemme", "wanna"])
+
+
+def _plain_tokens(text: str):
+    """Fast-path token list, or None if any rule could fire."""
+    if not _PLAIN_SENTENCE.match(text):
+        return None
+    tokens = text.split(" ")
+    if _PLAIN_CONTRACTIONS.isdisjoint(tokens):
+        return tokens
+    return None
 
 
 def treebank_tokenize(text: str) -> list[str]:
     """Tokenize one sentence, NLTKWordTokenizer (improved Treebank) style."""
-    if _PLAIN_SENTENCE.match(text):
-        return text.split(" ")
+    fast = _plain_tokens(text)
+    if fast is not None:
+        return fast
     for regexp, substitution in _STARTING_QUOTES:
         text = regexp.sub(substitution, text)
 
@@ -131,8 +145,9 @@ def sent_tokenize(text: str) -> list[str]:
 
 def word_tokenize(text: str) -> list[str]:
     """nltk.word_tokenize equivalent: sentence split + Treebank."""
-    if _PLAIN_SENTENCE.match(text):
-        return text.split(" ")
+    fast = _plain_tokens(text)
+    if fast is not None:
+        return fast
     return [tok for sent in sent_tokenize(text) for tok in treebank_tokenize(sent)]
 
 
@@ -169,18 +184,22 @@ _DETOK_STARTING_QUOTES = [
 
 
 _PLAIN_TOKEN_RE = re.compile(r"^[a-z0-9]+$")
+# first words of the apostrophe-free MacIntyre contraction pairs that
+# the detokenizer re-joins ("can not" -> "cannot", ...)
+_CONTRACTION_HEADS = frozenset(["can", "gim", "gon", "got", "lem", "wan"])
 
 
 def treebank_detokenize(tokens: list[str]) -> str:
     """TreebankWordDetokenizer.detokenize equivalent."""
     text = " ".join(tokens)
-    if _PLAIN_SENTENCE.match(text):
+    if _plain_tokens(text) is not None and _CONTRACTION_HEADS.isdisjoint(tokens):
+        # ("can not" re-joins to "cannot" below, so it can't fast-path)
         return text
 
     for regexp in _CONTRACTIONS3:
-        text = re.sub(regexp.pattern.replace("(?#X)", r"\\s"), r"\1\2", text)
+        text = re.sub(regexp.pattern.replace("(?#X)", r"\s"), r"\1\2", text)
     for regexp in _CONTRACTIONS2:
-        text = re.sub(regexp.pattern.replace("(?#X)", r"\\s"), r"\1\2", text)
+        text = re.sub(regexp.pattern.replace("(?#X)", r"\s"), r"\1\2", text)
 
     for regexp, substitution in _DETOK_ENDING_QUOTES:
         text = regexp.sub(substitution, text)
