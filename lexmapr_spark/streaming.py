@@ -43,6 +43,110 @@ def stream_pages(spark: SparkSession, input_dir: str,
     )
 
 
+def windowed_event_counts(spark: SparkSession, input_dir: str, out_dir: str,
+                          checkpoint_dir: str, window: str = "1 hour",
+                          watermark: str = "30 minutes",
+                          available_now: bool = True):
+    """Watermarked tumbling-window aggregation over an event stream.
+
+    The late-data pattern: events later than ``watermark`` behind the
+    max seen ts are dropped; append mode emits a window only once it
+    can no longer receive late rows, so the sink is insert-only (safe
+    for downstream incremental consumers). State is bounded by the
+    watermark — the requirement for unbounded streams.
+    """
+    from pyspark.sql.types import LongType, DoubleType
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    events = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "4").parquet(input_dir))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type", "n")
+    )
+    writer = (agg.writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize_events(spark: SparkSession, input_dir: str, out_dir: str,
+                      checkpoint_dir: str, gap_seconds: int = 1800,
+                      available_now: bool = True):
+    """Custom stateful operator: per-user sessionization via
+    ``applyInPandasWithState``.
+
+    State per user = (sessions_so_far, last_event_epoch); an event more
+    than ``gap_seconds`` after the previous one opens a new session.
+    State survives micro-batches (verified cross-batch in tests), which
+    is the capability built-in windowing can't express — session
+    boundaries depend on per-key history, not wall-clock windows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    out_type = "user_id LONG, event_id LONG, session_id LONG"
+    state_type = "sessions LONG, last_epoch DOUBLE"
+
+    def assign_sessions(key, pdf_iter, state: GroupState):
+        sessions, last_epoch = state.get if state.exists else (0, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            session_ids = []
+            for ts in pdf["ts"]:
+                epoch = ts.timestamp()
+                if last_epoch is None or epoch - last_epoch > gap_seconds:
+                    sessions += 1
+                last_epoch = epoch
+                session_ids.append(sessions)
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(pdf),
+                "event_id": pdf["event_id"].to_numpy(),
+                "session_id": session_ids,
+            })
+        state.update((sessions, last_epoch))
+
+    events = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+    sessions = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(assign_sessions, out_type, state_type,
+                                "update", GroupStateTimeout.NoTimeout)
+    )
+
+    def write_batch(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    writer = (sessions.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_triples(pages_stream, lex_bc, out_dir: str, checkpoint_dir: str,
                    available_now: bool = True):
     """pages stream -> dedup-per-batch triples, append sink.

@@ -25,6 +25,85 @@ def lex_bc(spark):
     return engine.broadcast_lexicon(spark)
 
 
+def test_windowed_event_counts_with_watermark(spark):
+    """Closed windows emitted by the watermarked stream must equal the
+    batch groupBy for those windows; the final (never-closed) window
+    stays unemitted in append mode."""
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "events")
+    out = os.path.join(base, "agg")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        src = "/root/testdata/sf0.001/events.parquet"
+        spark.read.parquet(src).write.parquet(landing)
+        q = streaming.windowed_event_counts(spark, landing, out, ckpt)
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() > 0
+        batch = (
+            spark.read.parquet(landing)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", F.col("n").alias("batch_n"))
+        )
+        joined = got.join(batch, ["window_start", "event_type"], "left")
+        bad = joined.where(F.col("n") != F.col("batch_n")).count()
+        assert bad == 0  # every emitted window agrees with batch truth
+        # append mode: the max window can't have closed
+        max_emitted = got.agg(F.max("window_end")).collect()[0][0]
+        max_ts = spark.read.parquet(landing).agg(F.max("ts")).collect()[0][0]
+        assert max_emitted <= max_ts
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_sessionize_events_stateful_across_batches(spark):
+    """applyInPandasWithState: session ids must match a driver-side
+    truth computation, with state carried across micro-batches (input
+    split into two files, maxFilesPerTrigger=1)."""
+    import pandas as pd
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "events")
+    out = os.path.join(base, "sessions")
+    ckpt = os.path.join(base, "ckpt")
+    gap = 1800
+    try:
+        events = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet").orderBy("ts")
+        n = events.count()
+        pdf = events.toPandas()
+        # two time-ordered files -> two micro-batches -> cross-batch state
+        half = pdf.iloc[: n // 2]
+        rest = pdf.iloc[n // 2:]
+        spark.createDataFrame(half).coalesce(1).write.mode(
+            "append").parquet(landing)
+        spark.createDataFrame(rest).coalesce(1).write.mode(
+            "append").parquet(landing)
+
+        q = streaming.sessionize_events(spark, landing, out, ckpt,
+                                        gap_seconds=gap)
+        q.awaitTermination(120)
+        got = {(r.user_id, r.event_id): r.session_id
+               for r in spark.read.parquet(out).collect()}
+        assert len(got) == n
+
+        # driver-side truth
+        truth = {}
+        for uid, grp in pdf.sort_values("ts").groupby("user_id"):
+            sessions, last = 0, None
+            for _, row in grp.iterrows():
+                epoch = row["ts"].timestamp()
+                if last is None or epoch - last > gap:
+                    sessions += 1
+                last = epoch
+                truth[(uid, row["event_id"])] = sessions
+        assert got == truth
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stream_processes_files_incrementally(spark, lex_bc):
     base = tempfile.mkdtemp()
     landing = os.path.join(base, "landing")
