@@ -213,6 +213,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("seq") <= 3))
     q["window_user_event_seq"] = window_user_event_seq
 
+    # batch twin of the streaming applyInPandasWithState sessionizer:
+    # gap-based session ids via lag + running sum (oracle-checkable)
+    def sessionize_events_batch(spark, sf):
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = 1800
+        ev = _t(spark, sf, "events").select("user_id", "event_id", "ts")
+        flagged = ev.withColumn(
+            "new_session",
+            F.when(F.lag("ts").over(w).isNull()
+                   | (F.unix_timestamp("ts")
+                      - F.unix_timestamp(F.lag("ts").over(w)) > gap),
+                   F.lit(1)).otherwise(F.lit(0)))
+        return flagged.select(
+            "user_id", "event_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("session_id"))
+    q["sessionize_events_batch"] = sessionize_events_batch
+
+    # JSON property extraction from the events props column
+    q["json_extract_props"] = lambda spark, sf: (
+        _t(spark, sf, "events").select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k")))
+
     # ---- §2.5 set ops
     q["set_customers_without_orders"] = lambda spark, sf: (
         _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
@@ -375,6 +401,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment",
+
+        "sessionize_events_batch":
+            "SELECT user_id, event_id, CAST(sum(new_session) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM ("
+            "SELECT user_id, event_id, ts, CASE WHEN "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "IS NULL OR epoch(ts) - epoch(lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id)) > 1800 "
+            "THEN 1 ELSE 0 END AS new_session FROM events)",
+
+        "json_extract_props":
+            "SELECT event_id, try_cast(json_extract_string(props, '$.k') "
+            "AS BIGINT) AS k FROM events",
 
         "window_user_event_seq":
             "SELECT user_id, event_id, seq FROM ("
