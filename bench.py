@@ -55,6 +55,17 @@ def main():
     wall, n_triples = run_pipeline()        # steady state (what scale sees)
     pages.unpersist()
 
+    # realistic-size pages: 8 sentences each (~8x the text per page)
+    long_pages = synth_pages(spark, max(n_pages // 4, 1000),
+                             sentences_per_page=8).persist()
+    n_long = long_pages.count()
+    long_bytes = long_pages.agg(F.sum(F.length("text"))).collect()[0][0]
+    engine.triples(engine.annotate(long_pages, lex_bc)).count()  # warm
+    t0 = time.time()
+    long_triples = engine.triples(engine.annotate(long_pages, lex_bc)).count()
+    long_wall = time.time() - t0
+    long_pages.unpersist()
+
     # ---- per-query timings on the harness tables
     bench_queries = [
         "kg_match_histogram", "p1_p2_lower_punct", "p11_stopword_filter",
@@ -84,6 +95,12 @@ def main():
         "triples_per_sec": round(n_triples / wall, 1),
         "pages_per_sec": round(n_rows / wall, 1),
         "text_bytes_per_sec": round(text_bytes / wall, 1),
+        "longpages": {
+            "pages": n_long, "wall_sec": round(long_wall, 3),
+            "triples": long_triples,
+            "pages_per_sec": round(n_long / long_wall, 1),
+            "text_bytes_per_sec": round(long_bytes / long_wall, 1),
+        },
     }
     spark.stop()
     print(json.dumps(out))

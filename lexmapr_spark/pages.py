@@ -64,14 +64,26 @@ def load_corpus(limit: int | None = None) -> list[str]:
 
 
 def synth_pages(spark: SparkSession, n_pages: int, n_domains: int = 1000,
-                corpus: list[str] | None = None) -> DataFrame:
+                corpus: list[str] | None = None,
+                sentences_per_page: int = 1) -> DataFrame:
     """Deterministic pages DataFrame of ``n_pages`` rows.
 
     Domain skew: domain rank = floor(n_domains ** u) with u
     hash-uniform in [0,1) -> p(rank) ~ 1/rank (Zipf-1), so the head
     domain owns ~1/ln(n_domains) of all pages.
+
+    ``sentences_per_page`` > 1 concatenates several corpus
+    descriptions per page (period-joined) — closer to real web-page
+    text sizes and exercising the >=15-token contiguous-n-gram path.
     """
     corpus = corpus or load_corpus()
+    if sentences_per_page > 1:
+        n = len(corpus)
+        corpus = [
+            ". ".join(corpus[(i * 7 + j) % n]
+                      for j in range(sentences_per_page))
+            for i in range(n)
+        ]
     texts_df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "text_id BIGINT, text STRING")
 

@@ -65,6 +65,46 @@ def test_process_sample_total_and_deterministic(text):
         assert tid == tid.upper() and label
 
 
+def unguarded_map_term(term, lex, consider_suffixes=False):
+    """map_term without the canonical suffix-base guard — the literal
+    reference control flow (pipeline_helpers.py:451-502)."""
+    from lexmapr_spark.matcher import _map_term_helper
+    if consider_suffixes:
+        for suffix in lex.suffixes:
+            mapping = _map_term_helper(term + " " + suffix, lex)
+            if mapping:
+                mapping["status"].insert(-2, "Suffix Addition")
+                return mapping
+    else:
+        mapping = _map_term_helper(term, lex)
+        if mapping:
+            return mapping
+    synonym = lex.synonyms.get(term)
+    if synonym is not None:
+        if consider_suffixes:
+            for suffix in lex.suffixes:
+                mapping = _map_term_helper(synonym + " " + suffix, lex)
+                if mapping:
+                    mapping["status"].insert(-2, "Suffix Addition")
+                    mapping["status"].insert(-2, "Synonym Usage")
+                    return mapping
+        else:
+            mapping = _map_term_helper(synonym, lex)
+            if mapping:
+                mapping["status"].insert(-2, "Synonym Usage")
+                return mapping
+    return None
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(token_strategy, min_size=1, max_size=3),
+       st.booleans())
+def test_guarded_map_term_equals_unguarded(tokens, suffixes):
+    term = " ".join(tokens)
+    assert map_term(term, LEX, consider_suffixes=suffixes) == \
+        unguarded_map_term(term, LEX, consider_suffixes=suffixes)
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.sampled_from(_VOCAB_SAMPLE), min_size=1, max_size=8))
 def test_jaccard_bounds_and_symmetry(tokens):
