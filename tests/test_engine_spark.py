@@ -156,6 +156,19 @@ def test_partitioned_triple_write_prunes(spark, lex_bc, tmp_path):
         "PartitionFilters: [")[1].split("]")[0]
 
 
+def test_results_independent_of_partitioning(spark, lex_bc):
+    """SURVEY hard-part #2: the order-dependent greedy algorithms are
+    per-row, so results must be identical however rows are split."""
+    pages = golden_pages(spark)
+    one = set(map(tuple, engine.annotate(
+        pages.coalesce(1), lex_bc, min_partitions=None)
+        .select("url", "macro_status", "processed_sample").collect()))
+    eight = set(map(tuple, engine.annotate(
+        pages.repartition(8), lex_bc, min_partitions=None)
+        .select("url", "macro_status", "processed_sample").collect()))
+    assert one == eight
+
+
 def test_salted_triples_equal_unsalted(spark, lex_bc):
     """Skew mitigation must not change results: salted pre-spread
     before the dedup shuffle yields the identical triple set."""
