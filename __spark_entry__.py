@@ -21,14 +21,19 @@ from lexmapr_spark.ops import dedup, multimodal, similarity, textstats
 
 SF0001 = "/root/testdata/sf0.001"
 
-_LEX_BC = {}
+import weakref
+
+# weak keys: a stopped context's entry disappears with the context, so
+# a new session at a recycled address can never see a dead broadcast
+_LEX_BC: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _lex_bc(spark):
-    key = id(spark.sparkContext)
-    if key not in _LEX_BC:
-        _LEX_BC[key] = engine.broadcast_lexicon(spark)
-    return _LEX_BC[key]
+    sc = spark.sparkContext
+    bc = _LEX_BC.get(sc)
+    if bc is None:
+        bc = _LEX_BC[sc] = engine.broadcast_lexicon(spark)
+    return bc
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

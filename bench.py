@@ -44,7 +44,7 @@ def main():
     pages = synth_pages(spark, n_pages).persist()
     n_rows = pages.count()          # materialize input before timing
     text_bytes = pages.agg(
-        F.sum(F.length("text"))).collect()[0][0]
+        F.sum(F.octet_length("text"))).collect()[0][0]
 
     def run_pipeline():
         t0 = time.time()
@@ -59,7 +59,7 @@ def main():
     long_pages = synth_pages(spark, max(n_pages // 4, 1000),
                              sentences_per_page=8).persist()
     n_long = long_pages.count()
-    long_bytes = long_pages.agg(F.sum(F.length("text"))).collect()[0][0]
+    long_bytes = long_pages.agg(F.sum(F.octet_length("text"))).collect()[0][0]
     engine.triples(engine.annotate(long_pages, lex_bc)).count()  # warm
     t0 = time.time()
     long_triples = engine.triples(engine.annotate(long_pages, lex_bc)).count()

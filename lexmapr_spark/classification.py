@@ -320,8 +320,15 @@ def refine_ifsac_final_labels(sample: str, labels, refinements: dict) -> list:
 
     for label, refined in refinements.items():
         label_tokens = set(word_tokenize(label))
-        if not (label_tokens - tokens) or re.search(
-                r"\b" + re.escape(label) + r"\b", sample):
+        # parity note: the reference does NOT escape the label
+        # (pipeline_classification.py:81) — keys like 'environmental
+        # (forests)' rely on their parens acting as a regex group to
+        # match the punctuation-treated sample 'environmental forests'
+        try:
+            regex_hit = re.search(r"\b" + label + r"\b", sample)
+        except re.error:
+            regex_hit = None  # reference would crash; we skip the key
+        if not (label_tokens - tokens) or regex_hit:
             ret.add(refined)
             break
 

@@ -83,7 +83,11 @@ def build_spark(cpus: int | str = "*", app: str = "lexmapr_spark",
     )
 
 
-_SHIPPED: set = set()
+import weakref
+
+# weak refs: entries vanish with their SparkContext, so a new context
+# at a recycled id() can never be mistaken for an already-shipped one
+_SHIPPED: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -95,8 +99,8 @@ def ship_package(spark: SparkSession) -> None:
     (Resource CSVs are NOT needed on workers: the lexicon compiles
     driver-side and ships via broadcast.)
     """
-    key = id(spark.sparkContext)
-    if key in _SHIPPED:
+    sc = spark.sparkContext
+    if sc in _SHIPPED:
         return
     import tempfile
     import zipfile
@@ -105,7 +109,7 @@ def ship_package(spark: SparkSession) -> None:
     if ".zip" in pkg_dir or not os.path.isdir(pkg_dir):
         # already imported from a --py-files archive: workers get the
         # same archive from spark-submit, nothing to ship
-        _SHIPPED.add(key)
+        _SHIPPED.add(sc)
         return
     zip_path = os.path.join(tempfile.mkdtemp(prefix="lexmapr_pyfiles"),
                             "lexmapr_spark.zip")
@@ -116,8 +120,8 @@ def ship_package(spark: SparkSession) -> None:
                     full = os.path.join(root, fn)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
-    spark.sparkContext.addPyFile(zip_path)
-    _SHIPPED.add(key)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(sc)
 
 
 def broadcast_lexicon(spark: SparkSession, lex: Lexicon | None = None):

@@ -7,7 +7,7 @@ bundling a prebuilt table + default args
 equivalents: a JSON artifact that round-trips the full Lexicon
 (including the canonical indexes, so load skips recompilation
 entirely) and ``get_profile_lexicon`` for profile directories shaped
-``<dir>/<name>_table.json`` (+ optional ``<name>_args.json``).
+``<dir>/<name>/<name>_table.json`` (+ optional ``<name>_args.json``).
 """
 
 from __future__ import annotations

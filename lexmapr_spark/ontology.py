@@ -24,7 +24,11 @@ from __future__ import annotations
 import os
 import xml.etree.ElementTree as ET
 
-from lexmapr_spark.lexicon import Lexicon, canonical_key
+from lexmapr_spark.lexicon import (
+    Lexicon,
+    canonical_key,
+    compute_ancestor_closure,
+)
 from lexmapr_spark.textops import punctuation_treatment, word_tokenize
 
 RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
@@ -107,7 +111,9 @@ def fetch_ontology(path: str, root_iri: str = "") -> dict:
                         in_scope.add(ch)
                         nxt.append(ch)
             frontier = nxt
-        scoped = {iri: classes[iri] for iri in in_scope}
+        # document order, not set order: collision resolution downstream
+        # is dict last-write-wins, which must be reproducible
+        scoped = {iri: c for iri, c in classes.items() if iri in in_scope}
     else:
         # no root: every class with an explicit named parent
         scoped = {iri: c for iri, c in classes.items() if c["parents"]}
@@ -244,9 +250,7 @@ def merge_lexicons(one: Lexicon, two: Lexicon) -> Lexicon:
         merged.canon_syns.setdefault(
             canonical_key(syn.split()), {})[syn] = label
     merged.ancestors = dict(one.ancestors)
-    merged.ancestors.update(
-        __import__("lexmapr_spark.lexicon", fromlist=["x"])
-        .compute_ancestor_closure(merged.parents))
+    merged.ancestors.update(compute_ancestor_closure(merged.parents))
     merged.build_vocab()
     return merged
 

@@ -111,9 +111,17 @@ def sessionize_events(spark: SparkSession, input_dir: str, out_dir: str,
     state_type = "sessions LONG, last_epoch DOUBLE"
 
     def assign_sessions(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # no events within the expiry horizon: drop the state row
+            # (bounded state on unbounded streams)
+            state.remove()
+            return
         sessions, last_epoch = state.get if state.exists else (0, None)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
+        # a group may arrive as several Arrow chunks; session
+        # assignment is order-dependent, so sort the WHOLE group once
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts")
             session_ids = []
             for ts in pdf["ts"]:
                 epoch = ts.timestamp()
@@ -127,13 +135,16 @@ def sessionize_events(spark: SparkSession, input_dir: str, out_dir: str,
                 "session_id": session_ids,
             })
         state.update((sessions, last_epoch))
+        # expire idle users after 4 gaps of processing-time silence
+        state.setTimeoutDuration(4 * gap_seconds * 1000)
 
     events = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(input_dir))
     sessions = (
         events.groupBy("user_id")
         .applyInPandasWithState(assign_sessions, out_type, state_type,
-                                "update", GroupStateTimeout.NoTimeout)
+                                "update",
+                                GroupStateTimeout.ProcessingTimeTimeout)
     )
 
     def write_batch(batch_df, _batch_id):

@@ -92,6 +92,10 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
         else:
             results[name] = f"OK: {len(s_rows)} rows match ({dt:.1f}s)"
 
+    if not results:
+        print("no queries matched the filter")
+        spark.stop()
+        return {}
     width = max(len(n) for n in results)
     ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only")))
     for name, verdict in results.items():
