@@ -442,13 +442,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY md5(text) HAVING count(*) > 1",
 
         "dedup_minhash_signatures":
-            f"WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter("
-            "string_split(text, ' '), x -> x != '')) AS tok FROM documents) "
+            "WITH docs2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
+            "FROM documents), "
+            "toks AS (SELECT DISTINCT doc_id, unnest(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) "
+            "AS tok FROM docs2) "
             f"SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id",
 
         "dedup_minhash_lsh":
-            "WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter("
-            f"string_split(text, ' '), x -> x != '')) AS tok FROM {_CLONES_SQL}), "
+            "WITH docs2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
+            f"FROM {_CLONES_SQL}), "
+            "toks AS (SELECT DISTINCT doc_id, unnest(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) "
+            "AS tok FROM docs2), "
             f"sigs AS (SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id), "
             f"banded AS (SELECT doc_id, {band_keys} FROM sigs), "
             "stacked AS (SELECT doc_id, unnest(["
@@ -458,8 +462,9 @@ def oracle_sql() -> dict[str, str]:
             "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
             "FROM stacked a JOIN stacked b USING (band_key) "
             "WHERE a.doc_id < b.doc_id), "
-            "tsets AS (SELECT doc_id, list_distinct(list_filter("
-            f"string_split(text, ' '), x -> x != '')) AS toks FROM {_CLONES_SQL}) "
+            "tsets AS (SELECT doc_id, list_distinct(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) AS toks "
+            "FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
+            f"FROM {_CLONES_SQL})) "
             "SELECT id_a, id_b, round(CAST(len(list_intersect(ta.toks, tb.toks))"
             " AS DOUBLE) / (len(ta.toks) + len(tb.toks) - "
             "len(list_intersect(ta.toks, tb.toks))), 6) AS jaccard "

@@ -26,6 +26,33 @@ def tokens_col(text: str | Column = "text") -> Column:
     return F.filter(F.split(col, " "), lambda x: x != F.lit(""))
 
 
+SHINGLE_N = 3
+
+
+def shingles_col(text: str | Column = "text") -> Column:
+    """Overlapping 3-word shingles (order-sensitive n-grams).
+
+    MinHash over shingles, not unigram tokens: token SETS degenerate
+    on shared-vocabulary corpora (every long doc looks like every
+    other), while shingles encode word order. Uses 1-based
+    ``element_at`` + null-skipping ``concat_ws`` so the identical SQL
+    shape reproduces in DuckDB (docs shorter than 3 tokens yield one
+    whole-doc shingle)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return _shingles_from_tokens(tokens_col(col))
+
+
+def _shingles_from_tokens(toks: Column) -> Column:
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_N - 1),
+                                          F.lit(1)))
+    return F.filter(
+        F.transform(idx, lambda i: F.concat_ws(
+            # try_element_at: out-of-range -> NULL (ANSI-safe; matches
+            # DuckDB's list[i] semantics), concat_ws skips NULLs
+            " ", *[F.try_element_at(toks, i + j) for j in range(SHINGLE_N)])),
+        lambda s: s != F.lit(""))
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (text_md5, n_dupes, keeper_id).
@@ -46,15 +73,16 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        n_hashes: int = N_MINHASHES) -> DataFrame:
-    """Per-doc MinHash signature over the token set.
+    """Per-doc MinHash signature over the 3-word-shingle set.
 
-    minhash_j = min over tokens of md5("<j>:" + token) — a string-min
-    over hex digests, deterministic and reproducible in any engine
-    with md5. Explode + single groupBy with n_hashes min-aggregates
-    (all map-side combinable).
+    minhash_j = min over shingles of md5("<j>:" + shingle) — a
+    string-min over hex digests, deterministic and reproducible in any
+    engine with md5. Explode + single groupBy with n_hashes
+    min-aggregates (all map-side combinable).
     """
     toks = (
-        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        docs.select(F.col(id_col),
+                    F.explode(shingles_col(text_col)).alias("tok"))
         .distinct()
     )
     aggs = [
@@ -100,7 +128,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
-    """LSH candidates verified with exact token-set Jaccard.
+    """LSH candidates verified with exact shingle-set Jaccard
+    (n-gram Jaccard, n=3 word shingles).
 
     Returns (id_a, id_b, jaccard) for pairs >= threshold, Jaccard
     rounded to 6 dp for cross-engine comparability.
@@ -109,7 +138,7 @@ def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
     pairs = lsh_candidate_pairs(sigs, id_col)
     toksets = docs.select(
         F.col(id_col),
-        F.array_distinct(tokens_col(text_col)).alias("toks"))
+        F.array_distinct(shingles_col(text_col)).alias("toks"))
     ta = toksets.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     tb = toksets.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")

@@ -20,7 +20,7 @@ def docs(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),
         (2, "the quick brown fox jumps over the lazy dog"),      # exact dup
-        (3, "the quick brown fox leaps over the lazy dog"),      # near dup
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # near dup
         (4, "completely different content about spark engines"),
         (5, "der schnelle braune fuchs und der faule hund ist"),
         (6, ""),
@@ -35,10 +35,12 @@ def test_exact_duplicates(docs):
 
 
 def test_minhash_lsh_finds_near_dup(docs):
+    # shingle (3-gram) Jaccard: identical docs = 1.0; one appended
+    # token shares 7/8 shingles (0.875 -> LSH finds it reliably)
     pairs = {(r.id_a, r.id_b): r.jaccard
              for r in dedup.jaccard_near_duplicates(docs, 0.7).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
-    assert (1, 3) in pairs or (3, 1) in pairs  # one-token edit
+    assert pairs.get((1, 3)) == 0.875
     assert not any({a, b} == {1, 4} for a, b in pairs)
 
 
