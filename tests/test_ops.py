@@ -104,6 +104,25 @@ def test_lang_id(docs):
     assert langs[6] == "und"
 
 
+def test_salted_collect_set_equals_direct(spark):
+    """Two-phase salted aggregation must equal the direct one on
+    Zipf-skewed keys (one key owning most rows)."""
+    from lexmapr_spark.ops import skew
+
+    rows = [(("hot" if i % 10 else "cold"), f"v{i % 97}")
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "k STRING, v STRING")
+    salted = {r.k: list(r.values)
+              for r in skew.salted_collect_set(df, "k", "v").collect()}
+    direct = {r.k: sorted(r.vals) for r in
+              df.groupBy("k").agg(F.collect_set("v").alias("vals")).collect()}
+    assert salted == direct
+
+    counts = {r.k: r.n_distinct for r in
+              skew.salted_distinct_count(df, "k", "v").collect()}
+    assert counts == {k: len(v) for k, v in direct.items()}
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.synth_media(spark, 30)
     feats = multimodal.extract_features(media).collect()
