@@ -209,6 +209,25 @@ def test_merge_two_wins():
     assert merged.abbreviations == {"a": "1", "b": "2", "c": "2"}
 
 
+def test_large_owl_compiles_fast_and_clean():
+    """Scale/robustness: the biggest fixture OWL (3,266 class elements,
+    FoodOn subset) parses + compiles in well under a second with a
+    consistent id/label/parents structure."""
+    import time
+
+    t0 = time.time()
+    lex = compile_config([
+        (local_test_ontology("under_curation.owl"), "")])
+    assert time.time() - t0 < 5
+    assert len(lex.standard_resource_labels) > 1500
+    assert len(lex.parents) > 1500
+    # every parents key must be a known id or barebones parent
+    sample_ids = set(lex.non_standard_resource_ids)
+    assert sum(1 for k in lex.parents if k in sample_ids) > 1400
+    # ancestor closure exists and is acyclic-safe
+    assert all(k not in v for k, v in lex.ancestors.items())
+
+
 def test_merged_lexicon_matches_and_suppresses_ancestors():
     """End-to-end J7: with a fetched ontology merged onto the
     predefined lexicon, a sample matching both a term and its ancestor
