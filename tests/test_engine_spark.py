@@ -124,18 +124,21 @@ def test_spark_wide_output_byte_exact_vs_reference(spark, lex_bc):
     reference TSV format, compare whole files."""
     import os
 
-    from tests.golden_harness import EXPECTED_DIR, read_samples
+    from tests.golden_harness import (
+        EXPECTED_DIR,
+        GOLDEN_FULL_CASES,
+        read_samples,
+    )
 
-    for case, input_name in [("small_simple", "small_simple.csv"),
-                             ("test_full_term_perm_match",
-                              "test_full_term_perm_match.csv"),
-                             ("test_abbreviations", "test_abbreviations.csv"),
-                             ("test_candidate_phrase",
-                              "test_candidate_phrase.csv")]:
+    for case, input_name in GOLDEN_FULL_CASES.items():
         rows = list(read_samples(input_name))
-        df = spark.createDataFrame(rows, "url STRING, text STRING") \
-            .coalesce(1)
-        collected = engine.annotate(df, lex_bc, min_partitions=None).collect()
+        if not rows:  # header-only goldens (empty inputs)
+            collected = []
+        else:
+            df = spark.createDataFrame(rows, "url STRING, text STRING") \
+                .coalesce(1)
+            collected = engine.annotate(
+                df, lex_bc, min_partitions=None).collect()
         # order preserved: single partition, no shuffle
         rendered = engine.render_wide_tsv(collected, full=True)
         with open(os.path.join(EXPECTED_DIR, case + ".tsv")) as f:
