@@ -208,6 +208,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            ).cast("double").alias("revenue")))
     q["join_orders_customer"] = join_orders_customer
 
+    # ---- §2.4 distinct aggregation + rollup (engine extensions)
+    q["agg_distinct_customers"] = lambda spark, sf: (
+        _t(spark, sf, "orders")
+        .join(F.broadcast(_t(spark, sf, "customer")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n_customers")))
+
+    q["agg_rollup_pricing"] = lambda spark, sf: (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_qty")))
+
+    # ---- §2.5 multiset difference (EXCEPT ALL)
+    q["set_multi_lineitem_orders"] = lambda spark, sf: (
+        _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("okey"))
+        .exceptAll(_t(spark, sf, "orders")
+                   .select(F.col("o_orderkey").alias("okey"))))
+
     # ---- §2.8 window functions (engine extension; none in reference)
     def window_user_event_seq(spark, sf):
         from pyspark.sql.window import Window
@@ -406,6 +427,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment",
+
+        "agg_distinct_customers":
+            "SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment",
+
+        "agg_rollup_pricing":
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS sum_qty FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+
+        "set_multi_lineitem_orders":
+            "SELECT l_orderkey AS okey FROM lineitem "
+            "EXCEPT ALL SELECT o_orderkey AS okey FROM orders",
 
         "sessionize_events_batch":
             "SELECT user_id, event_id, CAST(sum(new_session) OVER ("
