@@ -300,6 +300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_srp_bucketed_topk"] = lambda spark, sf: similarity.srp_bucketed_topk(
         _t(spark, sf, "embeddings"), query_id=0, k=10)
 
+    q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_topk(
+        _t(spark, sf, "embeddings"), query_id=0, k=10,
+        n_lists=16, nprobe=4)
+
     q["emb_near_duplicates"] = lambda spark, sf: (
         similarity.embedding_near_duplicates(
             _t(spark, sf, "embeddings")

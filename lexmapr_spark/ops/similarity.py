@@ -105,6 +105,86 @@ def srp_bucketed_topk(embeds: DataFrame, query_id: int, k: int = 10,
     return cands.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def kmeans_centroids(embeds: DataFrame, k: int = 16, iters: int = 10,
+                     sample: int = 2000, seed: int = 42,
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic driver-side k-means for IVF coarse quantization.
+
+    Centroids train on a bounded sample (IVF codebooks are always
+    trained on a sample, even at 100 TB); Lloyd iterations in numpy
+    with a fixed seed, so reruns produce identical centroids.
+    """
+    rows = embeds.select(vec_col).limit(sample).collect()
+    data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = data[rng.choice(len(data), size=min(k, len(data)),
+                                replace=False)]
+    for _ in range(iters):
+        dists = ((data[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = dists.argmin(1)
+        for c in range(len(centroids)):
+            members = data[assign == c]
+            if len(members):
+                centroids[c] = members.mean(0)
+    return centroids
+
+
+def ivf_assign(embeds: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (the IVF list id).
+
+    Vectorized Arrow UDF: one numpy distance matrix per batch. At
+    scale the output is written partitioned/bucketed by ``ivf_list``
+    so a query reads only its probed lists.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    from lexmapr_spark.engine import ship_package
+    ship_package(embeds.sparkSession)
+    return embeds.withColumn("ivf_list", nearest(F.col(vec_col)))
+
+
+def ivf_topk(embeds: DataFrame, query_id: int, k: int = 10,
+             n_lists: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: exact re-rank restricted to the ``nprobe`` inverted
+    lists nearest the query — the coarse-quantization complement to
+    the SRP-LSH variant. Candidate set shrinks ~n_lists/nprobe-fold;
+    at scale the lists are storage partitions, so this is a partition-
+    pruned scan, not a filter."""
+    centroids = kmeans_centroids(embeds, k=n_lists, vec_col=vec_col)
+    assigned = ivf_assign(embeds, centroids, id_col, vec_col)
+    qvec = np.asarray(list(
+        embeds.where(F.col(id_col) == query_id).select(vec_col).first()[0]),
+        dtype=np.float64)
+    probe_lists = (((centroids - qvec) ** 2).sum(1)).argsort()[:nprobe]
+    cands = assigned.where(F.col("ivf_list").isin([int(x) for x in probe_lists]))
+    q = embeds.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"))
+    scored = (
+        cands.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))), 6
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
                               n_planes: int = 12, prefix_bits: int = 8,
                               id_col: str = "vec_id",

@@ -72,6 +72,23 @@ def test_cosine_topk_vs_bruteforce_recall(spark):
     assert 13 in ann  # planted near-duplicate lands in the same bucket
 
 
+def test_ivf_topk_finds_planted_neighbor(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((300, 16))
+    base[42] = base[0] + rng.standard_normal(16) * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(300)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    ann = [r.vec_id for r in similarity.ivf_topk(
+        emb, query_id=0, k=5, n_lists=8, nprobe=3).collect()]
+    assert ann and ann[0] == 42  # near-identical vector lands in a probed list
+    # determinism: same centroids, same result
+    again = [r.vec_id for r in similarity.ivf_topk(
+        emb, query_id=0, k=5, n_lists=8, nprobe=3).collect()]
+    assert ann == again
+
+
 def test_embedding_near_duplicates(spark):
     rows = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
             (3, [0.0, 1.0, 0.0])]

@@ -58,6 +58,40 @@ def test_windowed_event_counts_with_watermark(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_late_data_dropped_by_watermark(spark):
+    """Events older than the watermark arriving in a later batch must
+    not reopen already-emitted windows (append-mode invariants)."""
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "events")
+    out = os.path.join(base, "agg")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        src.write.parquet(landing)
+        q = streaming.windowed_event_counts(spark, landing, out, ckpt)
+        q.awaitTermination(120)
+        before = spark.read.parquet(out)
+        n_before = before.count()
+        emitted = {(r.window_start, r.event_type): r.n
+                   for r in before.collect()}
+
+        # wave 2: events stamped BEFORE every emitted window — far
+        # behind the checkpointed watermark -> must be dropped
+        late = src.limit(50).withColumn(
+            "ts", F.expr("ts - INTERVAL 365 DAYS"))
+        late.write.mode("append").parquet(landing)
+        q2 = streaming.windowed_event_counts(spark, landing, out, ckpt)
+        q2.awaitTermination(120)
+        after = {(r.window_start, r.event_type): r.n
+                 for r in spark.read.parquet(out).collect()}
+        # no emitted window changed, and no year-old window appeared
+        for key, n in emitted.items():
+            assert after.get(key) == n
+        assert spark.read.parquet(out).count() == n_before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_sessionize_events_stateful_across_batches(spark):
     """applyInPandasWithState: session ids must match a driver-side
     truth computation, with state carried across micro-batches (input
