@@ -170,20 +170,29 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     def batches(it):
         import hashlib
 
+        import numpy as np
+
+        bit_idx = np.arange(64, dtype=np.uint64)
+        token_bits: dict = {}  # token -> (+1/-1)^64 vector, memoized
+
+        def bits_for(tok):
+            b = token_bits.get(tok)
+            if b is None:
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"))
+                b = (((h >> bit_idx) & np.uint64(1)).astype(np.int64)
+                     * 2 - 1)
+                token_bits[tok] = b
+            return b
+
         def sim(text):
             toks = set(t for t in (text or "").split(" ") if t)
             if not toks:
                 return 0
-            acc = [0] * 64
+            acc = np.zeros(64, dtype=np.int64)
             for t in toks:
-                h = int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-                for i in range(64):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
+                acc += bits_for(t)
+            v = int(np.packbits((acc > 0)[::-1]).tobytes().hex() or "0", 16)
             # reinterpret as signed 64-bit for Spark LongType
             return v - (1 << 64) if v >= (1 << 63) else v
 
