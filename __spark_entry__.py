@@ -223,6 +223,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
                   .alias("sum_qty")))
 
+    q["agg_value_quantiles"] = lambda spark, sf: (
+        _t(spark, sf, "events").groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90")))
+
+    # ---- §2.5 INTERSECT
+    q["set_customers_with_orders"] = lambda spark, sf: (
+        _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+        .intersect(_t(spark, sf, "orders")
+                   .select(F.col("o_custkey").alias("custkey"))))
+
     # ---- §2.5 multiset difference (EXCEPT ALL)
     q["set_multi_lineitem_orders"] = lambda spark, sf: (
         _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("okey"))
@@ -442,6 +453,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
             "AS sum_qty FROM lineitem "
             "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+
+        "agg_value_quantiles":
+            "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.9), 6) AS p90 "
+            "FROM events GROUP BY event_type",
+
+        "set_customers_with_orders":
+            "SELECT c_custkey AS custkey FROM customer "
+            "INTERSECT SELECT o_custkey AS custkey FROM orders",
 
         "set_multi_lineitem_orders":
             "SELECT l_orderkey AS okey FROM lineitem "
