@@ -504,14 +504,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_signatures":
             "WITH docs2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
             "FROM documents), "
-            "toks AS (SELECT DISTINCT doc_id, unnest(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) "
+            "toks AS (SELECT doc_id, unnest(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) "
             "AS tok FROM docs2) "
             f"SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id",
 
         "dedup_minhash_lsh":
             "WITH docs2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
             f"FROM {_CLONES_SQL}), "
-            "toks AS (SELECT DISTINCT doc_id, unnest(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) "
+            "toks AS (SELECT doc_id, unnest(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) "
             "AS tok FROM docs2), "
             f"sigs AS (SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id), "
             f"banded AS (SELECT doc_id, {band_keys} FROM sigs), "

@@ -78,13 +78,13 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     minhash_j = min over shingles of md5("<j>:" + shingle) — a
     string-min over hex digests, deterministic and reproducible in any
     engine with md5. Explode + single groupBy with n_hashes
-    min-aggregates (all map-side combinable).
+    min-aggregates (all map-side combinable). No pre-dedup of the
+    exploded (doc, shingle) table: ``min`` is duplicate-insensitive,
+    and a ``.distinct()`` here would shuffle the largest intermediate
+    in the pipeline a second time for nothing.
     """
-    toks = (
-        docs.select(F.col(id_col),
-                    F.explode(shingles_col(text_col)).alias("tok"))
-        .distinct()
-    )
+    toks = docs.select(F.col(id_col),
+                       F.explode(shingles_col(text_col)).alias("tok"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("tok")))).alias(f"mh{j}")
         for j in range(n_hashes)

@@ -85,7 +85,10 @@ def srp_bucketed_topk(embeds: DataFrame, query_id: int, k: int = 10,
     a single-partition read."""
     from lexmapr_spark.engine import ship_package
     ship_package(embeds.sparkSession)
-    dim = len(embeds.select(vec_col).first()[0])
+    first = embeds.select(vec_col).first()
+    if first is None:
+        raise ValueError("srp_bucketed_topk: input DataFrame is empty")
+    dim = len(first[0])
     planes = srp_hyperplanes(dim, n_planes)
     sig = embeds.withColumn("sig", srp_signature(F.col(vec_col), planes))
     sig = sig.withColumn("bucket", F.substring("sig", 1, prefix_bits))
@@ -112,9 +115,17 @@ def kmeans_centroids(embeds: DataFrame, k: int = 16, iters: int = 10,
 
     Centroids train on a bounded sample (IVF codebooks are always
     trained on a sample, even at 100 TB); Lloyd iterations in numpy
-    with a fixed seed, so reruns produce identical centroids.
+    with a fixed seed, so reruns produce identical centroids. The
+    sample itself is made deterministic by taking the ``sample``
+    lowest xxhash64(vec) rows — a total order independent of
+    partition layout, unlike a bare ``limit`` — so the codebook is
+    identical across cluster runs.
     """
-    rows = embeds.select(vec_col).limit(sample).collect()
+    rows = (embeds.select(F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+            .limit(sample).collect())
+    if not rows:
+        raise ValueError("kmeans_centroids: input DataFrame is empty")
     data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     centroids = data[rng.choice(len(data), size=min(k, len(data)),
@@ -156,17 +167,31 @@ def ivf_assign(embeds: DataFrame, centroids: np.ndarray,
 def ivf_topk(embeds: DataFrame, query_id: int, k: int = 10,
              n_lists: int = 16, nprobe: int = 4,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             centroids: np.ndarray | None = None,
+             assigned: DataFrame | None = None) -> DataFrame:
     """IVF ANN: exact re-rank restricted to the ``nprobe`` inverted
     lists nearest the query — the coarse-quantization complement to
     the SRP-LSH variant. Candidate set shrinks ~n_lists/nprobe-fold;
     at scale the lists are storage partitions, so this is a partition-
-    pruned scan, not a filter."""
-    centroids = kmeans_centroids(embeds, k=n_lists, vec_col=vec_col)
-    assigned = ivf_assign(embeds, centroids, id_col, vec_col)
-    qvec = np.asarray(list(
-        embeds.where(F.col(id_col) == query_id).select(vec_col).first()[0]),
-        dtype=np.float64)
+    pruned scan, not a filter.
+
+    The amortized path — build the index once, query many times — is
+    the production story: pass precomputed ``centroids``
+    (from :func:`kmeans_centroids`) and ``assigned`` (the output of
+    :func:`ivf_assign`, normally read back from storage partitioned by
+    ``ivf_list``). The self-contained form (both None) retrains per
+    call and exists for the one-shot contract query."""
+    if centroids is None:
+        centroids = kmeans_centroids(embeds, k=n_lists, vec_col=vec_col)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
+    if assigned is None:
+        assigned = ivf_assign(embeds, centroids, id_col, vec_col)
+    qrow = embeds.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"ivf_topk: query_id {query_id} not found")
+    qvec = np.asarray(list(qrow[0]), dtype=np.float64)
     probe_lists = (((centroids - qvec) ** 2).sum(1)).argsort()[:nprobe]
     cands = assigned.where(F.col("ivf_list").isin([int(x) for x in probe_lists]))
     q = embeds.where(F.col(id_col) == query_id).select(

@@ -43,10 +43,16 @@ def salted_distinct_count(df: DataFrame, key: str, value: str,
                           n_salts: int = 16) -> DataFrame:
     """Skew-safe exact ``count(DISTINCT value) GROUP BY key`` via the
     same two-phase shape (use approx_count_distinct when exactness
-    isn't required — it's a sketch and already skew-proof)."""
+    isn't required — it's a sketch and already skew-proof).
+
+    Because the salt is ``hash(value) % n_salts``, every distinct
+    value lands in exactly one salt bucket — the per-salt partial sets
+    are provably disjoint. Phase 2 is therefore a plain
+    ``sum(size(vals))`` and never materializes (or re-shuffles) the
+    merged set, so a hot key's distinct values never concentrate on
+    one reducer."""
     salted = with_salt(df, n_salts, cols=(value,))
     partial = (salted.groupBy(key, "_salt")
                .agg(F.collect_set(value).alias("vals")))
     return (partial.groupBy(key)
-            .agg(F.size(F.array_distinct(
-                F.flatten(F.collect_list("vals")))).alias("n_distinct")))
+            .agg(F.sum(F.size("vals")).cast("int").alias("n_distinct")))

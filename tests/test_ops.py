@@ -162,3 +162,71 @@ def test_frame_sample_plan(spark):
     assert rows and all(r.frame_ts_ms % 1000 == 0 for r in rows)
     videos = media.where(F.col("kind") == "video").count()
     assert plan.select("media_id").distinct().count() == videos
+
+
+def test_salted_distinct_count_plan_has_no_flatten(spark):
+    """Phase 2 must be sum(size(vals)) — disjoint-by-construction
+    partials — not a flatten+re-distinct that would concentrate a hot
+    key's full distinct set on one reducer."""
+    from lexmapr_spark.ops import skew
+
+    df = spark.createDataFrame([("k", "v")], "k STRING, v STRING")
+    plan = skew.salted_distinct_count(df, "k", "v")._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "flatten" not in plan.lower()
+
+
+def test_with_salt_star_form(spark):
+    """Default cols=('*',) salts over all columns and stays in range."""
+    from lexmapr_spark.ops import skew
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "a LONG, b STRING")
+    out = skew.with_salt(df, 8).collect()
+    assert all(0 <= r._salt < 8 for r in out)
+    again = skew.with_salt(df, 8).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))  # deterministic
+
+
+def test_ivf_topk_precomputed_matches_self_contained(spark):
+    """The amortized path (precomputed centroids + assignments) must
+    return exactly the rows of the self-contained retrain-per-call
+    form."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((300, 16))
+    base[42] = base[0] + rng.standard_normal(16) * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(300)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = similarity.kmeans_centroids(emb, k=8)
+    assigned = similarity.ivf_assign(emb, cents)
+    pre = similarity.ivf_topk(emb, query_id=0, k=5, n_lists=8, nprobe=3,
+                              centroids=cents, assigned=assigned).collect()
+    solo = similarity.ivf_topk(emb, query_id=0, k=5, n_lists=8,
+                               nprobe=3).collect()
+    assert [tuple(r) for r in pre] == [tuple(r) for r in solo]
+
+
+def test_ivf_topk_missing_query_raises(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="query_id 999"):
+        similarity.ivf_topk(emb, query_id=999, k=2, n_lists=2, nprobe=2)
+
+
+def test_minhash_ignores_duplicate_shingles(spark):
+    """min() is duplicate-insensitive, so repeating a shingle must not
+    change the signature — pins the shuffle-saving no-distinct plan."""
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "a b c")],
+        "doc_id LONG, text STRING")
+    sigs = {r.doc_id: tuple(r[1:]) for r in
+            dedup.minhash_signatures(df).collect()}
+    # doc 1 has shingles {a b c, b c a, c a b} (repeated), doc 2 just
+    # {a b c}; their mh values over shared shingles use identical hashes
+    assert sigs[1] != sigs[2]
+    plan = dedup.minhash_signatures(df)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert plan.lower().count("deduplicate") == 0  # no distinct shuffle
