@@ -534,6 +534,33 @@ def oracle_sql() -> dict[str, str]:
             " / (len(ta.toks) + len(tb.toks) - "
             "len(list_intersect(ta.toks, tb.toks))), 6) >= 0.7",
 
+        # SimHash reproduced bit-for-bit in SQL: per distinct token,
+        # uint64 = first 16 md5 hex chars; each of the 64 bits
+        # contributes +1/-1; sign-fold bit 63 back into Spark's signed
+        # LongType. Pairs compared brute-force — valid oracle because
+        # the engine's 4x16-bit block-LSH is EXACT for hamming<=3
+        # (pigeonhole), so the bucketed and brute-force pair sets agree.
+        "dedup_simhash":
+            f"WITH docs2 AS (SELECT doc_id, text FROM {_CLONES_SQL}), "
+            "toks AS (SELECT doc_id, unnest(list_distinct(list_filter("
+            "string_split(text, ' '), x -> x != ''))) AS tok FROM docs2), "
+            "bits AS (SELECT doc_id, j, sum(CASE WHEN "
+            "(('0x' || substr(md5(tok), 1, 16))::UBIGINT >> j) & 1 = 1 "
+            "THEN 1 ELSE -1 END) AS acc "
+            "FROM toks, (SELECT unnest(generate_series(0, 63)) AS j) "
+            "GROUP BY doc_id, j), "
+            "folded AS (SELECT doc_id, CAST("
+            "sum(CASE WHEN acc > 0 THEN (1::HUGEINT << j) ELSE 0 END) - "
+            "CASE WHEN max(CASE WHEN j = 63 AND acc > 0 THEN 1 ELSE 0 END) = 1 "
+            "THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT) AS simhash "
+            "FROM bits GROUP BY doc_id), "
+            "sims AS (SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash "
+            "FROM docs2 d LEFT JOIN folded f USING (doc_id)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+            "FROM sims a JOIN sims b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
+
         "ann_cosine_topk":
             "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, "
             "q.qvec), 6) AS cosine FROM embeddings e, "

@@ -77,7 +77,15 @@ def main():
     ]
     qs = entrymod.queries()
     timings = {}
+    timings_cold = {}
     for name in bench_queries:
+        # first run pays one-time costs (scan cache, python worker
+        # spin-up, codegen); record it separately and report the
+        # steady-state second run as the headline per-query number —
+        # that's what a long-running cluster job sees
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings_cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
@@ -92,6 +100,7 @@ def main():
         "pages": n_rows,
         "triples": n_triples,
         "cold_run_sec": round(cold_wall, 3),
+        "queries_cold": timings_cold,
         "triples_per_sec": round(n_triples / wall, 1),
         "pages_per_sec": round(n_rows / wall, 1),
         "text_bytes_per_sec": round(text_bytes / wall, 1),

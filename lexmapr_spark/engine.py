@@ -59,6 +59,16 @@ MENTION_SCHEMA = StructType([
     ]))),
 ])
 
+# extra columns when annotate(classify=True): the decoded label array
+# (for downstream aggregation) plus the three full-bucket tiers in
+# their reference display form (pipeline.py:81-92,286-289)
+CLASSIFY_FIELDS = [
+    StructField("ifsac_labels", ArrayType(StringType())),
+    StructField("lexmapr_classification", StringType()),
+    StructField("lexmapr_bucket", StringType()),
+    StructField("third_party_bucket", StringType()),
+]
+
 OBO_PREFIX = "http://purl.obolibrary.org/obo/"
 _PRED = {"Full Term Match": "fullTermMatch", "Component Match": "componentMatch"}
 
@@ -133,7 +143,8 @@ def broadcast_lexicon(spark: SparkSession, lex: Lexicon | None = None):
 def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
              text_col: str = "text",
              min_partitions: int | None = 0,
-             classify: bool = False) -> DataFrame:
+             classify: bool = False,
+             extra_cols: tuple = ()) -> DataFrame:
     """pages -> wide mention table via one Arrow-batched stage.
 
     Narrow on the matching path: each Arrow batch of (url, text) rows
@@ -148,10 +159,17 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
     (url, text)-only shuffle that buys full-cluster fan-out. Pass
     ``None`` to forbid any shuffle (big scans already arrive with
     thousands of splits and skip this automatically).
+
+    ``extra_cols``: passthrough columns carried verbatim through the
+    Arrow stage (e.g. a partition/bucket id or document metadata) —
+    they ride along in each batch and are appended to the output
+    schema, so downstream stages keep them without a join back.
     """
     ship_package(pages.sparkSession)
     projected = pages.select(F.col(url_col).alias("url"),
-                             F.col(text_col).alias("text"))
+                             F.col(text_col).alias("text"),
+                             *[F.col(c) for c in extra_cols])
+    extra_fields = [projected.schema[c] for c in extra_cols]
     if min_partitions is not None:
         target = min_partitions or pages.sparkSession.sparkContext.defaultParallelism
         if projected.rdd.getNumPartitions() < target:
@@ -186,16 +204,31 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
             if classify:
                 out["ifsac_labels"] = [
                     r.third_party_classification for r in results]
-            yield pd.DataFrame(out)
+                # the full-bucket tiers are nested Python structures
+                # (int-keyed dicts); the reference renders them with
+                # str() (pipeline.py:286-289), so we serialize to the
+                # display form worker-side, where the objects live —
+                # byte-exact through Arrow by construction
+                out["lexmapr_classification"] = [
+                    str(r.lexmapr_classification) for r in results]
+                out["lexmapr_bucket"] = [
+                    str(r.lexmapr_bucket) for r in results]
+                out["third_party_bucket"] = [
+                    str(r.third_party_bucket) for r in results]
+            frame = pd.DataFrame(out)
+            for c in extra_cols:
+                frame[c] = pdf[c].values
+            yield frame
 
-    schema = MENTION_SCHEMA
-    if classify:
-        schema = StructType(MENTION_SCHEMA.fields + [
-            StructField("ifsac_labels", ArrayType(StringType()))])
+    schema = StructType(
+        MENTION_SCHEMA.fields
+        + (CLASSIFY_FIELDS if classify else [])
+        + extra_fields)
     return projected.mapInPandas(run_batches, schema)
 
 
-def triples_projection(mentions: DataFrame) -> DataFrame:
+def triples_projection(mentions: DataFrame,
+                       extra_cols: tuple = ()) -> DataFrame:
     """Mention rows -> raw (subj, pred, obj) triples (no dedup).
 
     Shared by the batch (``triples``) and streaming
@@ -211,6 +244,7 @@ def triples_projection(mentions: DataFrame) -> DataFrame:
             F.col("url"),
             F.col("macro_status"),
             F.explode("matched_pairs").alias("pair"),
+            *[F.col(c) for c in extra_cols],
         )
         .select(
             F.concat_ws("#", F.col("url"), F.col("pair.label")).alias("subj"),
@@ -218,11 +252,13 @@ def triples_projection(mentions: DataFrame) -> DataFrame:
                 [F.lit(x) for kv in _PRED.items() for x in kv]),
                 F.col("macro_status")).alias("pred"),
             F.concat(F.lit(OBO_PREFIX), F.col("pair.term_id")).alias("obj"),
+            *[F.col(c) for c in extra_cols],
         )
     )
 
 
-def triples(mentions: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+def triples(mentions: DataFrame, salt_partitions: int | None = None,
+            extra_cols: tuple = ()) -> DataFrame:
     """Wide mention rows -> deduplicated (subj, pred, obj) triples.
 
     ``dropDuplicates`` is an aggregate, so Spark applies a map-side
@@ -231,7 +267,7 @@ def triples(mentions: DataFrame, salt_partitions: int | None = None) -> DataFram
     (head domains) before the dedup shuffle; AQE skew-join handling
     covers the rest.
     """
-    t = triples_projection(mentions)
+    t = triples_projection(mentions, extra_cols=extra_cols)
     if salt_partitions:
         t = t.repartition(salt_partitions, F.col("subj"))
     return t.dropDuplicates(["subj", "pred", "obj"])
@@ -268,6 +304,16 @@ def render_wide_tsv(mentions_rows, full: bool = True,
         if full:
             cells += [str(list(r.micro_status)),
                       str({p.token: p.lemma for p in r.transformations})]
+        if bucket:
+            try:
+                if full:
+                    cells += [r.lexmapr_classification, r.lexmapr_bucket,
+                              r.third_party_bucket]
+                cells += [str(list(r.ifsac_labels))]
+            except AttributeError as e:
+                raise ValueError(
+                    "render_wide_tsv(bucket=True) needs mention rows from "
+                    "annotate(..., classify=True)") from e
         out.append("\t".join(cells))
     return "\n".join(out) + "\n"
 
@@ -369,11 +415,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     return labels
 
 
-def canonicalize(trip: DataFrame, components: DataFrame) -> DataFrame:
+def canonicalize(trip: DataFrame, components: DataFrame,
+                 keep_cols: tuple = ()) -> DataFrame:
     """Rewrite triple objects onto canonical (component-min) term IRIs.
 
     Broadcast join: the component map is lexicon-sized. Unmatched
-    objects pass through unchanged.
+    objects pass through unchanged. ``keep_cols`` ride along (e.g. the
+    checkpoint bucket id).
     """
     mapping = components.select(
         F.concat(F.lit(OBO_PREFIX), F.upper("node")).alias("obj"),
@@ -382,7 +430,8 @@ def canonicalize(trip: DataFrame, components: DataFrame) -> DataFrame:
     return (
         trip.join(F.broadcast(mapping), "obj", "left")
         .select("subj", "pred",
-                F.coalesce("canon_obj", "obj").alias("obj"))
+                F.coalesce("canon_obj", "obj").alias("obj"),
+                *[F.col(c) for c in keep_cols])
         .dropDuplicates(["subj", "pred", "obj"])
     )
 
@@ -393,15 +442,25 @@ def canonicalize(trip: DataFrame, components: DataFrame) -> DataFrame:
 
 def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
                         n_buckets: int = 32, canonical: bool = False) -> dict:
-    """End-to-end run with per-partition lineage + resume.
+    """End-to-end run with per-partition lineage + resume — ONE pass
+    over the input.
 
     Pages are split into ``n_buckets`` deterministic url-hash buckets.
-    Each bucket's triples are written to ``out_dir/triples/bucket=<b>``
-    followed by a manifest row ``out_dir/manifest/bucket=<b>`` carrying
-    lineage + metrics (rows in, triples out). On restart, buckets with
-    a manifest entry are skipped — idempotent partition writes, so a
-    kill mid-run never double-counts.
+    A single job filters out already-done buckets
+    (``where(~bucket.isin(done))`` — one scan, not one per bucket),
+    annotates with the bucket id carried through the Arrow stage, and
+    writes ``out_dir/triples/bucket=<b>`` via dynamic partition
+    overwrite (only the buckets present in this run's output are
+    replaced; completed buckets from a previous run are untouched).
+    Per-bucket metrics (pages in, triples out) come from ``observe()``
+    nodes — conditional counts evaluated inside the same job, zero
+    extra scans. Manifest rows ``out_dir/manifest/bucket=<b>`` are
+    written after the data lands, so a kill mid-run never marks an
+    unfinished bucket done; on restart those buckets rerun
+    idempotently.
     """
+    from pyspark.sql import Observation
+
     spark = pages.sparkSession
     manifest_dir = os.path.join(out_dir, "manifest")
     triples_dir = os.path.join(out_dir, "triples")
@@ -415,30 +474,47 @@ def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
     except Exception:
         pass  # no manifest yet
 
-    bucketed = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
-
+    todo = [b for b in range(n_buckets) if b not in done]
     stats = {"buckets_total": n_buckets, "buckets_skipped": len(done),
              "pages": 0, "triples": 0}
-    comps = None
+    if not todo:
+        return stats
+
+    bucketed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    if done:
+        bucketed = bucketed.where(~F.col("bucket").isin(*done))
+
+    def per_bucket_counts():
+        return [F.count(F.when(F.col("bucket") == b, 1)).alias(f"b{b}")
+                for b in todo]
+
+    pages_obs = Observation("pages_per_bucket")
+    bucketed = bucketed.observe(pages_obs, *per_bucket_counts())
+
+    mentions = annotate(bucketed, lex_bc, extra_cols=("bucket",))
+    t = triples(mentions, extra_cols=("bucket",))
     if canonical:
-        # lexicon-derived: identical for every bucket, compute once
+        # lexicon-derived mapping: one CC run covers every bucket
         comps = connected_components(alias_edges(spark, lex_bc.value))
-        comps = comps.persist()
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        part = bucketed.where(F.col("bucket") == b)
-        mentions = annotate(part, lex_bc)
-        t = triples(mentions)
-        if comps is not None:
-            t = canonicalize(t, comps)
-        t = t.persist()
-        n_triples = t.count()
-        t.write.mode("overwrite").parquet(
-            os.path.join(triples_dir, f"bucket={b}"))
-        t.unpersist()
-        n_pages = part.count()
+        t = canonicalize(t, comps, keep_cols=("bucket",))
+    triples_obs = Observation("triples_per_bucket")
+    t = t.observe(triples_obs, *per_bucket_counts())
+
+    overwrite_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        t.write.mode("overwrite").partitionBy("bucket").parquet(triples_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       overwrite_mode)
+
+    page_counts = pages_obs.get
+    triple_counts = triples_obs.get
+    for b in todo:
+        n_pages = int(page_counts[f"b{b}"])
+        n_triples = int(triple_counts[f"b{b}"])
         # manifest row = lineage + metrics for this split; the bucket id
         # lives in the directory name (partition column on read)
         spark.createDataFrame(

@@ -53,11 +53,27 @@ def short_id(iri: str) -> str:
     return tail.replace("_", ":", 1)
 
 
-def parse_owl_classes(path: str) -> dict:
+def parse_owl_classes(path: str, resolve_imports: bool = True) -> dict:
     """IRI -> {label, parents: [IRIs], synonyms: {prop: [str]},
-    deprecated, replaced_by} for every named owl:Class."""
+    deprecated, replaced_by} for every named owl:Class.
+
+    ``owl:imports`` statements are resolved the way the reference does
+    for file-path ontologies (``ontohelper.py:315-358``): each import
+    IRI maps to ``<dirname(path)>/imports/<basename(iri)>``; existing
+    files are parsed and merged into the same class map, missing files
+    produce a warning and are skipped, and resolution is single-level
+    (the reference queries the graph for imports exactly once, after
+    parsing the main file)."""
     classes: dict[str, dict] = {}
+    imports: list[str] = []
     for _event, elem in ET.iterparse(path, events=("end",)):
+        if elem.tag == OWL + "Ontology":
+            for child in elem:
+                if child.tag == OWL + "imports":
+                    res = child.get(RDF + "resource") or (child.text or "")
+                    if res:
+                        imports.append(res)
+            continue
         if elem.tag != OWL + "Class":
             continue
         iri = elem.get(RDF + "about")
@@ -85,6 +101,34 @@ def parse_owl_classes(path: str) -> dict:
                 if prop in SYNONYM_PROPS and child.text:
                     entry["synonyms"].setdefault(prop, []).append(child.text)
         elem.clear()
+
+    if resolve_imports:
+        for import_iri in sorted(imports):
+            file_path = os.path.join(os.path.dirname(path), "imports",
+                                     import_iri.rsplit("/", 1)[-1])
+            if not os.path.isfile(file_path):
+                import warnings
+                warnings.warn(f"owl:imports {file_path} could not be "
+                              "loaded (no local file for its purl)")
+                continue
+            for iri, imp in parse_owl_classes(
+                    file_path, resolve_imports=False).items():
+                if iri not in classes:
+                    classes[iri] = imp
+                    continue
+                # rdflib merges triples from imports into one graph;
+                # mirror that by unioning the per-class fields
+                mine = classes[iri]
+                mine["labels"] += [x for x in imp["labels"]
+                                   if x not in mine["labels"]]
+                mine["parents"] += [x for x in imp["parents"]
+                                    if x not in mine["parents"]]
+                for prop, syns in imp["synonyms"].items():
+                    have = mine["synonyms"].setdefault(prop, [])
+                    have += [s for s in syns if s not in have]
+                mine["deprecated"] = mine["deprecated"] or imp["deprecated"]
+                mine["replaced_by"] = (mine["replaced_by"]
+                                       or imp["replaced_by"])
     return classes
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lexmapr_spark.ops.util import fan_out
+
 N_MINHASHES = 8
 ROWS_PER_BAND = 2
 N_BANDS = N_MINHASHES // ROWS_PER_BAND
@@ -61,6 +63,7 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     shuffle, so at 100 TB the shuffle carries one row per distinct
     text per input partition, not one per document.
     """
+    docs = fan_out(docs)
     return (
         docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
         .groupBy("text_md5")
@@ -83,6 +86,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     and a ``.distinct()`` here would shuffle the largest intermediate
     in the pipeline a second time for nothing.
     """
+    docs = fan_out(docs)
     toks = docs.select(F.col(id_col),
                        F.explode(shingles_col(text_col)).alias("tok"))
     aggs = [
@@ -134,6 +138,7 @@ def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
     Returns (id_a, id_b, jaccard) for pairs >= threshold, Jaccard
     rounded to 6 dp for cross-engine comparability.
     """
+    docs = fan_out(docs)
     sigs = minhash_signatures(docs, id_col, text_col)
     pairs = lsh_candidate_pairs(sigs, id_col)
     toksets = docs.select(
@@ -164,6 +169,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
     from lexmapr_spark.engine import ship_package
     ship_package(docs.sparkSession)
+    docs = fan_out(docs)
 
     out_schema = f"{id_col} long, simhash long"
 

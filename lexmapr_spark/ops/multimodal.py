@@ -90,8 +90,10 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     from lexmapr_spark.engine import ship_package
     ship_package(media.sparkSession)
 
+    from lexmapr_spark.ops.util import fan_out
+
     fn = DECODERS[decoder]
-    pruned = media.select("media_id", "kind", "payload")
+    pruned = fan_out(media.select("media_id", "kind", "payload"))
 
     def batches(it):
         for pdf in it:

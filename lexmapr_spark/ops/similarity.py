@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lexmapr_spark.ops.util import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -34,6 +36,7 @@ def cosine_topk(embeds: DataFrame, query_id: int, k: int = 10,
     """
     q = embeds.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec"))
+    embeds = fan_out(embeds)
     scored = (
         embeds.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != query_id)
@@ -90,7 +93,8 @@ def srp_bucketed_topk(embeds: DataFrame, query_id: int, k: int = 10,
         raise ValueError("srp_bucketed_topk: input DataFrame is empty")
     dim = len(first[0])
     planes = srp_hyperplanes(dim, n_planes)
-    sig = embeds.withColumn("sig", srp_signature(F.col(vec_col), planes))
+    sig = fan_out(embeds).withColumn(
+        "sig", srp_signature(F.col(vec_col), planes))
     sig = sig.withColumn("bucket", F.substring("sig", 1, prefix_bits))
     qrow = sig.where(F.col(id_col) == query_id).select(
         F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec"))
@@ -161,7 +165,7 @@ def ivf_assign(embeds: DataFrame, centroids: np.ndarray,
 
     from lexmapr_spark.engine import ship_package
     ship_package(embeds.sparkSession)
-    return embeds.withColumn("ivf_list", nearest(F.col(vec_col)))
+    return fan_out(embeds).withColumn("ivf_list", nearest(F.col(vec_col)))
 
 
 def ivf_topk(embeds: DataFrame, query_id: int, k: int = 10,
@@ -220,7 +224,7 @@ def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
     ship_package(embeds.sparkSession)
     dim = len(embeds.select(vec_col).first()[0])
     planes = srp_hyperplanes(dim, n_planes)
-    sig = embeds.select(
+    sig = fan_out(embeds).select(
         F.col(id_col), F.col(vec_col),
         F.substring(srp_signature(F.col(vec_col), planes),
                     1, prefix_bits).alias("bucket"),

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lexmapr_spark.ops.dedup import tokens_col
+from lexmapr_spark.ops.util import fan_out
 
 # Small marker-word lists for the n-gram/stopword language heuristic.
 # Deterministic and oracle-reproducible (inlined in SQL as literals).
@@ -25,6 +26,7 @@ def token_count(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish subword proxy count
     (alnum runs + individual punctuation marks)."""
+    docs = fan_out(docs)
     subword = F.size(F.filter(
         F.split(F.regexp_replace(
             F.col(text_col), r"([^\sA-Za-z0-9])", r" $1 "), r"\s+"),
@@ -43,6 +45,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     Features mirror standard web-corpus filters: length, alphabetic
     ratio, stop-word ratio (fluency proxy), mean token length.
     """
+    docs = fan_out(docs)
     toks = tokens_col(text_col)
     n_chars = F.length(text_col).cast("double")
     alpha_ratio = F.when(n_chars > 0,
@@ -75,6 +78,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     """Marker-stopword language heuristic: argmax of per-language hit
     counts over distinct tokens; deterministic tie-break by language
     code order; 'und' (undetermined) when nothing hits."""
+    docs = fan_out(docs)
     distinct_toks = F.array_distinct(tokens_col(text_col))
     hit_cols = {
         lang: F.size(F.array_intersect(
@@ -95,6 +99,7 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct token set (the classic 'fingerprint' dedup key)."""
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col),
         F.md5(F.concat_ws(" ", F.array_sort(

@@ -255,3 +255,66 @@ def test_partial_checkpoint_resume(spark, lex_bc):
             os.path.join(out, "manifest")).count() == 4
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_spark_bucket_output_byte_exact_vs_local(spark, lex_bc):
+    """--bucket --full wide output through the Spark path: the four
+    classification cells (pipeline.py:81-92,286-289) must render
+    byte-identically to the local matcher path on non-empty input.
+    (The reference's own bucket goldens are empty-input header checks;
+    the local path's classification is differential-tested against the
+    reference's pipeline_classification.py, closing the chain.)"""
+    from lexmapr_spark.lexicon import default_lexicon
+    from lexmapr_spark.matcher import format_output_row, process_sample
+    from tests.golden_harness import read_samples
+
+    lex = default_lexicon()
+    rows = (list(read_samples("small_simple.csv"))
+            + list(read_samples("zheminSamples.csv"))[:40])
+    for full in (True, False):
+        expected_rows = ["\t".join(
+            format_output_row(process_sample(sid, desc, lex, classify=True),
+                              full=full, bucket=True))
+            for sid, desc in rows]
+        df = spark.createDataFrame(rows, "url STRING, text STRING").coalesce(1)
+        collected = engine.annotate(df, lex_bc, min_partitions=None,
+                                    classify=True).collect()
+        rendered = engine.render_wide_tsv(collected, full=full, bucket=True)
+        body = rendered.rstrip("\n").split("\n")[1:]
+        assert body == expected_rows
+        # header mirrors pipeline.py:60-92 exactly
+        header = rendered.split("\n")[0].split("\t")
+        assert header[-1] == "Third Party Classification"
+        assert len(header) == len(body[0].split("\t"))
+
+
+def test_render_bucket_without_classify_raises(spark, lex_bc):
+    df = spark.createDataFrame([("u1", "chicken breast")],
+                               "url STRING, text STRING")
+    collected = engine.annotate(df, lex_bc, min_partitions=None).collect()
+    with pytest.raises(ValueError, match="classify=True"):
+        engine.render_wide_tsv(collected, full=True, bucket=True)
+
+
+def test_checkpoint_is_single_pass(spark, lex_bc):
+    """The checkpointed run must read every input row exactly ONCE per
+    run (VERDICT r01: the old per-bucket loop scanned the input up to
+    2x n_buckets times). An accumulator inside a pass-through
+    mapInPandas stage counts rows actually pulled from the source."""
+    out = tempfile.mkdtemp()
+    try:
+        pages = synth_pages(spark, 200, corpus=load_corpus(limit=100))
+        rows_read = spark.sparkContext.accumulator(0)
+
+        def counting(batches):
+            for pdf in batches:
+                rows_read.add(len(pdf))
+                yield pdf
+
+        counted = pages.mapInPandas(counting, pages.schema)
+        s = engine.run_with_checkpoint(counted, lex_bc, out, n_buckets=4)
+        assert s["pages"] == 200 and s["triples"] > 0
+        assert rows_read.value == 200, (
+            f"input scanned {rows_read.value / 200:.1f}x, expected 1x")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -244,3 +244,44 @@ def test_merged_lexicon_matches_and_suppresses_ancestors():
     r2 = process_sample("s2", "zzz process", merged)
     assert any(i == "BFO_0000015" for i in
                [c.rpartition(":")[2] for c in r2.matched_components])
+
+
+def test_owl_imports_resolution():
+    """owl:imports resolves to ./imports/<basename> next to the main
+    file, single-level, missing files warn-and-skip, per-class fields
+    merge (ontohelper.py:315-358)."""
+    import warnings
+
+    from lexmapr_spark.ontology import parse_owl_classes
+
+    path = local_test_ontology("with_imports.owl")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        classes = parse_owl_classes(path)
+    iris = set(classes)
+    assert OBO + "MAIN_0000002" in iris          # local class kept
+    assert OBO + "IMP_0000001" in iris           # imported class merged
+    assert OBO + "NESTED_0000001" not in iris    # single-level only
+    # shared class: fields union across files
+    shared = classes[OBO + "SHARED_0000001"]
+    assert ("", "shared term") in shared["labels"]
+    assert shared["synonyms"]["hasSynonym"] == ["shared synonym from import"]
+    # imported synonym survives
+    assert classes[OBO + "IMP_0000001"]["synonyms"]["hasExactSynonym"] == \
+        ["brought in by import"]
+    # missing import warned, not crashed
+    assert any("missing.owl" in str(x.message) for x in w)
+    # imports feed the normal compile: descendants of MAIN_0000001
+    # include the imported child
+    f = fetch_ontology(path, OBO + "MAIN_0000001")
+    assert "IMP:0000001" in f["specifications"]
+    assert "MAIN:0000002" in f["specifications"]
+
+
+def test_parse_owl_no_imports_unchanged():
+    from lexmapr_spark.ontology import parse_owl_classes
+
+    a = parse_owl_classes(local_test_ontology("bfo.owl"))
+    b = parse_owl_classes(local_test_ontology("bfo.owl"),
+                          resolve_imports=False)
+    assert a == b
