@@ -346,6 +346,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("media_id").agg(F.count("*").alias("n_frames")))
     q["multimodal_frame_plan"] = multimodal_frame_plan
 
+    # oracle-checked variant: media built FROM the documents table
+    # (payload = utf-8 text bytes) so DuckDB can reproduce the full
+    # decode path — the fake decoder is sha256(kind + payload), exactly
+    # expressible in SQL; double features (see extract_features docs)
+    def multimodal_features_docs(spark, sf):
+        media = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at(F.array(F.lit("image"), F.lit("audio"),
+                                 F.lit("video")),
+                         (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"))
+        feats = multimodal.extract_features(media, feature_dtype="double")
+        return feats.select(
+            "media_id", "kind", "n_bytes",
+            F.transform("features", lambda x: F.round(x, 6))
+            .alias("features"))
+    q["multimodal_features_docs"] = multimodal_features_docs
+
     # Python-UDF-bearing queries need the package importable on the
     # executors regardless of the driver's launch directory
     def _shipped(fn):
@@ -378,8 +396,11 @@ def oracle_sql() -> dict[str, str]:
                         f"THEN '{lang}' ")
     langid_case += "ELSE 'und' END"
 
+    # numeric 60-bit md5-prefix minima — mirrors dedup.minhash_signatures
+    # (HashAggregate-able in Spark; bit-identical across engines)
     minhash_mins = ",".join(
-        f"min(md5(concat('{j}:', tok))) AS mh{j}" for j in range(8))
+        f"min(('0x' || substr(md5(concat('{j}:', tok)), 1, 15))::BIGINT) "
+        f"AS mh{j}" for j in range(8))
     band_keys = ",".join(
         f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band{b}"
         for b in range(4))
@@ -560,6 +581,21 @@ def oracle_sql() -> dict[str, str]:
             "bit_count(xor(a.simhash, b.simhash)) AS hamming "
             "FROM sims a JOIN sims b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
+
+        # fake decoder = sha256(kind + payload bytes); VARCHAR in both
+        # engines is UTF-8, so sha256(kind || text) reproduces it
+        "multimodal_features_docs":
+            "WITH media AS (SELECT doc_id AS media_id, "
+            "list_extract(['image','audio','video'], "
+            "(doc_id % 3 + 1)::INT) AS kind, text FROM documents), "
+            "hashed AS (SELECT media_id, kind, "
+            "octet_length(encode(text))::INT AS n_bytes, "
+            "sha256(kind || text) AS h FROM media) "
+            "SELECT media_id, kind, n_bytes, ["
+            + ", ".join(
+                f"round((('0x' || substr(h, {2 * j + 1}, 2))::INT) / 255.0, 6)"
+                for j in range(16))
+            + "] AS features FROM hashed",
 
         "ann_cosine_topk":
             "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, "

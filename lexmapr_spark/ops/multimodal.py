@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -80,12 +81,19 @@ FEATURES_SCHEMA = StructType([
 ])
 
 
-def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+def extract_features(media: DataFrame, decoder: str = "fake",
+                     feature_dtype: str = "float") -> DataFrame:
     """Arrow-batched decode/feature-extract over the binary column.
 
     Column-pruned input (only media_id/kind/payload reach Python),
     per-batch vectorization, no shuffle — the canonical shape for
     100 TB of media: partition by file group, stream batches through.
+
+    ``feature_dtype``: ``float`` (float32, the realistic storage type
+    for feature vectors) or ``double`` (used by the oracle-checked
+    contract query — 3 of the 256 possible byte/255 values round
+    differently at 6 dp when squeezed through float32, which would
+    make a cross-engine value-hash flaky).
     """
     from lexmapr_spark.engine import ship_package
     ship_package(media.sparkSession)
@@ -94,6 +102,11 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
 
     fn = DECODERS[decoder]
     pruned = fan_out(media.select("media_id", "kind", "payload"))
+    schema = StructType([
+        f if f.name != "features"
+        else StructField("features", ArrayType(
+            FloatType() if feature_dtype == "float" else DoubleType()))
+        for f in FEATURES_SCHEMA.fields])
 
     def batches(it):
         for pdf in it:
@@ -105,7 +118,7 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
                              zip(pdf["payload"], pdf["kind"])],
             })
 
-    return pruned.mapInPandas(batches, FEATURES_SCHEMA)
+    return pruned.mapInPandas(batches, schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
