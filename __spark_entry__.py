@@ -364,6 +364,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("features"))
     q["multimodal_features_docs"] = multimodal_features_docs
 
+    # oracle-checked frame-fan-out: durations derived from documents
+    # so DuckDB can reproduce the sequence+explode plan exactly
+    def multimodal_frame_plan_docs(spark, sf):
+        media = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 3 == 2, F.lit("video"))
+            .otherwise(F.lit("image")).alias("kind"),
+            (F.lit(1000) + (F.col("doc_id") * 37) % 9000)
+            .cast("int").alias("duration_ms"))
+        return multimodal.frame_sample_plan(media, every_ms=1000)
+    q["multimodal_frame_plan_docs"] = multimodal_frame_plan_docs
+
     # Python-UDF-bearing queries need the package importable on the
     # executors regardless of the driver's launch directory
     def _shipped(fn):
@@ -596,6 +608,12 @@ def oracle_sql() -> dict[str, str]:
                 f"round((('0x' || substr(h, {2 * j + 1}, 2))::INT) / 255.0, 6)"
                 for j in range(16))
             + "] AS features FROM hashed",
+
+        "multimodal_frame_plan_docs":
+            "SELECT doc_id AS media_id, "
+            "unnest(generate_series(0, (1000 + (doc_id * 37) % 9000)::INT, "
+            "1000)) AS frame_ts_ms "
+            "FROM documents WHERE doc_id % 3 = 2",
 
         "ann_cosine_topk":
             "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, "
