@@ -214,6 +214,23 @@ def ivf_topk(embeds: DataFrame, query_id: int, k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def write_ivf_index(assigned: DataFrame, path: str,
+                    mode: str = "overwrite") -> None:
+    """Materialize an IVF index: vectors partitioned by ``ivf_list``.
+
+    One directory per inverted list, so a query that probes ``nprobe``
+    lists is a PARTITION-PRUNED read (check ``PartitionFilters`` in
+    the scan) — it never touches the other ``n_lists - nprobe``
+    directories. This is the amortized production layout behind
+    ``ivf_topk(centroids=..., assigned=read_ivf_index(...))``.
+    """
+    assigned.write.mode(mode).partitionBy("ivf_list").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
                               n_planes: int = 12, prefix_bits: int = 8,
                               id_col: str = "vec_id",

@@ -230,3 +230,33 @@ def test_minhash_ignores_duplicate_shingles(spark):
     plan = dedup.minhash_signatures(df)._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert plan.lower().count("deduplicate") == 0  # no distinct shuffle
+
+
+def test_ivf_index_partition_pruned_read(spark, tmp_path):
+    """The persisted IVF layout must prune unprobed lists at the scan:
+    nprobe lists read => PartitionFilters on ivf_list, and the query
+    result equals the fresh in-memory path."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((300, 16))
+    base[42] = base[0] + rng.standard_normal(16) * 0.01
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(300)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = similarity.kmeans_centroids(emb, k=8)
+    assigned = similarity.ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(assigned, path)
+    stored = similarity.read_ivf_index(spark, path)
+
+    fresh = similarity.ivf_topk(emb, query_id=0, k=5, n_lists=8, nprobe=3,
+                                centroids=cents, assigned=assigned).collect()
+    amortized = similarity.ivf_topk(emb, query_id=0, k=5, n_lists=8,
+                                    nprobe=3, centroids=cents,
+                                    assigned=stored).collect()
+    assert [tuple(r) for r in amortized] == [tuple(r) for r in fresh]
+
+    plan = stored.where(F.col("ivf_list").isin(0, 1, 2)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "ivf_list" in pf  # scan prunes to the probed directories
