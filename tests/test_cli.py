@@ -75,3 +75,11 @@ def test_cli_executable_version():
         [sys.executable, os.path.join(REPO, "bin", "lexmapr-spark"), "-v"],
         capture_output=True, text=True)
     assert r.returncode == 0 and "0.7.3-spark" in r.stdout + r.stderr
+
+
+def test_cli_spark_mode_matches_local_bytes(tmp_path):
+    a, b = tmp_path / "local.tsv", tmp_path / "spark.tsv"
+    src = os.path.join(INPUT_DIR, "small_simple.csv")
+    main([src, "--full", "-b", "-o", str(a)])
+    main([src, "--full", "-b", "--spark", "2", "-o", str(b)])
+    assert a.read_text() == b.read_text()
