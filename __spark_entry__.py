@@ -330,6 +330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"))
     q["text_langid"] = lambda spark, sf: textstats.lang_id(
         _t(spark, sf, "documents"))
+    q["curation_pipeline"] = lambda spark, sf: textstats.curate(
+        _t(spark, sf, "documents"), min_quality=0.3, lang="en")
+
     q["text_fingerprint"] = lambda spark, sf: textstats.fingerprint(
         _t(spark, sf, "documents"))
 
@@ -640,6 +643,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(list_aggregate(list_sort(list_distinct("
             "list_filter(string_split(text, ' '), x -> x != ''))), "
             "'string_agg', ' ')) AS fingerprint FROM documents",
+
+        # lang filter -> quality gate -> fingerprint window-dedup,
+        # composed from the three oracled primitives above
+        "curation_pipeline":
+            "WITH h AS (SELECT doc_id, "
+            + ",".join(f"{expr} AS {lang}"
+                       for lang, expr in lang_hits.items())
+            + " FROM documents), "
+            f"lid AS (SELECT doc_id, {langid_case} AS lang_pred FROM h), "
+            f"qual AS ({_quality_oracle_sql()}), "
+            "fp AS (SELECT doc_id, md5(list_aggregate(list_sort("
+            "list_distinct(list_filter(string_split(text, ' '), "
+            "x -> x != ''))), 'string_agg', ' ')) AS fingerprint "
+            "FROM documents), "
+            "passed AS (SELECT lid.doc_id, lang_pred, quality, fingerprint "
+            "FROM lid JOIN qual USING (doc_id) JOIN fp USING (doc_id) "
+            "WHERE lang_pred = 'en' AND quality >= 0.3) "
+            "SELECT doc_id, lang_pred, quality, fingerprint FROM ("
+            "SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS k "
+            "FROM passed) WHERE doc_id = k",
     }
 
 

@@ -38,14 +38,9 @@ def token_count(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Heuristic document-quality features + combined score.
-
-    Features mirror standard web-corpus filters: length, alphabetic
-    ratio, stop-word ratio (fluency proxy), mean token length.
-    """
-    docs = fan_out(docs)
+def _quality_cols(text_col: str) -> dict:
+    """Named quality-feature Column expressions (shared by
+    ``quality_score`` and the single-projection ``curate``)."""
     toks = tokens_col(text_col)
     n_chars = F.length(text_col).cast("double")
     alpha_ratio = F.when(n_chars > 0,
@@ -64,21 +59,32 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     score = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
              + alpha_ratio * 0.35 + stop_ratio * 0.25
              + F.least(mean_tok_len / F.lit(8.0), F.lit(1.0)) * 0.15)
+    return {"alpha_ratio": alpha_ratio, "stop_ratio": stop_ratio,
+            "mean_tok_len": mean_tok_len, "quality": score}
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + combined score.
+
+    Features mirror standard web-corpus filters: length, alphabetic
+    ratio, stop-word ratio (fluency proxy), mean token length.
+    """
+    docs = fan_out(docs)
+    qc = _quality_cols(text_col)
     return docs.select(
         F.col(id_col),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_tok_len"),
-        F.round(score, 6).alias("quality"),
+        *[F.round(qc[name], 6).alias(name)
+          for name in ("alpha_ratio", "stop_ratio", "mean_tok_len",
+                       "quality")],
     )
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """Marker-stopword language heuristic: argmax of per-language hit
-    counts over distinct tokens; deterministic tie-break by language
-    code order; 'und' (undetermined) when nothing hits."""
-    docs = fan_out(docs)
+def _lang_pred_col(text_col: str):
+    """Marker-stopword language heuristic as one Column expression:
+    argmax of per-language hit counts over distinct tokens,
+    deterministic tie-break by language code order, 'und' when nothing
+    hits."""
     distinct_toks = F.array_distinct(tokens_col(text_col))
     hit_cols = {
         lang: F.size(F.array_intersect(
@@ -92,16 +98,56 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     for lang in reversed(sorted(LANG_MARKERS)):
         expr = F.when((hit_cols[lang] > 0) & (hit_cols[lang] == best),
                       F.lit(lang)).otherwise(expr)
-    return docs.select(F.col(id_col), expr.alias("lang_pred"))
+    return expr
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Language-ID per document (see ``_lang_pred_col``)."""
+    docs = fan_out(docs)
+    return docs.select(F.col(id_col),
+                       _lang_pred_col(text_col).alias("lang_pred"))
+
+
+def _fingerprint_col(text_col: str):
+    """Order-insensitive fingerprint: md5 over the sorted distinct
+    token set (the classic 'fingerprint' dedup key)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(
+        F.array_distinct(tokens_col(text_col)))))
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Order-insensitive document fingerprint: md5 over the sorted
-    distinct token set (the classic 'fingerprint' dedup key)."""
     docs = fan_out(docs)
-    return docs.select(
+    return docs.select(F.col(id_col),
+                       _fingerprint_col(text_col).alias("fingerprint"))
+
+
+def curate(docs: DataFrame, min_quality: float = 0.3, lang: str = "en",
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """End-to-end training-data curation in ONE projection + ONE
+    shuffle: language filter -> quality gate -> fingerprint dedup
+    (lowest id per fingerprint survives).
+
+    Composition matters at 100 TB: joining the three per-op DataFrames
+    back on doc_id would shuffle the corpus three times; here
+    lang/quality/fingerprint are computed as sibling expressions in a
+    single scan-side projection, the filters cut the data BEFORE the
+    only shuffle (the fingerprint window), and everything stays in
+    whole-stage codegen.
+    """
+    from pyspark.sql.window import Window
+
+    docs = fan_out(docs)
+    scored = docs.select(
         F.col(id_col),
-        F.md5(F.concat_ws(" ", F.array_sort(
-            F.array_distinct(tokens_col(text_col))))).alias("fingerprint"),
+        _lang_pred_col(text_col).alias("lang_pred"),
+        F.round(_quality_cols(text_col)["quality"], 6).alias("quality"),
+        _fingerprint_col(text_col).alias("fingerprint"),
     )
+    passed = scored.where((F.col("lang_pred") == lang)
+                          & (F.col("quality") >= min_quality))
+    keeper = F.min(id_col).over(Window.partitionBy("fingerprint"))
+    return (passed.withColumn("_keeper", keeper)
+            .where(F.col("_keeper") == F.col(id_col))
+            .select(id_col, "lang_pred", "quality", "fingerprint"))

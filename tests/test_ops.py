@@ -260,3 +260,25 @@ def test_ivf_index_partition_pruned_read(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "ivf_list" in pf  # scan prunes to the probed directories
+
+
+def test_curate_one_projection_one_shuffle(spark):
+    """curate must compute lang/quality/fingerprint as sibling
+    expressions in one scan-side projection (no self-joins) with the
+    fingerprint window as the ONLY shuffle, and keep the lowest id
+    per fingerprint."""
+    rows = [
+        (1, "the cat and the dog went to the market in town and it is fine"),
+        (2, "the cat and the dog went to the market in town and it is fine"),
+        (3, "der hund und die katze sind nicht ein zu das"),  # de -> dropped
+        (4, ""),                                              # und/quality 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in textstats.curate(df, min_quality=0.2).collect()}
+    assert set(out) == {1}  # doc 2 is a fingerprint dup of 1; 3/4 filtered
+    assert out[1].lang_pred == "en" and out[1].quality > 0.2
+
+    plan = textstats.curate(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("join") == 0
+    phys = textstats.curate(df)._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 1  # only the fingerprint window
