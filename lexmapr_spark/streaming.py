@@ -185,3 +185,37 @@ def stream_triples(pages_stream, lex_bc, out_dir: str, checkpoint_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_deduped_pages(pages_stream, out_dir: str, checkpoint_dir: str,
+                         watermark: str = "1 hour",
+                         available_now: bool = True):
+    """Bounded-state streaming ingest dedup.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until
+    the event-time watermark passes it, so re-crawled/duplicated pages
+    arriving within ``watermark`` of each other are emitted once and
+    the state store cannot grow unboundedly — the requirement for an
+    always-on 10^12-row ingest. (A plain streaming ``dropDuplicates``
+    would accumulate one state entry per key forever.) The dedup key
+    is the page content hash + url, so byte-identical re-fetches are
+    suppressed but genuine content changes pass through.
+    """
+    from pyspark.sql import functions as F
+
+    deduped = (
+        pages_stream
+        .withColumn("content_md5", F.md5(F.coalesce("text", F.lit(""))))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url", "content_md5"])
+        .select("url", "warc_ts", "text", "lang")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

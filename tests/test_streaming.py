@@ -178,3 +178,37 @@ def test_stream_processes_files_incrementally(spark, lex_bc):
         assert spark.read.parquet(out).count() == n2
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_deduped_pages_bounded_state(spark):
+    """Duplicate (url, content) rows within the watermark are emitted
+    once; a changed text for the same url passes through (content hash
+    in the key)."""
+    import datetime
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "pages")
+    out = os.path.join(base, "deduped")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            ("u1", t0, None, "same text", "en"),
+            ("u1", t0 + datetime.timedelta(minutes=5), None,
+             "same text", "en"),               # re-fetch -> suppressed
+            ("u1", t0 + datetime.timedelta(minutes=10), None,
+             "changed text", "en"),            # content change -> kept
+            ("u2", t0, None, "other page", "en"),
+        ]
+        spark.createDataFrame(rows, streaming.PAGES_SCHEMA) \
+            .write.parquet(landing)
+        q = streaming.stream_deduped_pages(
+            streaming.stream_pages(spark, landing), out, ckpt)
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == 3
+        assert got.where(F.col("url") == "u1").count() == 2
+        # stateful op present with watermark (bounded state)
+        assert got.select("url", "text").distinct().count() == 3
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
