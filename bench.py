@@ -74,6 +74,7 @@ def main():
         "dedup_minhash_signatures", "dedup_simhash", "ann_cosine_topk",
         "ann_srp_bucketed_topk", "text_token_count", "text_quality",
         "text_langid", "text_fingerprint", "multimodal_features",
+        "curation_pipeline", "multimodal_features_docs",
     ]
     qs = entrymod.queries()
     timings = {}
