@@ -135,3 +135,21 @@ def test_golden_case_list_is_complete():
     # 19 full-output cases (the 8 empty-input header-shape cases from
     # the reference suite are covered by schema tests, not row diffs)
     assert len(GOLDEN_FULL_CASES) == 19
+
+
+def test_golden_parity_default_pins_stale_cache_semantics():
+    """The reference goldens were generated from a stale committed
+    lookup-table cache, not the CSVs (see lexicon.py GOLDEN_*). The
+    default compile must keep those overrides — flipping any of them
+    silently would break byte parity on the golden corpus — while the
+    non-parity compile loads the live SynLex tier for real deployments."""
+    from lexmapr_spark.lexicon import compile_predefined, default_lexicon
+
+    lex = default_lexicon()
+    assert lex.synonyms == {}                       # SynLex off by default
+    assert "by" in lex.stop_words and "of" in lex.stop_words
+    assert "f" not in lex.stop_words
+    assert lex.abbreviations["f"] == "fahrenheit"
+
+    full = compile_predefined(golden_parity=False)
+    assert full.synonyms.get("manure") == "animal manure"
