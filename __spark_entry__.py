@@ -301,6 +301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.jaccard_near_duplicates(
         _docs_with_clones(spark, sf), threshold=0.7)
 
+    q["dedup_near_dup_filter"] = lambda spark, sf: (
+        dedup.near_duplicate_filter(_docs_with_clones(spark, sf),
+                                    threshold=0.7)
+        .select("doc_id"))
+
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_near_duplicates(
         _docs_with_clones(spark, sf), max_hamming=3)
 
@@ -419,6 +424,32 @@ def oracle_sql() -> dict[str, str]:
     band_keys = ",".join(
         f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band{b}"
         for b in range(4))
+
+    _LSH_PAIRS_SQL_TEMPLATE = (
+        "WITH docs2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
+            f"FROM {_CLONES_SQL}), "
+            "toks AS (SELECT doc_id, unnest(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) "
+            "AS tok FROM docs2), "
+            f"sigs AS (SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id), "
+            f"banded AS (SELECT doc_id, {band_keys} FROM sigs), "
+            "stacked AS (SELECT doc_id, unnest(["
+            "concat('0:', band0), concat('1:', band1), "
+            "concat('2:', band2), concat('3:', band3)]) AS band_key "
+            "FROM banded), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM stacked a JOIN stacked b USING (band_key) "
+            "WHERE a.doc_id < b.doc_id), "
+            "tsets AS (SELECT doc_id, list_distinct(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) AS toks "
+            "FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
+            f"FROM {_CLONES_SQL})) "
+            "SELECT id_a, id_b, round(CAST(len(list_intersect(ta.toks, tb.toks))"
+            " AS DOUBLE) / (len(ta.toks) + len(tb.toks) - "
+            "len(list_intersect(ta.toks, tb.toks))), 6) AS jaccard "
+            "FROM pairs JOIN tsets ta ON id_a = ta.doc_id "
+            "JOIN tsets tb ON id_b = tb.doc_id "
+            "WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)"
+            " / (len(ta.toks) + len(tb.toks) - "
+            "len(list_intersect(ta.toks, tb.toks))), 6) >= 0.7")
 
     return {
         "kg_text_extraction":
@@ -544,31 +575,15 @@ def oracle_sql() -> dict[str, str]:
             "AS tok FROM docs2) "
             f"SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id",
 
-        "dedup_minhash_lsh":
-            "WITH docs2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
-            f"FROM {_CLONES_SQL}), "
-            "toks AS (SELECT doc_id, unnest(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) "
-            "AS tok FROM docs2), "
-            f"sigs AS (SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id), "
-            f"banded AS (SELECT doc_id, {band_keys} FROM sigs), "
-            "stacked AS (SELECT doc_id, unnest(["
-            "concat('0:', band0), concat('1:', band1), "
-            "concat('2:', band2), concat('3:', band3)]) AS band_key "
-            "FROM banded), "
-            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-            "FROM stacked a JOIN stacked b USING (band_key) "
-            "WHERE a.doc_id < b.doc_id), "
-            "tsets AS (SELECT doc_id, list_distinct(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) AS toks "
-            "FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
-            f"FROM {_CLONES_SQL})) "
-            "SELECT id_a, id_b, round(CAST(len(list_intersect(ta.toks, tb.toks))"
-            " AS DOUBLE) / (len(ta.toks) + len(tb.toks) - "
-            "len(list_intersect(ta.toks, tb.toks))), 6) AS jaccard "
-            "FROM pairs JOIN tsets ta ON id_a = ta.doc_id "
-            "JOIN tsets tb ON id_b = tb.doc_id "
-            "WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)"
-            " / (len(ta.toks) + len(tb.toks) - "
-            "len(list_intersect(ta.toks, tb.toks))), 6) >= 0.7",
+        "dedup_minhash_lsh": _LSH_PAIRS_SQL_TEMPLATE,
+
+        # the kept corpus under the drop-the-higher-id policy: docs
+        # never appearing as id_b of a verified near-dup pair
+        "dedup_near_dup_filter":
+            f"SELECT doc_id FROM {_CLONES_SQL} WHERE doc_id NOT IN "
+            f"(SELECT id_b FROM ({_LSH_PAIRS_SQL_TEMPLATE}))",
+
+
 
         # SimHash reproduced bit-for-bit in SQL: per distinct token,
         # uint64 = first 16 md5 hex chars; each of the 64 bits

@@ -171,6 +171,27 @@ def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
     )
 
 
+def near_duplicate_filter(docs: DataFrame, threshold: float = 0.7,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """The curation consumer's view of near-dup detection: the KEPT
+    corpus, not the pair list.
+
+    Policy: for every verified near-dup pair (id_a < id_b), the
+    higher id is dropped — so in any connected group the lowest id
+    survives, and docs tied only transitively through a dropped doc
+    are both kept (similarity evidence is pairwise, not transitive).
+    Implemented as a left-anti join of docs against the ``id_b`` side
+    of :func:`jaccard_near_duplicates`. The drop set is ids only;
+    Spark broadcasts it when small (the common case — dup rates are
+    a few percent), degrading to one id-keyed shuffle of the corpus
+    when it isn't. AQE makes that choice at runtime.
+    """
+    drops = (jaccard_near_duplicates(docs, threshold, id_col, text_col)
+             .select(F.col("id_b").alias(id_col)).distinct())
+    return docs.join(drops, id_col, "left_anti")
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (token-level, md5-derived bits).

@@ -282,3 +282,14 @@ def test_curate_one_projection_one_shuffle(spark):
     assert plan.lower().count("join") == 0
     phys = textstats.curate(df)._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Exchange") == 1  # only the fingerprint window
+
+
+def test_near_duplicate_filter_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),       # clone of 1 -> drop
+         (3, "totally different words entirely here")],
+        "doc_id LONG, text STRING")
+    kept = {r.doc_id for r in
+            dedup.near_duplicate_filter(df, threshold=0.7).collect()}
+    assert kept == {1, 3}
