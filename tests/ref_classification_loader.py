@@ -61,6 +61,26 @@ def load_reference_modules():
     dateutil_parser.parse = _parse
     dateutil.parser = dateutil_parser
 
+    # rdflib is only needed so `import lexmapr.pipeline_resources`
+    # succeeds (it pulls in ontofetch/ontohelper); the networked
+    # ontology path is never exercised — prepareQuery is called inside
+    # Ontology.__init__, which our differential never constructs
+    rdflib = types.ModuleType("rdflib")
+    rdflib_plugins = types.ModuleType("rdflib.plugins")
+    rdflib_sparql = types.ModuleType("rdflib.plugins.sparql")
+    rdflib_sparql.prepareQuery = lambda *a, **k: None
+    rdflib.plugins = rdflib_plugins
+    rdflib_plugins.sparql = rdflib_sparql
+
+    class _NeverConstructed:
+        def __init__(self, *a, **k):  # pragma: no cover
+            raise RuntimeError("rdflib stub: networked ontology path "
+                               "must not run in the differential")
+
+    rdflib.Graph = _NeverConstructed
+    rdflib.exceptions = types.ModuleType("rdflib.exceptions")
+    rdflib.exceptions.ParserError = type("ParserError", (Exception,), {})
+
     stubs = {
         "inflection": inflection,
         "nltk": nltk,
@@ -68,6 +88,10 @@ def load_reference_modules():
         "nltk.tokenize.treebank": nltk_treebank,
         "dateutil": dateutil,
         "dateutil.parser": dateutil_parser,
+        "rdflib": rdflib,
+        "rdflib.plugins": rdflib_plugins,
+        "rdflib.plugins.sparql": rdflib_sparql,
+        "rdflib.exceptions": rdflib.exceptions,
     }
     # only stub names that are genuinely absent — never shadow a real
     # installed library

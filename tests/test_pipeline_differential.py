@@ -1,0 +1,92 @@
+"""Full-PIPELINE differential: the reference's own ``pipeline.run``
+(imported unmodified, vendored deps injected, lookup table compiled by
+the reference's own ``pipeline_resources`` from its CSVs) vs our
+matcher — byte-identical full-mode TSV rows on realistic samples.
+
+This complements the two existing correctness anchors:
+  * golden corpus — byte parity against the reference's committed
+    goldens, which pin a STALE resource cache (lexicon.py GOLDEN_*);
+  * classification differential — the reference's rule code on our
+    matched components.
+Here BOTH engines compile the LIVE resource CSVs (our
+``golden_parity=False`` compile vs the reference's
+``add_predefined_resources_to_lookup_table``), so it proves the
+CSV-compile semantics end-to-end: every tier of cleaning, the 4-tier
+full-term cascade, permutation/suffix/synonym lookup, component
+matching, ancestor suppression, and cell rendering.
+
+The reference runs ~11 rows/s here (k!-permutation enumeration), so CI
+uses deterministic slices (~50 rows/corpus ≈ 15 s); the out-of-band
+sweep (4,400 rows, 0 divergences) is recorded in BENCH/BASELINE.md.
+
+``bucket=False``: bucket-mode cells depend on the reference's
+``set.pop()`` label order (PYTHONHASHSEED-dependent), which the
+classification differential already covers set-wise.
+"""
+
+import csv
+import itertools
+import os
+import types
+
+import pytest
+
+from tests.golden_harness import INPUT_DIR, read_samples
+from tests.ref_classification_loader import load_reference_modules
+
+SLICES = [("small_simple.csv", 1, None),
+          ("zheminSamples.csv", 40, 50),
+          ("enteroForFreq.csv", 68, 50),
+          ("genomeTrackerMaster.csv", 40, 50)]
+
+
+@pytest.fixture(scope="module")
+def ref_pipeline():
+    import importlib
+
+    load_reference_modules()
+    pres = importlib.import_module("lexmapr.pipeline_resources")
+    lt = pres.add_predefined_resources_to_lookup_table(
+        pres.create_lookup_table_skeleton())
+    # get_predefined_resources would try to cache-write into the
+    # read-only reference checkout; hand it the compiled table instead
+    pres.get_predefined_resources = lambda: lt
+    return importlib.import_module("lexmapr.pipeline")
+
+
+@pytest.fixture(scope="module")
+def live_lexicon():
+    from lexmapr_spark.lexicon import compile_predefined
+    return compile_predefined(golden_parity=False)
+
+
+@pytest.mark.parametrize("corpus,step,limit", SLICES)
+def test_full_pipeline_rows_byte_identical(ref_pipeline, live_lexicon,
+                                           tmp_path, corpus, step, limit):
+    from lexmapr_spark.matcher import format_output_row, process_sample
+
+    rows = list(csv.reader(open(os.path.join(INPUT_DIR, corpus))))
+    header, body = rows[0], rows[1:][::step][:limit]
+    inp = tmp_path / "slice.csv"
+    with open(inp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(body)
+    out = tmp_path / "ref.tsv"
+    ref_pipeline.run(types.SimpleNamespace(
+        input_file=str(inp), output=str(out), full=True, bucket=False,
+        config=None, profile=None, no_cache=False))
+    ref_lines = out.read_text().rstrip("\n").split("\n")[1:]
+
+    samples = list(itertools.islice(
+        read_samples(corpus), 0, None, step))[:limit]
+    my_lines = ["\t".join(format_output_row(
+        process_sample(sid, desc, live_lexicon), full=True))
+        for sid, desc in samples]
+
+    assert len(ref_lines) == len(my_lines)
+    divergent = [(a, b) for a, b in zip(ref_lines, my_lines) if a != b]
+    assert not divergent, (
+        f"{len(divergent)}/{len(my_lines)} rows diverge in {corpus}; "
+        f"first: REF={divergent[0][0][:200]!r} "
+        f"MINE={divergent[0][1][:200]!r}")
