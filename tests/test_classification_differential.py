@@ -126,3 +126,20 @@ def test_refine_rules_differential_on_synthetic_label_sets(ref_side):
             f"mine={sorted(mine)} ref={sorted(set(theirs))}")
         checked += 1
     assert checked > 10000
+
+
+def test_classification_tables_equal_reference_cache():
+    """Our compiled classification tables must equal the reference's
+    own committed classification_lookup_table.json — so the
+    differential above runs on authentic resources, and no
+    transcription drift can hide in the table compile either."""
+    import json
+
+    ref = json.load(open(
+        "/root/reference/lexmapr/resources/classification_lookup_table.json"))
+    lex = default_lexicon()
+    assert lex.buckets_ifsactop == ref["buckets_ifsactop"]
+    assert lex.buckets_lexmapr == ref["buckets_lexmapr"]
+    assert lex.ifsac_labels == ref["ifsac_labels"]
+    assert lex.ifsac_refinement == ref["ifsac_refinement"]
+    assert lex.ifsac_default == ref["ifsac_default"]
