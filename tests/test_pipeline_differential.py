@@ -90,3 +90,41 @@ def test_full_pipeline_rows_byte_identical(ref_pipeline, live_lexicon,
         f"{len(divergent)}/{len(my_lines)} rows diverge in {corpus}; "
         f"first: REF={divergent[0][0][:200]!r} "
         f"MINE={divergent[0][1][:200]!r}")
+
+
+def test_full_pipeline_bucket_mode_differential(ref_pipeline, live_lexicon,
+                                                tmp_path):
+    """--bucket --full through the reference's own pipeline.run: the
+    six base + two full cells and the three bucket tiers must be
+    byte-identical; the final label cell is compared set-wise because
+    the reference orders it with ``set.pop()``
+    (PYTHONHASHSEED-dependent)."""
+    import ast
+
+    from lexmapr_spark.matcher import format_output_row, process_sample
+
+    corpus = "zheminSamples.csv"
+    rows = list(csv.reader(open(os.path.join(INPUT_DIR, corpus))))
+    header, body = rows[0], rows[1:][::50][:40]
+    inp = tmp_path / "slice.csv"
+    with open(inp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(body)
+    out = tmp_path / "ref.tsv"
+    ref_pipeline.run(types.SimpleNamespace(
+        input_file=str(inp), output=str(out), full=True, bucket=True,
+        config=None, profile=None, no_cache=False))
+    ref_lines = out.read_text().rstrip("\n").split("\n")[1:]
+
+    samples = list(itertools.islice(read_samples(corpus), 0, None, 50))[:40]
+    for ref_line, (sid, desc) in zip(ref_lines, samples):
+        mine = format_output_row(
+            process_sample(sid, desc, live_lexicon, classify=True),
+            full=True, bucket=True)
+        theirs = ref_line.split("\t")
+        assert len(theirs) == len(mine) == 12
+        assert theirs[:11] == mine[:11], (sid, theirs[:11], mine[:11])
+        assert (set(ast.literal_eval(theirs[11]))
+                == set(ast.literal_eval(mine[11]))), (sid, theirs[11],
+                                                      mine[11])
