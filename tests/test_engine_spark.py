@@ -318,3 +318,31 @@ def test_checkpoint_is_single_pass(spark, lex_bc):
             f"input scanned {rows_read.value / 200:.1f}x, expected 1x")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_checkpoint_canonical_single_pass(spark, lex_bc):
+    """canonical=True through the single-pass checkpoint: objects are
+    rewritten onto component-min IRIs, the bucket column survives the
+    canonicalize join, and resume still skips everything."""
+    out = tempfile.mkdtemp()
+    try:
+        pages = synth_pages(spark, 120, corpus=load_corpus(limit=60))
+        s = engine.run_with_checkpoint(pages, lex_bc, out, n_buckets=4,
+                                       canonical=True)
+        assert s["triples"] > 0
+        back = spark.read.parquet(os.path.join(out, "triples"))
+        assert set(back.columns) == {"subj", "pred", "obj", "bucket"}
+        assert back.count() == s["triples"]
+        # canonicalization applied: every obj is an OBO IRI and the
+        # set equals the non-checkpointed canonical pipeline's output
+        comps = engine.connected_components(
+            engine.alias_edges(spark, lex_bc.value))
+        expect = engine.canonicalize(
+            engine.triples(engine.annotate(pages, lex_bc)), comps)
+        assert back.select("subj", "pred", "obj").exceptAll(expect).count() == 0
+        assert expect.exceptAll(back.select("subj", "pred", "obj")).count() == 0
+        s2 = engine.run_with_checkpoint(pages, lex_bc, out, n_buckets=4,
+                                        canonical=True)
+        assert s2["buckets_skipped"] == 4
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
