@@ -346,3 +346,17 @@ def test_checkpoint_canonical_single_pass(spark, lex_bc):
         assert s2["buckets_skipped"] == 4
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_annotate_classify_with_extra_cols(spark, lex_bc):
+    """classify=True + extra_cols passthrough compose: schema order is
+    MENTION + CLASSIFY + extras and values line up row-wise."""
+    df = spark.createDataFrame(
+        [("u1", "chicken breast", 7), ("u2", "baked potato", 8)],
+        "url STRING, text STRING, tag INT")
+    got = engine.annotate(df, lex_bc, min_partitions=None,
+                          classify=True, extra_cols=("tag",)).collect()
+    by_url = {r.url: r for r in got}
+    assert by_url["u1"].tag == 7 and by_url["u2"].tag == 8
+    assert isinstance(by_url["u1"].ifsac_labels, list)
+    assert by_url["u1"].third_party_bucket.startswith("[")
