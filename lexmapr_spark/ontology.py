@@ -203,6 +203,49 @@ def fetch_ontology(path: str, root_iri: str = "") -> dict:
     return {"specifications": specs}
 
 
+# ontofetch.py:77 (the 'ul_label' typo is the reference's) +
+# ontohelper.py:50
+FETCH_TSV_FIELDS = [
+    "id", "parent_id", "language", "ontology", "other_parents", "label",
+    "definition", "ul_label", "ui_definition", "ui_help", "deprecated",
+    "replaced_by",
+    "oboInOwl_hasSynonym", "oboInOwl_hasBroadSynonym",
+    "oboInOwl_hasExactSynonym", "oboInOwl_hasNarrowSynonym", "IAO_0000118",
+]
+
+
+def write_fetched_ontology(fetched: dict, output_file_basename: str) -> None:
+    """S1-S9's fetched-ontology artifact writer: ``<basename>.json`` +
+    ``<basename>.tsv`` in the reference's exact formats
+    (``ontohelper.py:520-555``): 4-space-indent unsorted JSON; TSV with
+    the FIELDS+SYNONYM_FIELDS header, lists '|'-joined, tabs/newlines
+    squashed to spaces, missing fields empty. Synonym keys are stored
+    internally as ``oboInOwl:<prop>`` and emitted under the TSV's
+    underscore names. Broad synonyms / IAO_0000118 columns are present
+    but empty (the offline parser collects only the properties the
+    lookup-table build consumes — SYNONYM_PROPS above)."""
+    import json
+
+    with open(output_file_basename + ".json", "w") as fh:
+        fh.write(json.dumps(fetched, sort_keys=False, indent=4,
+                            separators=(",", ": ")))
+
+    lines = ["\t".join(FETCH_TSV_FIELDS)]
+    for entity in fetched["specifications"].values():
+        row = []
+        for field in FETCH_TSV_FIELDS:
+            if field.startswith("oboInOwl_"):
+                value = entity.get("oboInOwl:" + field[len("oboInOwl_"):], "")
+            else:
+                value = entity.get(field, "")
+            if isinstance(value, list):
+                value = "|".join(value)
+            row.append(str(value).replace("\t", " ").replace("\n", " "))
+        lines.append("\t".join(row))
+    with open(output_file_basename + ".tsv", "w") as fh:
+        fh.write("\n".join(lines))
+
+
 def add_fetched_to_lexicon(lex: Lexicon, fetched: dict) -> Lexicon:
     """Fold a fetched ontology into a Lexicon — the canonical-index
     re-expression of ``add_fetched_ontology_to_lookup_table``

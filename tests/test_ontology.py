@@ -285,3 +285,29 @@ def test_parse_owl_no_imports_unchanged():
     b = parse_owl_classes(local_test_ontology("bfo.owl"),
                           resolve_imports=False)
     assert a == b
+
+
+def test_write_fetched_ontology_artifacts(tmp_path):
+    """S9: JSON + TSV artifact writer matches the reference formats
+    (ontohelper.py:520-555 — header fields incl. the 'ul_label' typo,
+    '|'-joined lists, 4-space unsorted JSON)."""
+    import json
+
+    from lexmapr_spark.ontology import FETCH_TSV_FIELDS, write_fetched_ontology
+
+    f = fetch_ontology(local_test_ontology("bfo.owl"))
+    base = str(tmp_path / "bfo")
+    write_fetched_ontology(f, base)
+
+    back = json.load(open(base + ".json"))
+    assert back == f  # round-trips
+    assert open(base + ".json").read().startswith('{\n    "specifications"')
+
+    lines = open(base + ".tsv").read().split("\n")
+    assert lines[0] == "\t".join(FETCH_TSV_FIELDS)
+    assert len(lines) == 1 + len(f["specifications"])
+    by_id = {l.split("\t")[0]: l.split("\t") for l in lines[1:]}
+    ent = f["specifications"]["BFO:0000015"]
+    row = by_id["BFO:0000015"]
+    assert row[FETCH_TSV_FIELDS.index("label")] == ent["label"]
+    assert row[FETCH_TSV_FIELDS.index("parent_id")] == ent["parent_id"]
