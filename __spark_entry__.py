@@ -357,7 +357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-checked variant: media built FROM the documents table
     # (payload = utf-8 text bytes) so DuckDB can reproduce the full
     # decode path — the fake decoder is sha256(kind + payload), exactly
-    # expressible in SQL; double features (see extract_features docs)
+    # expressible in SQL; double features (see extract_features docs).
+    # The vector is serialized to a CSV string (%.6f per element) so
+    # the frame is scalar-only: the driver's canonicalizer sorts raw
+    # columns and cannot sort array cells, while the value check still
+    # covers every element.
     def multimodal_features_docs(spark, sf):
         media = _t(spark, sf, "documents").select(
             F.col("doc_id").alias("media_id"),
@@ -368,8 +372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = multimodal.extract_features(media, feature_dtype="double")
         return feats.select(
             "media_id", "kind", "n_bytes",
-            F.transform("features", lambda x: F.round(x, 6))
-            .alias("features"))
+            F.concat_ws(",", F.transform(
+                "features", lambda x: F.format_string("%.6f", x))
+            ).alias("features"))
     q["multimodal_features_docs"] = multimodal_features_docs
 
     # oracle-checked frame-fan-out: durations derived from documents
@@ -613,7 +618,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
 
         # fake decoder = sha256(kind + payload bytes); VARCHAR in both
-        # engines is UTF-8, so sha256(kind || text) reproduces it
+        # engines is UTF-8, so sha256(kind || text) reproduces it.
+        # Features serialized to a CSV string (%.6f per element) so the
+        # output is scalar-only (driver canonicalizer sorts raw columns)
         "multimodal_features_docs":
             "WITH media AS (SELECT doc_id AS media_id, "
             "list_extract(['image','audio','video'], "
@@ -621,11 +628,12 @@ def oracle_sql() -> dict[str, str]:
             "hashed AS (SELECT media_id, kind, "
             "octet_length(encode(text))::INT AS n_bytes, "
             "sha256(kind || text) AS h FROM media) "
-            "SELECT media_id, kind, n_bytes, ["
+            "SELECT media_id, kind, n_bytes, concat_ws(',', "
             + ", ".join(
-                f"round((('0x' || substr(h, {2 * j + 1}, 2))::INT) / 255.0, 6)"
+                f"printf('%.6f', (('0x' || substr(h, {2 * j + 1}, 2))::INT)"
+                " / 255.0)"
                 for j in range(16))
-            + "] AS features FROM hashed",
+            + ") AS features FROM hashed",
 
         "multimodal_frame_plan_docs":
             "SELECT doc_id AS media_id, "

@@ -49,6 +49,24 @@ def test_oracle_keys_subset_of_queries():
     assert len(o) >= 15
 
 
+def test_oracled_queries_are_scalar_only(spark):
+    """Driver-canonicalizer hazard guard: the correctness harness sorts
+    raw result columns with pandas, which cannot sort array/map/struct
+    cells — every oracled query must therefore emit scalar columns only
+    (serialize or explode any nested value)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    oracled = set(entrymod.oracle_sql())
+    qs = entrymod.queries()
+    offenders = []
+    for name in sorted(oracled):
+        schema = qs[name](spark, SF).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)
 def test_fast_oracle_parity(spark, duck, name):
     from tools.check_contract import normalize
