@@ -404,6 +404,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 # ---------------------------------------------------------------------------
 
+def _ivf_oracle_sql() -> str | None:
+    """DuckDB oracle for ``ann_ivf_topk`` at the driver's contract
+    scale (sf0.01). The IVF codebook is fully deterministic
+    (md5-of-id-ordered 2000-row sample + seeded Lloyd,
+    ``similarity.kmeans_centroids``), so this rebuilds the identical
+    centroids driver-side from the same parquet, embeds them and the
+    nprobe=4 probe-list ids as SQL literals, and reproduces list
+    assignment (row_number over list_distance, ties to the lowest
+    centroid id = numpy argmin) + probe filter + exact cosine re-rank.
+    Bound to sf0.01 because the centroid literals are data-dependent —
+    which is exactly the scale the driver runs oracles at; returns
+    None (rows-only fallback) if that parquet is unavailable."""
+    import numpy as np
+
+    try:
+        import duckdb
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2000"
+        ).fetchall()
+        qrow = con.sql(
+            f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
+        ).fetchall()
+        con.close()
+        if not rows or not qrow:
+            return None
+    except Exception:
+        return None
+    from lexmapr_spark.ops.similarity import lloyd_kmeans
+
+    data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    cents = lloyd_kmeans(data, k=16, iters=10, seed=42)
+    qvec = np.asarray(list(qrow[0][0]), dtype=np.float64)
+    probes = (((cents - qvec) ** 2).sum(1)).argsort()[:4]
+    cent_rows = ",".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ",".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents))
+    probe_ids = ",".join(str(int(p)) for p in probes)
+    return (
+        f"WITH cents(cid, cvec) AS (VALUES {cent_rows}), "
+        "assigned AS (SELECT vec_id, embedding, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY "
+        "list_distance(embedding::DOUBLE[], cvec), cid) AS rn "
+        "FROM embeddings CROSS JOIN cents), "
+        "probed AS (SELECT vec_id, embedding FROM assigned "
+        f"WHERE rn = 1 AND cid IN ({probe_ids})), "
+        "q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) "
+        "SELECT p.vec_id, "
+        "round(list_cosine_similarity(p.embedding, q.qvec), 6) AS cosine "
+        "FROM probed p, q WHERE p.vec_id <> 0 "
+        "ORDER BY cosine DESC, p.vec_id ASC LIMIT 10"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ",".join(f"'{w}'" for w in _STOPLIST)
     dim_values = ",".join(f"('{t}','{i}')" for t, i in _TOKEN_DIM)
@@ -456,7 +513,7 @@ def oracle_sql() -> dict[str, str]:
             " / (len(ta.toks) + len(tb.toks) - "
             "len(list_intersect(ta.toks, tb.toks))), 6) >= 0.7")
 
-    return {
+    oracles = {
         "kg_text_extraction":
             "SELECT doc_id, regexp_extract('<html><body><p>' || text || "
             "'</p></body></html>', '<p>(.*)</p>', 1) = text "
@@ -687,6 +744,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS k "
             "FROM passed) WHERE doc_id = k",
     }
+    ivf = _ivf_oracle_sql()
+    if ivf is not None:
+        oracles["ann_ivf_topk"] = ivf
+    return oracles
 
 
 def _quality_oracle_sql() -> str:

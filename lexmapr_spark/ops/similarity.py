@@ -78,29 +78,62 @@ def srp_signature(vec_col: Column, planes: list) -> Column:
     return sig(vec_col)
 
 
+def srp_probe_buckets(qvec: np.ndarray, planes: np.ndarray,
+                      prefix_bits: int,
+                      n_probes: int | None = None) -> list[str]:
+    """Multi-probe LSH bucket list for a query vector: its own SRP
+    prefix bucket first, then the ``prefix_bits`` Hamming-1 neighbors
+    ranked by how close the flipped plane's projection is to zero
+    (the standard multi-probe ordering — the most borderline bit is
+    the most likely home of missed neighbors)."""
+    proj = np.asarray(planes, dtype=np.float64) @ np.asarray(
+        qvec, dtype=np.float64)
+    bits = proj >= 0
+    bucket = "".join("1" if b else "0" for b in bits[:prefix_bits])
+    by_margin = np.argsort(np.abs(proj[:prefix_bits]))
+    flips = [
+        bucket[:i] + ("0" if bucket[i] == "1" else "1") + bucket[i + 1:]
+        for i in (int(j) for j in by_margin)
+    ]
+    probes = [bucket] + flips
+    return probes if n_probes is None else probes[:max(1, n_probes)]
+
+
 def srp_bucketed_topk(embeds: DataFrame, query_id: int, k: int = 10,
                       n_planes: int = 12, prefix_bits: int = 6,
+                      n_probes: int | None = None,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
-    """ANN: candidates = vectors sharing the query's SRP prefix bucket,
-    re-ranked exactly. At scale the signature is precomputed and the
-    table is bucketed/partitioned by prefix, turning a full scan into
-    a single-partition read."""
+    """ANN: candidates = vectors in the query's SRP prefix bucket PLUS
+    its Hamming-1 neighbor buckets (multi-probe LSH), re-ranked
+    exactly. Single-bucket recall caps at the bucket population — at
+    64 buckets a k=10 query can land in a 7-vector bucket — so the
+    probe set defaults to 1 + prefix_bits buckets, margin-ordered.
+
+    At scale the signature is precomputed and the table is
+    bucketed/partitioned by prefix, so the probe set is a
+    partition-pruned read of ``len(probes)`` partitions, not a scan;
+    the probe buckets come from one driver-side O(n_planes * dim)
+    matmul on the (1-row, primary-key) query vector."""
     from lexmapr_spark.engine import ship_package
     ship_package(embeds.sparkSession)
-    first = embeds.select(vec_col).first()
-    if first is None:
-        raise ValueError("srp_bucketed_topk: input DataFrame is empty")
-    dim = len(first[0])
-    planes = srp_hyperplanes(dim, n_planes)
+    qrow = embeds.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(
+            f"srp_bucketed_topk: query_id {query_id} not found")
+    qvec = np.asarray(list(qrow[0]), dtype=np.float64)
+    planes = srp_hyperplanes(len(qvec), n_planes)
+    probes = srp_probe_buckets(qvec, np.asarray(planes), prefix_bits,
+                               n_probes)
     sig = fan_out(embeds).withColumn(
         "sig", srp_signature(F.col(vec_col), planes))
     sig = sig.withColumn("bucket", F.substring("sig", 1, prefix_bits))
-    qrow = sig.where(F.col(id_col) == query_id).select(
-        F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec"))
+    q = embeds.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"))
     cands = (
-        sig.join(F.broadcast(qrow), sig.bucket == qrow.qbucket)
+        sig.where(F.col("bucket").isin(probes))
         .where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
             F.round(
@@ -112,25 +145,11 @@ def srp_bucketed_topk(embeds: DataFrame, query_id: int, k: int = 10,
     return cands.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def kmeans_centroids(embeds: DataFrame, k: int = 16, iters: int = 10,
-                     sample: int = 2000, seed: int = 42,
-                     vec_col: str = "embedding") -> np.ndarray:
-    """Deterministic driver-side k-means for IVF coarse quantization.
-
-    Centroids train on a bounded sample (IVF codebooks are always
-    trained on a sample, even at 100 TB); Lloyd iterations in numpy
-    with a fixed seed, so reruns produce identical centroids. The
-    sample itself is made deterministic by taking the ``sample``
-    lowest xxhash64(vec) rows — a total order independent of
-    partition layout, unlike a bare ``limit`` — so the codebook is
-    identical across cluster runs.
-    """
-    rows = (embeds.select(F.col(vec_col))
-            .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
-            .limit(sample).collect())
-    if not rows:
-        raise ValueError("kmeans_centroids: input DataFrame is empty")
-    data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+def lloyd_kmeans(data: np.ndarray, k: int, iters: int = 10,
+                 seed: int = 42) -> np.ndarray:
+    """Pure-numpy Lloyd k-means, fully determined by (data order, k,
+    iters, seed). Shared by the Spark path and the contract oracle's
+    driver-side replica, so both derive identical codebooks."""
     rng = np.random.default_rng(seed)
     centroids = data[rng.choice(len(data), size=min(k, len(data)),
                                 replace=False)]
@@ -142,6 +161,30 @@ def kmeans_centroids(embeds: DataFrame, k: int = 16, iters: int = 10,
             if len(members):
                 centroids[c] = members.mean(0)
     return centroids
+
+
+def kmeans_centroids(embeds: DataFrame, k: int = 16, iters: int = 10,
+                     sample: int = 2000, seed: int = 42,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic driver-side k-means for IVF coarse quantization.
+
+    Centroids train on a bounded sample (IVF codebooks are always
+    trained on a sample, even at 100 TB); Lloyd iterations in numpy
+    with a fixed seed, so reruns produce identical centroids. The
+    sample is the ``sample`` lowest rows under ``md5(CAST(id AS
+    STRING))`` — a total order independent of partition layout
+    (unlike a bare ``limit``) that any other engine can reproduce
+    (md5 of the decimal id string is engine-agnostic, which is what
+    lets the DuckDB contract oracle rebuild the identical codebook).
+    """
+    rows = (embeds.select(F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(sample).collect())
+    if not rows:
+        raise ValueError("kmeans_centroids: input DataFrame is empty")
+    data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    return lloyd_kmeans(data, k, iters, seed)
 
 
 def ivf_assign(embeds: DataFrame, centroids: np.ndarray,
@@ -187,7 +230,8 @@ def ivf_topk(embeds: DataFrame, query_id: int, k: int = 10,
     ``ivf_list``). The self-contained form (both None) retrains per
     call and exists for the one-shot contract query."""
     if centroids is None:
-        centroids = kmeans_centroids(embeds, k=n_lists, vec_col=vec_col)
+        centroids = kmeans_centroids(embeds, k=n_lists, id_col=id_col,
+                                     vec_col=vec_col)
     else:
         centroids = np.asarray(centroids, dtype=np.float64)
     if assigned is None:
@@ -239,7 +283,10 @@ def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
     exact verification — the embedding analogue of MinHash-LSH."""
     from lexmapr_spark.engine import ship_package
     ship_package(embeds.sparkSession)
-    dim = len(embeds.select(vec_col).first()[0])
+    first = embeds.select(vec_col).first()
+    if first is None:
+        raise ValueError("embedding_near_duplicates: input DataFrame is empty")
+    dim = len(first[0])
     planes = srp_hyperplanes(dim, n_planes)
     sig = fan_out(embeds).select(
         F.col(id_col), F.col(vec_col),

@@ -72,6 +72,42 @@ def test_cosine_topk_vs_bruteforce_recall(spark):
     assert 13 in ann  # planted near-duplicate lands in the same bucket
 
 
+def test_srp_multiprobe_reaches_k_and_matches_bruteforce_over_probes(spark):
+    """Multi-probe SRP must (a) return the full k even when the query's
+    own bucket holds fewer than k vectors — the round-2 gap — and
+    (b) equal exact brute-force cosine restricted to the probed
+    buckets."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = similarity.srp_bucketed_topk(emb, query_id=0, k=10).collect()
+    assert len(got) == 10
+
+    # reproduce the probe set and the bucket assignment, then brute-force
+    qvec = np.asarray(
+        list(emb.where(F.col("vec_id") == 0).first()["embedding"]))
+    planes = similarity.srp_hyperplanes(len(qvec), 12)
+    probes = similarity.srp_probe_buckets(qvec, np.asarray(planes), 6)
+    assert probes[0] not in probes[1:] and len(probes) == 7
+    sig = emb.withColumn(
+        "bucket",
+        F.substring(similarity.srp_signature(F.col("embedding"), planes),
+                    1, 6))
+    cands = sig.where(F.col("bucket").isin(probes)).drop("bucket")
+    brute = similarity.cosine_topk(cands, query_id=0, k=10).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == \
+           [(r.vec_id, r.cosine) for r in brute]
+
+
+def test_srp_single_probe_still_works(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = similarity.srp_bucketed_topk(emb, query_id=0, k=2, n_planes=4,
+                                       prefix_bits=2, n_probes=1).collect()
+    # with a single probe the result is just the query's own bucket
+    assert all(r.vec_id != 0 for r in got)
+
+
 def test_ivf_topk_finds_planted_neighbor(spark):
     import numpy as np
     rng = np.random.default_rng(11)
