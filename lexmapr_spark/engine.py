@@ -440,27 +440,44 @@ def canonicalize(trip: DataFrame, components: DataFrame,
 # Checkpointed, resumable sink
 # ---------------------------------------------------------------------------
 
+def _delete_path(spark, path: str) -> None:
+    """Recursively delete a storage path through the Hadoop FileSystem
+    API, so it works on any scheme the cluster can write (local, HDFS,
+    object stores), not just the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
-                        n_buckets: int = 32, canonical: bool = False) -> dict:
-    """End-to-end run with per-partition lineage + resume — ONE pass
-    over the input.
+                        n_buckets: int = 32, canonical: bool = False,
+                        manifest_chunks: int = 1) -> dict:
+    """End-to-end run with per-partition lineage + resume.
 
     Pages are split into ``n_buckets`` deterministic url-hash buckets.
-    A single job filters out already-done buckets
-    (``where(~bucket.isin(done))`` — one scan, not one per bucket),
-    annotates with the bucket id carried through the Arrow stage, and
-    writes ``out_dir/triples/bucket=<b>`` via dynamic partition
-    overwrite (only the buckets present in this run's output are
-    replaced; completed buckets from a previous run are untouched).
-    Per-bucket metrics (pages in, triples out) come from ``observe()``
-    nodes — conditional counts evaluated inside the same job, zero
-    extra scans. Manifest rows ``out_dir/manifest/bucket=<b>`` are
-    written after the data lands, so a kill mid-run never marks an
-    unfinished bucket done; on restart those buckets rerun
-    idempotently.
-    """
-    from pyspark.sql import Observation
+    A single job filters to the not-yet-done buckets (one scan, not one
+    per bucket), annotates with the bucket id carried through the Arrow
+    stage, and writes ``out_dir/triples/bucket=<b>`` via dynamic
+    partition overwrite (only the buckets present in this run's output
+    are replaced; completed buckets from a previous run are untouched).
+    A bucket whose run legitimately produces ZERO triples emits no
+    partition directory, so any stale partial files a crashed prior run
+    left there are explicitly deleted before its manifest row is
+    written. Per-bucket metrics (pages in, triples out) come from
+    ``observe()`` nodes — conditional counts evaluated inside the same
+    job, zero extra scans.
 
+    Durability granularity: manifest rows ``out_dir/manifest/bucket=<b>``
+    land only after their job completes, so a kill mid-job never marks
+    an unfinished bucket done — but with the default
+    ``manifest_chunks=1`` (one single-pass job over all todo buckets)
+    a mid-run kill also records no progress and the whole todo set
+    reruns idempotently on restart. Set ``manifest_chunks > 1`` to
+    trade extra input scans for intra-run durability: the todo buckets
+    are processed as that many sequential jobs, each manifested on
+    completion, so a crash loses only the in-flight chunk.
+    """
     spark = pages.sparkSession
     manifest_dir = os.path.join(out_dir, "manifest")
     triples_dir = os.path.join(out_dir, "triples")
@@ -480,41 +497,92 @@ def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
     if not todo:
         return stats
 
-    bucketed = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
-    if done:
-        bucketed = bucketed.where(~F.col("bucket").isin(*done))
+    # lexicon-derived mapping: one CC run covers every bucket and chunk
+    comps = (connected_components(alias_edges(spark, lex_bc.value))
+             if canonical else None)
 
-    def per_bucket_counts():
-        return [F.count(F.when(F.col("bucket") == b, 1)).alias(f"b{b}")
-                for b in todo]
-
-    pages_obs = Observation("pages_per_bucket")
-    bucketed = bucketed.observe(pages_obs, *per_bucket_counts())
-
-    mentions = annotate(bucketed, lex_bc, extra_cols=("bucket",))
-    t = triples(mentions, extra_cols=("bucket",))
-    if canonical:
-        # lexicon-derived mapping: one CC run covers every bucket
-        comps = connected_components(alias_edges(spark, lex_bc.value))
-        t = canonicalize(t, comps, keep_cols=("bucket",))
-    triples_obs = Observation("triples_per_bucket")
-    t = t.observe(triples_obs, *per_bucket_counts())
+    n_chunks = max(1, min(int(manifest_chunks), len(todo)))
+    size = -(-len(todo) // n_chunks)
+    chunks = [todo[i:i + size] for i in range(0, len(todo), size)]
 
     overwrite_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        t.write.mode("overwrite").partitionBy("bucket").parquet(triples_dir)
+        for chunk in chunks:
+            _checkpoint_job(spark, pages, lex_bc, chunk, n_buckets, comps,
+                            triples_dir, manifest_dir, stats)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        overwrite_mode)
+    return stats
 
-    page_counts = pages_obs.get
-    triple_counts = triples_obs.get
-    for b in todo:
+
+def _checkpoint_job(spark, pages, lex_bc, buckets, n_buckets, comps,
+                    triples_dir, manifest_dir, stats) -> None:
+    """One single-pass annotate→triples→write job over ``buckets``,
+    manifesting each bucket after its data (and any stale-partition
+    cleanup) has landed."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    bucketed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    if len(buckets) < n_buckets:
+        bucketed = bucketed.where(F.col("bucket").isin(*buckets))
+
+    def per_bucket_counts():
+        return [F.count(F.when(F.col("bucket") == b, 1)).alias(f"b{b}")
+                for b in buckets]
+
+    tag = uuid.uuid4().hex[:8]
+    pages_obs = Observation(f"pages_per_bucket_{tag}")
+    bucketed_raw = bucketed  # observe-free plan for the fallback path
+    bucketed = bucketed.observe(pages_obs, *per_bucket_counts())
+
+    mentions = annotate(bucketed, lex_bc, extra_cols=("bucket",))
+    t = triples(mentions, extra_cols=("bucket",))
+    if comps is not None:
+        t = canonicalize(t, comps, keep_cols=("bucket",))
+    triples_obs = Observation(f"triples_per_bucket_{tag}")
+    t = t.observe(triples_obs, *per_bucket_counts())
+
+    t.write.mode("overwrite").partitionBy("bucket").parquet(triples_dir)
+
+    def counts(obs, fallback: DataFrame | None):
+        # when the whole output is empty, AQE's empty-relation
+        # propagation replans the query and the upstream observe
+        # node's metrics are dropped — .get then raises deep in py4j.
+        # Recompute the per-bucket counts with one tiny aggregation in
+        # that (pathological: a run producing zero triples anywhere)
+        # case rather than guessing zeros.
+        try:
+            return obs.get
+        except Exception:
+            if fallback is None:
+                return {f"b{b}": 0 for b in buckets}
+            got = {r.bucket: r.n for r in
+                   fallback.groupBy("bucket").agg(
+                       F.count("*").alias("n")).collect()}
+            return {f"b{b}": got.get(b, 0) for b in buckets}
+
+    page_counts = counts(pages_obs, bucketed_raw)
+    try:
+        written = spark.read.parquet(triples_dir).where(
+            F.col("bucket").isin(*buckets))
+    except Exception:
+        written = None  # nothing written at all
+    triple_counts = counts(triples_obs, written)
+    for b in buckets:
         n_pages = int(page_counts[f"b{b}"])
         n_triples = int(triple_counts[f"b{b}"])
+        if n_triples == 0:
+            # dynamic overwrite only replaces partitions present in the
+            # output: a zero-triple bucket writes nothing, so stale
+            # partials from a crashed (unmanifested) prior run would
+            # otherwise survive while the manifest marks it done
+            _delete_path(spark, os.path.join(triples_dir, f"bucket={b}"))
         # manifest row = lineage + metrics for this split; the bucket id
         # lives in the directory name (partition column on read)
         spark.createDataFrame(
@@ -523,4 +591,3 @@ def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
             os.path.join(manifest_dir, f"bucket={b}"))
         stats["pages"] += n_pages
         stats["triples"] += n_triples
-    return stats

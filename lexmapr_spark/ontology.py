@@ -214,16 +214,28 @@ FETCH_TSV_FIELDS = [
 ]
 
 
+_FETCH_TSV_SYNONYM_FIELDS = frozenset([
+    "oboInOwl_hasSynonym", "oboInOwl_hasBroadSynonym",
+    "oboInOwl_hasExactSynonym", "oboInOwl_hasNarrowSynonym", "IAO_0000118",
+])
+
+
 def write_fetched_ontology(fetched: dict, output_file_basename: str) -> None:
     """S1-S9's fetched-ontology artifact writer: ``<basename>.json`` +
     ``<basename>.tsv`` in the reference's exact formats
     (``ontohelper.py:520-555``): 4-space-indent unsorted JSON; TSV with
     the FIELDS+SYNONYM_FIELDS header, lists '|'-joined, tabs/newlines
-    squashed to spaces, missing fields empty. Synonym keys are stored
-    internally as ``oboInOwl:<prop>`` and emitted under the TSV's
-    underscore names. Broad synonyms / IAO_0000118 columns are present
-    but empty (the offline parser collects only the properties the
-    lookup-table build consumes — SYNONYM_PROPS above)."""
+    squashed to spaces, missing fields empty.
+
+    The five synonym/IAO columns are ALWAYS emitted empty — a
+    deliberate replication of a reference bug: ``ontofetch.py:364``
+    stores synonym lists under colon keys (``field.replace('_',':',1)``
+    → ``oboInOwl:hasSynonym``, ``IAO:0000118``) while ``do_output_tsv``
+    (``ontohelper.py:527-555``) looks fields up by their underscore
+    header names, so no reference TSV artifact ever contains synonym
+    values. The synonyms still flow into the lookup table via the JSON
+    path (``pipeline_resources.py:350-373`` reads the colon keys) —
+    only the TSV rendering drops them."""
     import json
 
     with open(output_file_basename + ".json", "w") as fh:
@@ -234,8 +246,8 @@ def write_fetched_ontology(fetched: dict, output_file_basename: str) -> None:
     for entity in fetched["specifications"].values():
         row = []
         for field in FETCH_TSV_FIELDS:
-            if field.startswith("oboInOwl_"):
-                value = entity.get("oboInOwl:" + field[len("oboInOwl_"):], "")
+            if field in _FETCH_TSV_SYNONYM_FIELDS:
+                value = ""  # reference key-mismatch bug, see docstring
             else:
                 value = entity.get(field, "")
             if isinstance(value, list):

@@ -257,6 +257,62 @@ def test_partial_checkpoint_resume(spark, lex_bc):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_checkpoint_zero_triple_bucket_clears_stale_partials(spark, lex_bc):
+    """A crashed prior run can leave partial files under
+    triples/bucket=<b> with no manifest row. If the resume legitimately
+    produces 0 triples for that bucket, dynamic partition overwrite
+    writes nothing there — the stale files must be deleted explicitly
+    before the bucket is manifested as triples=0."""
+    out = tempfile.mkdtemp()
+    try:
+        # texts that match nothing in the lexicon -> every bucket
+        # produces 0 triples
+        pages = spark.createDataFrame(
+            [(f"https://host{i}/p", "zzzqqq wwwvvv xyzzy") for i in range(40)],
+            "url STRING, text STRING")
+        victim = pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int")
+        ).select("bucket").first().bucket
+        stale_dir = os.path.join(out, "triples", f"bucket={victim}")
+        os.makedirs(stale_dir)
+        # stale partial parquet from the "crashed" run
+        spark.createDataFrame(
+            [("u#t", "componentMatch", "stale")],
+            "subj STRING, pred STRING, obj STRING"
+        ).write.mode("overwrite").parquet(stale_dir)
+        s = engine.run_with_checkpoint(pages, lex_bc, out, n_buckets=4)
+        assert s["triples"] == 0 and s["pages"] == 40
+        assert not os.path.exists(stale_dir)
+        manifest = spark.read.parquet(os.path.join(out, "manifest"))
+        assert manifest.where(F.col("bucket") == victim
+                              ).first().triples == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_checkpoint_chunked_matches_single_job(spark, lex_bc):
+    """manifest_chunks>1 (intra-run durability) must produce the same
+    triples and manifest totals as the default single-pass job."""
+    out1, out2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        pages = synth_pages(spark, 160, corpus=load_corpus(limit=80))
+        s1 = engine.run_with_checkpoint(pages, lex_bc, out1, n_buckets=4)
+        s2 = engine.run_with_checkpoint(pages, lex_bc, out2, n_buckets=4,
+                                        manifest_chunks=2)
+        assert s1 == s2 and s2["triples"] > 0
+        t1 = spark.read.parquet(os.path.join(out1, "triples"))
+        t2 = spark.read.parquet(os.path.join(out2, "triples"))
+        assert t1.exceptAll(t2).count() == 0
+        assert t2.exceptAll(t1).count() == 0
+        # chunked run still resumes cleanly
+        s3 = engine.run_with_checkpoint(pages, lex_bc, out2, n_buckets=4,
+                                        manifest_chunks=2)
+        assert s3["buckets_skipped"] == 4 and s3["pages"] == 0
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+
+
 def test_spark_bucket_output_byte_exact_vs_local(spark, lex_bc):
     """--bucket --full wide output through the Spark path: the four
     classification cells (pipeline.py:81-92,286-289) must render

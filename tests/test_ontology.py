@@ -311,3 +311,26 @@ def test_write_fetched_ontology_artifacts(tmp_path):
     row = by_id["BFO:0000015"]
     assert row[FETCH_TSV_FIELDS.index("label")] == ent["label"]
     assert row[FETCH_TSV_FIELDS.index("parent_id")] == ent["parent_id"]
+
+
+def test_write_fetched_ontology_synonym_columns_always_empty(tmp_path):
+    """Byte-parity with the reference's TSV artifact: ontofetch.py:364
+    stores synonyms under colon keys but do_output_tsv looks up the
+    underscore header names, so the five synonym/IAO columns are ALWAYS
+    empty in reference output — even when the spec carries synonyms."""
+    from lexmapr_spark.ontology import FETCH_TSV_FIELDS, write_fetched_ontology
+
+    f = fetch_ontology(local_test_ontology("bfo.owl"))
+    ent = f["specifications"]["BFO:0000015"]
+    ent["oboInOwl:hasSynonym"] = ["a synonym", "another"]
+    ent["oboInOwl:hasExactSynonym"] = ["exact one"]
+    ent["IAO:0000118"] = ["alt term"]
+    base = str(tmp_path / "bfo_syn")
+    write_fetched_ontology(f, base)
+    lines = open(base + ".tsv").read().split("\n")
+    row = next(l.split("\t") for l in lines[1:]
+               if l.startswith("BFO:0000015\t"))
+    for field in ("oboInOwl_hasSynonym", "oboInOwl_hasBroadSynonym",
+                  "oboInOwl_hasExactSynonym", "oboInOwl_hasNarrowSynonym",
+                  "IAO_0000118"):
+        assert row[FETCH_TSV_FIELDS.index(field)] == ""
