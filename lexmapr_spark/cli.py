@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                         metavar="CPUS",
                         help="Run through the distributed engine on "
                              "local[CPUS] (default all cores)")
+    parser.add_argument("--sharded-output", metavar="DIR",
+                        dest="sharded_output",
+                        help="With --spark: write the wide TSV as a "
+                             "directory of part files (worker-side "
+                             "formatting, no driver collect — the "
+                             "scale path; _header.tsv + part files "
+                             "concatenate to the same bytes as -o)")
     return parser
 
 
@@ -122,6 +129,9 @@ def run(args) -> int:
             if not getattr(args, key):
                 setattr(args, key, val)
 
+    if args.sharded_output and args.spark is None:
+        raise SystemExit("--sharded-output requires --spark")
+
     lex = load_lexicon_for(args)
     rows = list(read_samples(args.input_file))
 
@@ -144,6 +154,14 @@ def run(args) -> int:
         spark = engine.build_spark(cpus=args.spark, app="lexmapr_cli")
         spark.sparkContext.setLogLevel("ERROR")
         lex_bc = engine.broadcast_lexicon(spark, lex)
+        if args.sharded_output:
+            # scale path: worker-side formatting, distributed text sink
+            df = spark.createDataFrame(rows, "url STRING, text STRING")
+            mentions = engine.annotate(df, lex_bc, classify=args.bucket)
+            engine.write_wide_tsv(mentions, args.sharded_output,
+                                  full=args.full, bucket=args.bucket)
+            if not args.output:
+                return 0
         if rows:
             df = spark.createDataFrame(
                 rows, "url STRING, text STRING").coalesce(1)

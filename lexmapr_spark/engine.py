@@ -284,11 +284,8 @@ WIDE_HEADERS_BUCKET_FULL = ["LexMapr Classification (Full List)",
 WIDE_HEADER_BUCKET = "Third Party Classification"
 
 
-def render_wide_tsv(mentions_rows, full: bool = True,
-                    bucket: bool = False) -> str:
-    """Reference-format TSV text (pipeline.py:62-95,279-292): header,
-    '\\n'-prefixed rows, Python-str() cells, trailing newline. Takes
-    collected mention rows (order preserved by the caller)."""
+def wide_headers(full: bool = True, bucket: bool = False) -> list[str]:
+    """Wide-output header cells (pipeline.py:60-95)."""
     headers = list(WIDE_HEADERS_BASE)
     if full:
         headers += WIDE_HEADERS_FULL
@@ -296,26 +293,140 @@ def render_wide_tsv(mentions_rows, full: bool = True,
         if full:
             headers += WIDE_HEADERS_BUCKET_FULL
         headers += [WIDE_HEADER_BUCKET]
-    out = ["\t".join(headers)]
-    for r in mentions_rows:
-        cells = [r.url, r.sample_desc, r.processed_sample,
-                 r.processed_sample_sci_name,
-                 str(list(r.matched_components)), r.macro_status]
+    return headers
+
+
+def format_wide_cells(url, sample_desc, processed_sample, sci_name,
+                      matched_components, macro_status,
+                      micro_status=None, transformations=None,
+                      lexmapr_classification=None, lexmapr_bucket=None,
+                      third_party_bucket=None, ifsac_labels=None,
+                      full: bool = True, bucket: bool = False) -> list[str]:
+    """One wide-output row's cells in the reference's rendering
+    (pipeline.py:279-292 — Python str() of lists/dicts).
+    ``transformations`` is an ordered (token, lemma) pair sequence.
+    Shared by the driver-side renderer (:func:`render_wide_tsv`) and
+    the distributed line formatter (:func:`wide_lines`) so the two
+    sinks cannot drift."""
+    cells = [url, sample_desc, processed_sample, sci_name,
+             str(list(matched_components)), macro_status]
+    if full:
+        cells += [str(list(micro_status)),
+                  str(dict(transformations))]
+    if bucket:
         if full:
-            cells += [str(list(r.micro_status)),
-                      str({p.token: p.lemma for p in r.transformations})]
+            cells += [lexmapr_classification, lexmapr_bucket,
+                      third_party_bucket]
+        cells += [str(list(ifsac_labels))]
+    return cells
+
+
+def render_wide_tsv(mentions_rows, full: bool = True,
+                    bucket: bool = False) -> str:
+    """Reference-format TSV text (pipeline.py:62-95,279-292): header,
+    '\\n'-prefixed rows, Python-str() cells, trailing newline. Takes
+    collected mention rows (order preserved by the caller). Driver-side
+    — right for stdout-sized runs and golden parity; the scale path is
+    :func:`write_wide_tsv`."""
+    out = ["\t".join(wide_headers(full, bucket))]
+    for r in mentions_rows:
+        kwargs = {}
         if bucket:
             try:
-                if full:
-                    cells += [r.lexmapr_classification, r.lexmapr_bucket,
-                              r.third_party_bucket]
-                cells += [str(list(r.ifsac_labels))]
+                kwargs = {
+                    "lexmapr_classification": r.lexmapr_classification,
+                    "lexmapr_bucket": r.lexmapr_bucket,
+                    "third_party_bucket": r.third_party_bucket,
+                    "ifsac_labels": r.ifsac_labels,
+                }
             except AttributeError as e:
                 raise ValueError(
                     "render_wide_tsv(bucket=True) needs mention rows from "
                     "annotate(..., classify=True)") from e
-        out.append("\t".join(cells))
+        out.append("\t".join(format_wide_cells(
+            r.url, r.sample_desc, r.processed_sample,
+            r.processed_sample_sci_name, r.matched_components,
+            r.macro_status,
+            micro_status=r.micro_status if full else None,
+            transformations=[(p.token, p.lemma) for p in r.transformations]
+            if full else None,
+            full=full, bucket=bucket, **kwargs)))
     return "\n".join(out) + "\n"
+
+
+def wide_lines(mentions: DataFrame, full: bool = True,
+               bucket: bool = False) -> DataFrame:
+    """Worker-side wide-TSV rendering: one formatted ``line`` per
+    mention row, byte-identical to :func:`render_wide_tsv` body rows.
+    A narrow Arrow-batched map — no shuffle, no driver collect — so
+    the reference's primary artifact (pipeline.py:279-291) renders at
+    any scale."""
+    ship_package(mentions.sparkSession)
+    if bucket:
+        need = {"lexmapr_classification", "lexmapr_bucket",
+                "third_party_bucket", "ifsac_labels"}
+        missing = need - set(mentions.columns)
+        if missing:
+            raise ValueError(
+                "wide_lines(bucket=True) needs mentions from "
+                f"annotate(..., classify=True); missing {sorted(missing)}")
+
+    def fmt(batches):
+        for pdf in batches:
+            lines = []
+            for r in pdf.itertuples(index=False):
+                kwargs = {}
+                if bucket:
+                    kwargs = {
+                        "lexmapr_classification": r.lexmapr_classification,
+                        "lexmapr_bucket": r.lexmapr_bucket,
+                        "third_party_bucket": r.third_party_bucket,
+                        "ifsac_labels": r.ifsac_labels,
+                    }
+                lines.append("\t".join(format_wide_cells(
+                    r.url, r.sample_desc, r.processed_sample,
+                    r.processed_sample_sci_name, r.matched_components,
+                    r.macro_status,
+                    micro_status=r.micro_status if full else None,
+                    transformations=[(d["token"], d["lemma"])
+                                     for d in r.transformations]
+                    if full else None,
+                    full=full, bucket=bucket, **kwargs)))
+            yield pd.DataFrame({"line": lines})
+
+    return mentions.mapInPandas(fmt, "line STRING")
+
+
+def write_wide_tsv(mentions: DataFrame, path: str, full: bool = True,
+                   bucket: bool = False, order_by: tuple | None = ("url",),
+                   mode: str = "overwrite") -> None:
+    """Distributed wide-output sink: every cell formatted worker-side
+    (:func:`wide_lines`), written as text part files — no driver
+    collect, so the wide table scales like the triple table. The
+    header goes to ``<path>/_header.tsv`` (a sidecar, like Spark's own
+    ``_SUCCESS``); with the default ``order_by`` the rows are
+    range-sorted, so concatenating the header and the part files in
+    name order reproduces :func:`render_wide_tsv`'s bytes exactly
+    (pinned by test). Pass ``order_by=None`` to skip the sort shuffle
+    when row order doesn't matter."""
+    src = mentions.orderBy(*order_by) if order_by else mentions
+    wide_lines(src, full=full, bucket=bucket).write.mode(mode).text(path)
+    _write_text_file(mentions.sparkSession,
+                     os.path.join(path, "_header.tsv"),
+                     "\t".join(wide_headers(full, bucket)) + "\n")
+
+
+def _write_text_file(spark, path: str, text: str) -> None:
+    """Create a small text file through the Hadoop FileSystem API
+    (works on any scheme the cluster can write, not just local disk)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def write_triples(trip: DataFrame, path: str,

@@ -83,3 +83,31 @@ def test_cli_spark_mode_matches_local_bytes(tmp_path):
     main([src, "--full", "-b", "-o", str(a)])
     main([src, "--full", "-b", "--spark", "2", "-o", str(b)])
     assert a.read_text() == b.read_text()
+
+
+def test_cli_sharded_output(tmp_path):
+    """--sharded-output writes the distributed wide artifact: same
+    header, same row set as -o, rows globally url-sorted across the
+    concatenated part files."""
+    import glob
+
+    src = os.path.join(INPUT_DIR, "small_simple.csv")
+    single = tmp_path / "single.tsv"
+    sharded = tmp_path / "sharded"
+    main([src, "--full", "-b", "--spark", "2", "-o", str(single),
+          "--sharded-output", str(sharded)])
+    got = (sharded / "_header.tsv").read_text()
+    for p in sorted(glob.glob(str(sharded / "part-*"))):
+        got += open(p).read()
+    # sharded rows are url-sorted; compare line sets + header
+    single_lines = single.read_text().rstrip("\n").split("\n")
+    got_lines = got.rstrip("\n").split("\n")
+    assert got_lines[0] == single_lines[0]
+    assert sorted(got_lines[1:]) == sorted(single_lines[1:])
+    assert got_lines[1:] == sorted(got_lines[1:])
+
+
+def test_cli_sharded_output_requires_spark(tmp_path):
+    src = os.path.join(INPUT_DIR, "small_simple.csv")
+    with pytest.raises(SystemExit, match="--spark"):
+        main([src, "--sharded-output", str(tmp_path / "x")])

@@ -344,6 +344,40 @@ def test_spark_bucket_output_byte_exact_vs_local(spark, lex_bc):
         assert len(header) == len(body[0].split("\t"))
 
 
+def test_write_wide_tsv_distributed_byte_equal(spark, lex_bc, tmp_path):
+    """The distributed wide sink (worker-side cell formatting +
+    df.write.text, no driver collect) must reproduce render_wide_tsv's
+    bytes exactly: _header.tsv + part files concatenated in name order
+    == the driver-side render over url-sorted rows."""
+    import glob
+
+    from tests.golden_harness import read_samples
+
+    rows = (list(read_samples("small_simple.csv"))
+            + list(read_samples("zheminSamples.csv"))[:40])
+    df = spark.createDataFrame(rows, "url STRING, text STRING").repartition(4)
+    mentions = engine.annotate(df, lex_bc, classify=True)
+    collected = sorted(mentions.collect(), key=lambda r: r.url)
+    for full, bucket in ((True, True), (False, True), (True, False)):
+        out = str(tmp_path / f"wide_{full}_{bucket}")
+        engine.write_wide_tsv(mentions, out, full=full, bucket=bucket)
+        parts = sorted(glob.glob(os.path.join(out, "part-*")))
+        assert parts, "no part files written"
+        got = open(os.path.join(out, "_header.tsv")).read()
+        for p in parts:
+            got += open(p).read()
+        expect = engine.render_wide_tsv(collected, full=full, bucket=bucket)
+        assert got == expect
+
+
+def test_wide_lines_bucket_without_classify_raises(spark, lex_bc):
+    df = spark.createDataFrame([("u1", "chicken breast")],
+                               "url STRING, text STRING")
+    mentions = engine.annotate(df, lex_bc, min_partitions=None)
+    with pytest.raises(ValueError, match="classify=True"):
+        engine.wide_lines(mentions, full=True, bucket=True)
+
+
 def test_render_bucket_without_classify_raises(spark, lex_bc):
     df = spark.createDataFrame([("u1", "chicken breast")],
                                "url STRING, text STRING")
