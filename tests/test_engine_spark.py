@@ -438,6 +438,32 @@ def test_checkpoint_canonical_single_pass(spark, lex_bc):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_spark_synlex_on_pinned_fixture(spark):
+    """SynLex-on end-to-end fixture, independent of the differential
+    slice rotation: input + expected full-mode TSV were generated by
+    the REFERENCE's own pipeline.run with live CSVs (synonym tier
+    active), and the Spark path with a golden_parity=False lexicon
+    must reproduce the bytes exactly. Covers full-term Synonym Usage
+    ('manure' -> animal manure), component-level synonyms ('seawater'
+    -> sea water, 'stool' -> feces) and abbreviation+synonym stacking
+    ('human stool')."""
+    from lexmapr_spark.lexicon import compile_predefined
+    from tests.golden_harness import read_samples
+
+    lex = compile_predefined(golden_parity=False)
+    bc = engine.broadcast_lexicon(spark, lex)
+    rows = list(read_samples("synlex_samples.csv"))
+    df = spark.createDataFrame(rows, "url STRING, text STRING").coalesce(1)
+    collected = engine.annotate(df, bc, min_partitions=None).collect()
+    rendered = engine.render_wide_tsv(collected, full=True)
+    expected = open(os.path.join(
+        os.path.dirname(__file__), "golden", "expected",
+        "synlex_samples_full.tsv")).read()
+    assert rendered == expected
+    # the fixture actually exercises the synonym tier
+    assert "Synonym Usage" in rendered
+
+
 def test_annotate_classify_with_extra_cols(spark, lex_bc):
     """classify=True + extra_cols passthrough compose: schema order is
     MENTION + CLASSIFY + extras and values line up row-wise."""

@@ -92,6 +92,69 @@ def test_full_pipeline_rows_byte_identical(ref_pipeline, live_lexicon,
         f"MINE={divergent[0][1][:200]!r}")
 
 
+ADVERSARIAL_SAMPLES = [
+    ("adv_empty", ""),
+    ("adv_ws", "   "),
+    ("adv_unidigit", "١٢٣ ٤٥ chicken"),           # Arabic-Indic digits
+    ("adv_emoji", "chicken \U0001F414 breast \U0001F357"),
+    ("adv_possessive", "chicken's breast's skin's"),
+    ("adv_quotes", "\"quoted\" 'single' chicken"),
+    # 16 tokens: forces the reference's combinations->ngrams switch
+    # (pipeline_helpers.py:266-273)
+    ("adv_16tok", "frozen chicken breast with skin and bone plus salt "
+                  "pepper oil garlic onion tomato basil oregano"),
+    ("adv_dates", "12/05/2014 chicken sampled 2014-05-12"),
+    ("adv_numbers", "3.14 chicken -42 breast 1e5 007"),
+    ("adv_accents", "café naïve jalapeño chicken"),
+    ("adv_upper", "CHICKEN BREAST FROZEN RAW"),
+    ("adv_punct", "chicken,breast;frozen:raw(whole)"),
+    ("adv_ligature", "œuf fœtus chicken"),
+    ("adv_longtok", "x" * 300 + " chicken"),
+    # >=15 repeated tokens: ngram path + remove_duplicate_tokens
+    ("adv_repeat", ("chicken " * 15) + "breast"),
+    ("adv_sciname",
+     "salmonella enterica serovar typhimurium isolated from chicken"),
+    ("adv_units", "0.5% sodium-chloride solution w/ 10mL water"),
+    ("adv_unipunct", "chicken–breast—frozen…raw"),  # en/em dash, ellipsis
+    ("adv_nbsp", "chicken breast"),            # non-breaking space
+    ("adv_mixed", "Fr0zen CH1CKEN bre4st #42 @farm"),
+]
+
+
+def test_full_pipeline_adversarial_byte_identical(ref_pipeline,
+                                                  live_lexicon, tmp_path):
+    """Synthetic adversarial corpus through the reference's own
+    pipeline.run vs our matcher: unicode digits/punctuation, emoji,
+    possessive/quote edge cases, >=15-token samples (the
+    combinations->ngrams switch), date- and number-like tokens,
+    empty/whitespace descriptions, scientific names — all byte-exact
+    in full mode."""
+    from lexmapr_spark.matcher import format_output_row, process_sample
+
+    inp = tmp_path / "adv.csv"
+    with open(inp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["SampleId", "Sample"])
+        w.writerows(ADVERSARIAL_SAMPLES)
+    out = tmp_path / "ref.tsv"
+    ref_pipeline.run(types.SimpleNamespace(
+        input_file=str(inp), output=str(out), full=True, bucket=False,
+        config=None, profile=None, no_cache=False))
+    ref_lines = out.read_text().rstrip("\n").split("\n")[1:]
+
+    # read_samples semantics (pipeline.py:98-112): join + strip
+    my_lines = ["\t".join(format_output_row(
+        process_sample(sid, desc.strip(), live_lexicon), full=True))
+        for sid, desc in ADVERSARIAL_SAMPLES]
+
+    assert len(ref_lines) == len(my_lines)
+    divergent = [(a, b) for a, b in zip(ref_lines, my_lines) if a != b]
+    assert not divergent, (
+        f"{len(divergent)}/{len(my_lines)} adversarial rows diverge; "
+        f"first: REF={divergent[0][0][:200]!r} "
+        f"MINE={divergent[0][1][:200]!r}")
+
+
 def test_full_pipeline_bucket_mode_differential(ref_pipeline, live_lexicon,
                                                 tmp_path):
     """--bucket --full through the reference's own pipeline.run: the
