@@ -6,6 +6,15 @@ Prints ONE JSON line:
   {"metric": "kg_pipeline_wall_sec", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>,
    "triples_per_sec": ..., "text_bytes_per_sec": ..., ...}
+
+``bench.py --deep`` runs the deeper-scale configuration instead (the
+sf0.1 headline finishes in ~2 s — too short to stress shuffles):
+a 1.2M-page pipeline run plus a clone-heavy dedup corpus (sf0.1
+documents x40 mutated clones = 200k docs in 5k near-dup clusters,
+~0.9 intra-cluster Jaccard) so the MinHash band-bucket join, the
+Jaccard verify stage, and the SimHash block join are measured under
+real collision volume. Also one JSON line; results recorded in
+BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -121,5 +130,92 @@ def main():
     print(json.dumps(out))
 
 
+def deep():
+    """Deeper-scale benchmark (see module docstring). Timings are
+    cold + one steady repeat; the steady number is the headline (what
+    a long-running cluster job sees)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from lexmapr_spark import engine
+    from lexmapr_spark.ops import dedup
+    from lexmapr_spark.pages import synth_pages
+
+    spark = engine.build_spark(cpus=cpus, app="lexmapr_bench_deep",
+                               shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    lex_bc = engine.broadcast_lexicon(spark)
+    engine.annotate(synth_pages(spark, 2000), lex_bc) \
+        .write.format("noop").mode("overwrite").save()   # warmup
+
+    out = {"metric": "kg_deep_bench", "unit": "sec", "cpus": cpus}
+
+    # ---- 1.2M-page pipeline (30x the default headline)
+    n_pages = 1_200_000
+    pages = synth_pages(spark, n_pages).persist()
+    pages.count()
+    text_bytes = pages.agg(F.sum(F.octet_length("text"))).collect()[0][0]
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        n_triples = engine.triples(engine.annotate(pages, lex_bc)).count()
+        runs.append(time.time() - t0)
+    pages.unpersist()
+    wall = min(runs)
+    out["pipeline_1m"] = {
+        "pages": n_pages, "triples": n_triples,
+        "cold_sec": round(runs[0], 3), "wall_sec": round(wall, 3),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "text_bytes_per_sec": round(text_bytes / wall, 1),
+    }
+
+    # ---- clone-heavy dedup corpus: 5k clusters x 40 mutated clones.
+    # Each clone appends two unique tokens, so intra-cluster 3-shingle
+    # Jaccard ~0.9 (> the 0.7 threshold) and every cluster floods its
+    # LSH band buckets — the collision regime the sf0.1 contract corpus
+    # is too small to reach.
+    n_clones = 40
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .select(F.explode(F.sequence(F.lit(0), F.lit(n_clones - 1)))
+                    .alias("i"), "doc_id", "text")
+            .select((F.col("doc_id") * n_clones + F.col("i"))
+                    .alias("doc_id"),
+                    F.concat_ws(" ", "text",
+                                F.concat(F.lit("v"), F.col("i")),
+                                F.concat(F.lit("tok"), F.col("i") * 7))
+                    .alias("text"))
+            .persist())
+    n_docs = docs.count()
+    out["dedup_corpus_docs"] = n_docs
+
+    def timed(name, fn):
+        res = {}
+        for attempt in ("cold_sec", "wall_sec"):
+            t0 = time.time()
+            res["rows"] = fn()
+            res[attempt] = round(time.time() - t0, 3)
+        res["rows_per_sec_in"] = round(n_docs / res["wall_sec"], 1)
+        out[name] = res
+
+    timed("minhash_signatures",
+          lambda: dedup.minhash_signatures(docs).count())
+    timed("minhash_lsh_pairs",
+          lambda: dedup.jaccard_near_duplicates(docs, threshold=0.7).count())
+    timed("simhash_pairs",
+          lambda: dedup.simhash_near_duplicates(docs, max_hamming=3).count())
+    timed("near_dup_filter_kept",
+          lambda: dedup.near_duplicate_filter(docs, threshold=0.7).count())
+    docs.unpersist()
+
+    spark.stop()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--deep" in sys.argv[1:]:
+        deep()
+    else:
+        main()
