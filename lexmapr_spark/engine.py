@@ -551,14 +551,23 @@ def canonicalize(trip: DataFrame, components: DataFrame,
 # Checkpointed, resumable sink
 # ---------------------------------------------------------------------------
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
 def _delete_path(spark, path: str) -> None:
     """Recursively delete a storage path through the Hadoop FileSystem
     API, so it works on any scheme the cluster can write (local, HDFS,
     object stores), not just the driver's local disk."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = _hadoop_fs(spark, path)
     fs.delete(hpath, True)
+
+
+def _path_exists(spark, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
 
 
 def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
@@ -594,13 +603,11 @@ def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
     triples_dir = os.path.join(out_dir, "triples")
 
     done: set[int] = set()
-    try:
+    if _path_exists(spark, manifest_dir):
         done = {
             r.bucket for r in
             spark.read.parquet(manifest_dir).select("bucket").collect()
         }
-    except Exception:
-        pass  # no manifest yet
 
     todo = [b for b in range(n_buckets) if b not in done]
     stats = {"buckets_total": n_buckets, "buckets_skipped": len(done),
@@ -679,11 +686,13 @@ def _checkpoint_job(spark, pages, lex_bc, buckets, n_buckets, comps,
             return {f"b{b}": got.get(b, 0) for b in buckets}
 
     page_counts = counts(pages_obs, bucketed_raw)
-    try:
-        written = spark.read.parquet(triples_dir).where(
-            F.col("bucket").isin(*buckets))
-    except Exception:
-        written = None  # nothing written at all
+    written = None
+    if _path_exists(spark, triples_dir):
+        try:
+            written = spark.read.parquet(triples_dir).where(
+                F.col("bucket").isin(*buckets))
+        except Exception:
+            pass  # dir exists but has no readable footers (all-empty write)
     triple_counts = counts(triples_obs, written)
     for b in buckets:
         n_pages = int(page_counts[f"b{b}"])
