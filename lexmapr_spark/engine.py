@@ -178,14 +178,25 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
     def run_batches(batches):
         from lexmapr_spark.matcher import process_sample
         lex = lex_bc.value
+        # web corpora repeat page text heavily (boilerplate, mirrored
+        # pages, crawl duplicates); every Result field except the echoed
+        # sample_id is a pure function of the text, so matching runs
+        # ONCE per distinct text per partition. Bounded: cleared past
+        # 200k entries so a giant partition can't hoard worker memory.
+        memo: dict = {}
         for pdf in batches:
-            results = [
-                process_sample(u, t if t is not None else "", lex,
-                               classify=classify)
-                for u, t in zip(pdf["url"], pdf["text"])
-            ]
+            if len(memo) > 200_000:
+                memo.clear()
+            results = []
+            for u, t in zip(pdf["url"], pdf["text"]):
+                t = t if t is not None else ""
+                r = memo.get(t)
+                if r is None:
+                    r = memo[t] = process_sample(u, t, lex,
+                                                 classify=classify)
+                results.append(r)
             out = {
-                "url": [r.sample_id for r in results],
+                "url": list(pdf["url"]),
                 "sample_desc": [r.sample_desc for r in results],
                 "processed_sample": [r.processed_sample for r in results],
                 "processed_sample_sci_name":

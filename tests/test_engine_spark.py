@@ -464,6 +464,31 @@ def test_spark_synlex_on_pinned_fixture(spark):
     assert "Synonym Usage" in rendered
 
 
+def test_annotate_memoizes_duplicate_texts_identically(spark, lex_bc):
+    """Duplicate page texts hit the per-partition memo; every output
+    row must still equal the per-row matcher result (distinct urls,
+    shared text-derived fields), in input order."""
+    from lexmapr_spark.lexicon import default_lexicon
+    from lexmapr_spark.matcher import process_sample
+
+    rows = [(f"u{i}", txt) for i in range(30)
+            for txt in ("frozen chicken breast", "swab of pig carcass")]
+    rows = [(f"{u}_{j}", t) for j, (u, t) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "url STRING, text STRING").coalesce(1)
+    got = engine.annotate(df, lex_bc, min_partitions=None,
+                          classify=True).collect()
+    lex = default_lexicon()
+    assert len(got) == len(rows)
+    for r, (url, text) in zip(got, rows):
+        exp = process_sample(url, text, lex, classify=True)
+        assert r.url == url
+        assert r.matched_components == exp.matched_components
+        assert r.macro_status == exp.macro_status
+        assert r.micro_status == exp.micro_status
+        assert r.lexmapr_classification == str(exp.lexmapr_classification)
+        assert list(r.ifsac_labels) == list(exp.third_party_classification)
+
+
 def test_annotate_classify_with_extra_cols(spark, lex_bc):
     """classify=True + extra_cols passthrough compose: schema order is
     MENTION + CLASSIFY + extras and values line up row-wise."""
