@@ -104,6 +104,7 @@ def main():
     # that must not be conflated with compute scaling above
     dup = measure(32, unique_texts=False)
 
+    ceiling_2_8 = hardware_ceiling(2, 8)
     ceiling_8_32 = hardware_ceiling(8, 32)
     out = {
         "runs": results,
@@ -112,6 +113,10 @@ def main():
             "speedup": round(results[8]["pages_per_sec"]
                              / results[2]["pages_per_sec"], 3),
             "efficiency": eff(2, 8),
+            "hardware_ceiling_speedup": round(ceiling_2_8, 3),
+            "efficiency_vs_hardware_ceiling": round(
+                results[8]["pages_per_sec"] / results[2]["pages_per_sec"]
+                / ceiling_2_8, 3),
         },
         "scaling_8_to_32": {
             "speedup": round(results[32]["pages_per_sec"]
