@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lexmapr_spark import engine
-from lexmapr_spark.ops import dedup, multimodal, similarity, textstats
+from lexmapr_spark.ops import dedup, multimodal, sampling, similarity, textstats
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -340,6 +340,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprint"] = lambda spark, sf: textstats.fingerprint(
         _t(spark, sf, "documents"))
+
+    # ---- deterministic curation sampling (reproducible across runs,
+    # engines, and partition layouts — unlike seeded df.sample)
+    q["sample_hash_10pct"] = lambda spark, sf: sampling.hash_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang", "source"),
+        fraction=0.1)
+    q["sample_domain_cap"] = lambda spark, sf: sampling.stratified_cap(
+        _t(spark, sf, "documents").select("doc_id", "source"),
+        group_col="source", n=10)
 
     # ---- multimodal plumbing (payloads synthesized deterministically)
     def multimodal_features(spark, sf):
@@ -710,6 +719,20 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split_regex(regexp_replace(text, "
             "'([^\\sA-Za-z0-9])', ' \\1 ', 'g'), '\\s+'), x -> x != '')) "
             "AS n_subword_tokens FROM documents",
+
+        # 60-bit md5-prefix hash sampling — same construction both
+        # engines (threshold = int(0.1 * 2^60))
+        "sample_hash_10pct":
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+            f" < {int(0.1 * (1 << 60))}",
+
+        "sample_domain_cap":
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, "
+            "doc_id) AS rn FROM documents) WHERE rn <= 10",
 
         "text_quality": _quality_oracle_sql(),
 

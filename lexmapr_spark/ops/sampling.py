@@ -1,0 +1,80 @@
+"""Deterministic sampling operators for training-data curation.
+
+Real crawl pipelines sample and cap constantly — take an x% slice for
+ablations, cap documents per domain so boilerplate farms don't dominate
+the corpus — and at 100 TB the sample must be REPRODUCIBLE: re-running
+the job (or running it on a different engine) must select the same
+rows. Spark's ``df.sample`` is seeded per-partition and changes with
+the split layout, so these operators derive selection from a hash of a
+stable key instead:
+
+* :func:`hash_sample` — keep rows whose 60-bit ``md5(key)`` prefix
+  falls under ``fraction``. Engine-agnostic (md5 of the decimal key
+  string), partition-layout-independent, and a pure filter: no shuffle,
+  fully pushed alongside other predicates.
+* :func:`stratified_cap` — at most ``n`` rows per group, chosen in
+  md5-of-key order (a deterministic "random" order). One shuffle (the
+  per-group window); the hash order means the kept rows don't depend on
+  scan order, so resuming or re-partitioning cannot change the sample.
+
+Both are expressible in ANSI SQL, so the contract checks them against
+DuckDB oracles value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit space: 15 hex chars — fits a signed 64-bit long exactly, and
+# both Spark's conv() and DuckDB's ::BIGINT parse it identically
+_HASH_SPACE = 1 << 60
+
+
+def _hash60(key: Column) -> Column:
+    """Uniform deterministic 60-bit value from a key column: the first
+    15 hex chars of md5(CAST(key AS STRING)) — identical in any engine
+    with md5 (the same construction the MinHash operator uses)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10) \
+        .cast("long")
+
+
+def hash_sample(df: DataFrame, fraction: float,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic ``fraction``-sample: keep rows with
+    ``hash60(key) < fraction * 2^60``.
+
+    A pure narrow filter — no shuffle, no RNG state, no dependence on
+    partition layout — so the same rows are selected on every run, any
+    engine, any cluster size; Catalyst pushes it into the scan like any
+    other predicate. Selection is also STABLE under fraction growth:
+    the 10% sample is a superset of the 1% sample (threshold grows,
+    hash order fixed), which is exactly what ablation ladders need.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * _HASH_SPACE)
+    return df.where(_hash60(F.col(key_col)) < F.lit(threshold))
+
+
+def stratified_cap(df: DataFrame, group_col: str, n: int,
+                   key_col: str = "doc_id") -> DataFrame:
+    """Per-group quota: at most ``n`` rows per ``group_col`` value,
+    chosen in md5-of-key order (deterministic, scan-order-independent).
+
+    The anti-spam curation primitive: cap pages per domain / docs per
+    source so head groups can't dominate a training mix. One shuffle
+    (the window partition by group); ties are impossible because the
+    hash order falls back to the key itself. For heavily skewed groups
+    the window stays safe at scale: each task streams one group's rows
+    in sort order and emits only the first ``n``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _hash60(F.col(key_col)), F.col(key_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .drop("__rn"))

@@ -329,3 +329,50 @@ def test_near_duplicate_filter_keeps_lowest_id(spark):
     kept = {r.doc_id for r in
             dedup.near_duplicate_filter(df, threshold=0.7).collect()}
     assert kept == {1, 3}
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    """hash_sample: same rows every run, fraction-proportional size,
+    and the 20% sample is a strict superset of the 5% sample (ablation
+    ladders rely on this nesting)."""
+    from lexmapr_spark.ops import sampling
+
+    docs = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    a1 = {r.doc_id for r in sampling.hash_sample(docs, 0.2).collect()}
+    a2 = {r.doc_id for r in sampling.hash_sample(docs, 0.2).collect()}
+    assert a1 == a2
+    assert 0.15 < len(a1) / 5000 < 0.25
+    small = {r.doc_id for r in sampling.hash_sample(docs, 0.05).collect()}
+    assert small <= a1
+    with pytest.raises(ValueError):
+        sampling.hash_sample(docs, 1.5)
+
+
+def test_hash_sample_is_narrow_filter(spark):
+    """No Exchange in the plan: sampling must stay a pushable filter."""
+    from lexmapr_spark.ops import sampling
+
+    docs = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    plan = sampling.hash_sample(docs, 0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_cap_quota_and_determinism(spark):
+    from lexmapr_spark.ops import sampling
+
+    rows = [(i, f"d{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    capped = sampling.stratified_cap(df, "source", n=10)
+    pdf = capped.toPandas()
+    assert len(pdf) == 70
+    assert (pdf.groupby("source").size() == 10).all()
+    again = sampling.stratified_cap(df.repartition(13), "source", n=10)
+    assert sorted(r.doc_id for r in capped.collect()) == \
+           sorted(r.doc_id for r in again.collect())
+    # groups smaller than the cap survive whole
+    tiny = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")],
+                                 "doc_id LONG, source STRING")
+    assert sampling.stratified_cap(tiny, "source", n=10).count() == 3
+    with pytest.raises(ValueError):
+        sampling.stratified_cap(df, "source", n=0)
