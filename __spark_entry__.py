@@ -341,6 +341,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda spark, sf: textstats.fingerprint(
         _t(spark, sf, "documents"))
 
+    # ---- benchmark decontamination: distinct 8-grams shared with the
+    # probe corpus (here: docs 0-4 standing in for an eval suite)
+    def text_contamination(spark, sf):
+        docs = _t(spark, sf, "documents")
+        probes = docs.where(F.col("doc_id") < 5)
+        return textstats.ngram_contamination(docs, probes, n=8)
+    q["text_contamination"] = text_contamination
+
     # ---- deterministic curation sampling (reproducible across runs,
     # engines, and partition layouts — unlike seeded df.sample)
     q["sample_hash_10pct"] = lambda spark, sf: sampling.hash_sample(
@@ -719,6 +727,20 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split_regex(regexp_replace(text, "
             "'([^\\sA-Za-z0-9])', ' \\1 ', 'g'), '\\s+'), x -> x != '')) "
             "AS n_subword_tokens FROM documents",
+
+        # 8-gram builder mirrors Spark's slice-truncation for short
+        # docs (concat_ws skips DuckDB's out-of-bounds NULLs)
+        "text_contamination":
+            "WITH dg AS (SELECT doc_id, unnest(list_filter(list_transform("
+            "generate_series(1, greatest(len(toks) - 7, 1)), "
+            "i -> concat_ws(' ', " +
+            ", ".join(f"toks[i+{j}]" for j in range(8)) +
+            ")), s -> s != '')) AS gram FROM ("
+            "SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x != '') AS toks FROM documents)), "
+            "pg AS (SELECT DISTINCT gram FROM dg WHERE doc_id < 5) "
+            "SELECT doc_id, count(DISTINCT gram) AS n_contaminated_ngrams "
+            "FROM dg JOIN pg USING (gram) GROUP BY doc_id",
 
         # 60-bit md5-prefix hash sampling — same construction both
         # engines (threshold = int(0.1 * 2^60))

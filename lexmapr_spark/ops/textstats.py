@@ -151,3 +151,36 @@ def curate(docs: DataFrame, min_quality: float = 0.3, lang: str = "en",
     return (passed.withColumn("_keeper", keeper)
             .where(F.col("_keeper") == F.col(id_col))
             .select(id_col, "lang_pred", "quality", "fingerprint"))
+
+
+def ngrams_col(text_col: str, n: int):
+    """Word n-grams of the whitespace-token stream, space-joined —
+    pure JVM expression (the dedup shingle builder generalized to n)."""
+    toks = f"filter(split({text_col}, ' '), x -> x != '')"
+    return F.expr(
+        f"filter(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))), s -> s != '')")
+
+
+def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination detector: per document, how many
+    distinct ``n``-grams it shares with the probe corpus (eval/test
+    texts that must not leak into training data).
+
+    The standard decontamination shape at scale: the probe side is
+    small (a benchmark suite — thousands of docs), so its distinct
+    n-gram set is BROADCAST; the training corpus explodes into
+    (doc, n-gram) pairs that stream through the broadcast hash join
+    with no shuffle of the big side, then a map-side-combinable
+    distinct-count per doc. Returns (id, n_contaminated_ngrams) for
+    docs with at least one hit; drop (anti-join) or review downstream.
+    """
+    probe_grams = (probes.select(
+        F.explode(ngrams_col(text_col, n)).alias("gram")).distinct())
+    doc_grams = fan_out(docs).select(
+        F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram"))
+    return (doc_grams.join(F.broadcast(probe_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram").alias("n_contaminated_ngrams")))

@@ -376,3 +376,35 @@ def test_stratified_cap_quota_and_determinism(spark):
     assert sampling.stratified_cap(tiny, "source", n=10).count() == 3
     with pytest.raises(ValueError):
         sampling.stratified_cap(df, "source", n=0)
+
+
+def test_ngram_contamination_detects_planted_overlap(spark):
+    """A training doc embedding a probe's 8-gram is flagged with the
+    right distinct-gram count; clean docs are absent; the probe side
+    must reach the join as a broadcast (no shuffle of the corpus)."""
+    probes = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id LONG, text STRING")
+    docs = spark.createDataFrame([
+        # contains probe 8-grams "alpha..theta" and "beta..iota"
+        (1, "xx alpha beta gamma delta epsilon zeta eta theta iota yy"),
+        (2, "completely unrelated text with eight or more words here ok"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # 1 gram
+    ], "doc_id LONG, text STRING")
+    got = {r.doc_id: r.n_contaminated_ngrams
+           for r in textstats.ngram_contamination(docs, probes, n=8)
+           .collect()}
+    assert got == {1: 2, 3: 1}
+    plan = textstats.ngram_contamination(docs, probes, n=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ngrams_col_short_doc_truncates(spark):
+    """Docs shorter than n yield one truncated gram (the shingle
+    builder's convention), never an empty set."""
+    df = spark.createDataFrame([(1, "just three words"), (2, "")],
+                               "doc_id LONG, text STRING")
+    out = {r.doc_id: list(r.g) for r in df.select(
+        "doc_id", textstats.ngrams_col("text", 8).alias("g")).collect()}
+    assert out == {1: ["just three words"], 2: []}
