@@ -84,6 +84,7 @@ def main():
         "ann_srp_bucketed_topk", "text_token_count", "text_quality",
         "text_langid", "text_fingerprint", "multimodal_features",
         "curation_pipeline", "multimodal_features_docs",
+        "sample_hash_10pct", "sample_domain_cap", "text_contamination",
     ]
     qs = entrymod.queries()
     timings = {}
