@@ -478,6 +478,80 @@ def _ivf_oracle_sql() -> str | None:
     )
 
 
+def _srp_sig_sql(planes, n_bits: int) -> str:
+    """DuckDB expression for the first ``n_bits`` of the exact SRP
+    signature — the same sequential IEEE-double fold as
+    ``similarity.srp_signature_exact`` (bit-identical, verified)."""
+    dim = len(planes[0])
+    terms = []
+    for p in planes[:n_bits]:
+        lit = "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> (embedding[i]::DOUBLE) * ({lit})[i])) >= 0 "
+            "THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(terms) + ")"
+
+
+def _srp_oracle_sqls() -> dict[str, str]:
+    """Oracles for the two SRP-bucketed queries, enabled by the exact
+    (fold-deterministic) signature path: bucket membership and the
+    cosine re-rank are both reproducible in DuckDB. Probe buckets for
+    the ANN query are derived driver-side with the identical fold
+    (``srp_probe_buckets``); planes depend only on the embedding dim.
+    Bound to sf0.01 (the driver's oracle scale) like the IVF oracle."""
+    import numpy as np
+
+    try:
+        import duckdb
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        con = duckdb.connect()
+        qrow = con.sql(
+            f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
+        ).fetchall()
+        con.close()
+        if not qrow:
+            return {}
+    except Exception:
+        return {}
+    from lexmapr_spark.ops.similarity import (
+        srp_hyperplanes,
+        srp_probe_buckets,
+    )
+
+    qvec = np.asarray(list(qrow[0][0]), dtype=np.float64)
+    planes = srp_hyperplanes(len(qvec), 12)
+    probes = srp_probe_buckets(qvec, np.asarray(planes), 6)
+    probe_list = ",".join(f"'{b}'" for b in probes)
+
+    emb_clones = ("(SELECT vec_id, embedding FROM embeddings UNION ALL "
+                  "SELECT vec_id + 1000000 AS vec_id, embedding "
+                  "FROM embeddings)")
+    return {
+        "ann_srp_bucketed_topk":
+            f"WITH sig AS (SELECT vec_id, embedding, "
+            f"{_srp_sig_sql(planes, 6)} AS bucket FROM embeddings), "
+            f"cands AS (SELECT vec_id, embedding FROM sig "
+            f"WHERE bucket IN ({probe_list}) AND vec_id <> 0), "
+            "q AS (SELECT embedding AS qvec FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT c.vec_id, "
+            "round(list_cosine_similarity(c.embedding, q.qvec), 6) "
+            "AS cosine FROM cands c, q "
+            "ORDER BY cosine DESC, c.vec_id ASC LIMIT 10",
+
+        "emb_near_duplicates":
+            f"WITH sig AS (SELECT vec_id, embedding, "
+            f"{_srp_sig_sql(planes, 8)} AS bucket FROM {emb_clones}) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding, b.embedding), 6) "
+            "AS cosine FROM sig a JOIN sig b "
+            "ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.embedding, b.embedding),"
+            " 6) >= 0.99",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ",".join(f"'{w}'" for w in _STOPLIST)
     dim_values = ",".join(f"('{t}','{i}')" for t, i in _TOKEN_DIM)
@@ -792,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
     ivf = _ivf_oracle_sql()
     if ivf is not None:
         oracles["ann_ivf_topk"] = ivf
+    oracles.update(_srp_oracle_sqls())
     return oracles
 
 

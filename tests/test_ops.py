@@ -91,8 +91,8 @@ def test_srp_multiprobe_reaches_k_and_matches_bruteforce_over_probes(spark):
     assert probes[0] not in probes[1:] and len(probes) == 7
     sig = emb.withColumn(
         "bucket",
-        F.substring(similarity.srp_signature(F.col("embedding"), planes),
-                    1, 6))
+        F.substring(similarity.srp_signature_exact(F.col("embedding"),
+                                                   planes), 1, 6))
     cands = sig.where(F.col("bucket").isin(probes)).drop("bucket")
     brute = similarity.cosine_topk(cands, query_id=0, k=10).collect()
     assert [(r.vec_id, r.cosine) for r in got] == \
