@@ -765,6 +765,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM sims a JOIN sims b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
 
+        # synth_media is a closed form over the row index: kind cycles
+        # image/audio/video, payload is always a 128-byte digest x4,
+        # video duration = 1000 + i % 60000 — so the two synthetic
+        # queries' outputs are plain SQL over range(300) even though
+        # the payload bytes themselves only flow through the *_docs
+        # oracle below
+        "multimodal_features":
+            "SELECT i AS media_id, "
+            "list_extract(['image','audio','video'], (i % 3 + 1)::INT) "
+            "AS kind, 128 AS n_bytes FROM range(300) t(i)",
+
+        "multimodal_frame_plan":
+            "SELECT i AS media_id, "
+            "((1000 + i % 60000) // 5000 + 1) AS n_frames "
+            "FROM range(300) t(i) WHERE i % 3 = 2",
+
         # fake decoder = sha256(kind + payload bytes); VARCHAR in both
         # engines is UTF-8, so sha256(kind || text) reproduces it.
         # Features serialized to a CSV string (%.6f per element) so the
