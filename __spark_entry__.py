@@ -341,6 +341,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda spark, sf: textstats.fingerprint(
         _t(spark, sf, "documents"))
 
+    # ---- PII scrub over documents with deterministically planted
+    # emails/IPs/phones (the synthetic corpus has none of its own)
+    def text_pii_redaction(spark, sf):
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".17 tel 555-01"),
+                F.format_string("%04d", (F.col("doc_id") % 10000)
+                                .cast("int")),
+            ).alias("text"))
+        return textstats.redact_pii(docs)
+    q["text_pii_redaction"] = text_pii_redaction
+
     # ---- benchmark decontamination: distinct 8-grams shared with the
     # probe corpus (here: docs 0-4 standing in for an eval suite)
     def text_contamination(spark, sf):
@@ -550,6 +567,25 @@ def _srp_oracle_sqls() -> dict[str, str]:
             "WHERE round(list_cosine_similarity(a.embedding, b.embedding),"
             " 6) >= 0.99",
     }
+
+
+def _pii_oracle_sql() -> str:
+    from lexmapr_spark.ops.textstats import PII_PATTERNS
+
+    planted = ("SELECT doc_id, text || ' contact user' || doc_id || "
+               "'@example.com from 10.0.' || (doc_id % 256) || "
+               "'.17 tel 555-01' || printf('%04d', (doc_id % 10000)::INT) "
+               "AS text FROM documents")
+    redacted = "text"
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{name}")
+        redacted = (f"regexp_replace({redacted}, '{pat}', "
+                    f"'<{name.upper()}>', 'g')")
+    return (f"WITH planted AS ({planted}) SELECT doc_id, "
+            f"{redacted} AS redacted_text, {', '.join(counts)} "
+            "FROM planted")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -817,6 +853,11 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split_regex(regexp_replace(text, "
             "'([^\\sA-Za-z0-9])', ' \\1 ', 'g'), '\\s+'), x -> x != '')) "
             "AS n_subword_tokens FROM documents",
+
+        # PII patterns are RE2-subset so Java regex and DuckDB RE2
+        # agree; replacement nesting mirrors redact_pii's order
+        # (email -> ipv4 -> phone), counts per kind on the raw text
+        "text_pii_redaction": _pii_oracle_sql(),
 
         # 8-gram builder mirrors Spark's slice-truncation for short
         # docs (concat_ws skips DuckDB's out-of-bounds NULLs)

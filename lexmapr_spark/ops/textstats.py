@@ -184,3 +184,42 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
     return (doc_grams.join(F.broadcast(probe_grams), "gram")
             .groupBy(id_col)
             .agg(F.countDistinct("gram").alias("n_contaminated_ngrams")))
+
+
+# PII patterns written to the RE2-compatible subset (no backrefs, no
+# lookaround) so Spark's Java regex and DuckDB's RE2 match identically;
+# replacement order is fixed (emails first, so phone can't eat an
+# address's digits)
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    # literal space in the class (not \s: Java and RE2 disagree on
+    # vertical tab); counts are per-kind on the RAW text, so an IPv4
+    # also counts as phone-like — redaction order disambiguates
+    ("phone", r"\+?\d[\d ().-]{7,}\d"),
+]
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: replace emails, IPv4 addresses, and
+    phone-like digit runs with ``<EMAIL>``/``<IPV4>``/``<PHONE>``
+    tokens and count the redactions per kind.
+
+    Pure JVM (regexp_replace / regexp_count inside whole-stage
+    codegen) — the canonical shape for a 100 TB scrub pass: a narrow
+    projection, no shuffle, patterns in the RE2 subset so the same
+    pass is reproducible on any engine (DuckDB oracle value-checks
+    every redacted byte and count).
+    """
+    docs = fan_out(docs)
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        # regexp_count takes the pattern as a literal column — no SQL
+        # string-escaping round trip for the backslashes
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                      .alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return docs.select(F.col(id_col), redacted.alias("redacted_text"),
+                       *counts)

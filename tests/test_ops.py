@@ -408,3 +408,21 @@ def test_ngrams_col_short_doc_truncates(spark):
     out = {r.doc_id: list(r.g) for r in df.select(
         "doc_id", textstats.ngrams_col("text", 8).alias("g")).collect()}
     assert out == {1: ["just three words"], 2: []}
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    df = spark.createDataFrame([
+        (1, "mail alice.smith+x@sub.example.org and bob@ex.co here"),
+        (2, "server at 192.168.0.1 called +1 (555) 010-4242 twice"),
+        (3, "clean text with no identifiers at all"),
+    ], "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in textstats.redact_pii(df).collect()}
+    assert got[1].n_email == 2 and got[1].n_ipv4 == 0
+    assert "<EMAIL>" in got[1].redacted_text
+    assert "alice" not in got[1].redacted_text
+    assert "bob@ex.co" not in got[1].redacted_text
+    assert got[2].n_ipv4 == 1 and "<IPV4>" in got[2].redacted_text
+    assert "<PHONE>" in got[2].redacted_text
+    assert "192.168.0.1" not in got[2].redacted_text
+    assert got[3].redacted_text == "clean text with no identifiers at all"
+    assert got[3].n_email == got[3].n_ipv4 == got[3].n_phone == 0
