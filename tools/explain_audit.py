@@ -83,6 +83,16 @@ def main():
         "multimodal_features_docs":
             "Column-pruned scan feeding one Arrow stage; no shuffle "
             "anywhere (pure per-row decode fan-out).",
+        "text_contamination":
+            "Decontamination (round 3): probe-side distinct grams are "
+            "a BroadcastExchange; the exploded training corpus streams "
+            "through the BroadcastHashJoin (big side never shuffles "
+            "for the join); distinct-count partials before the final "
+            "per-doc aggregation.",
+        "text_pii_redaction":
+            "PII scrub (round 3): one narrow Project containing all "
+            "regexp_count/regexp_replace expressions inside "
+            "WholeStageCodegen — zero Exchange.",
         "ann_srp_bucketed_topk":
             "Multi-probe SRP (round 3): probe buckets computed from "
             "ONE driver-side matmul on the 1-row query vector, then a "
