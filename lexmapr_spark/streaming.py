@@ -219,3 +219,45 @@ def stream_deduped_pages(pages_stream, out_dir: str, checkpoint_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curated_pages(pages_stream, out_dir: str, checkpoint_dir: str,
+                         min_quality: float = 0.3, lang: str = "en",
+                         available_now: bool = True):
+    """Streaming curation: language gate + quality gate + PII scrub —
+    the STATELESS prefix of ``textstats.curate`` on an unbounded page
+    stream. All pure-JVM sibling expressions in one projection, so the
+    stream is shuffle-free and its checkpoint holds only source
+    offsets; the stateful stages stay where bounded state lives
+    (fingerprint/url dedup -> ``stream_deduped_pages``'
+    watermark-bounded dedup, global dedup -> periodic batch compaction
+    over the sink, exactly like ``stream_triples``' dedup note).
+    """
+    from lexmapr_spark.ops.textstats import (
+        PII_PATTERNS,
+        _lang_pred_col,
+        _quality_cols,
+    )
+
+    qc = _quality_cols("text")
+    redacted = F.col("text")
+    for name, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    curated = (
+        pages_stream
+        .withColumn("lang_pred", _lang_pred_col("text"))
+        .withColumn("quality", F.round(qc["quality"], 6))
+        .where((F.col("lang_pred") == lang)
+               & (F.col("quality") >= min_quality))
+        .select("url", "warc_ts", redacted.alias("text"),
+                "lang_pred", "quality")
+    )
+    writer = (
+        curated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -212,3 +212,38 @@ def test_stream_deduped_pages_bounded_state(spark):
         assert got.select("url", "text").distinct().count() == 3
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_curated_pages_filters_and_scrubs(spark):
+    """Streaming curation: low-quality and non-English rows are
+    dropped, kept rows have PII scrubbed, and the stream has no
+    stateful operator (stateless prefix only)."""
+    import datetime
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "pages")
+    out = os.path.join(base, "curated")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "it is resting in the shade of a big tree for an hour "
+                "contact me at someone@example.com about it")
+        rows = [
+            ("u1", t0, None, good, "en"),
+            ("u2", t0, None, "der schnelle braune fuchs und der faule "
+                             "hund ist nicht das problem", "de"),  # lang gate
+            ("u3", t0, None, "!!!! ???? ....", "en"),              # quality gate
+        ]
+        spark.createDataFrame(rows, streaming.PAGES_SCHEMA) \
+            .write.parquet(landing)
+        q = streaming.stream_curated_pages(
+            streaming.stream_pages(spark, landing), out, ckpt)
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).collect()
+        assert [r.url for r in got] == ["u1"]
+        assert "<EMAIL>" in got[0].text
+        assert "someone@example.com" not in got[0].text
+        assert got[0].lang_pred == "en" and got[0].quality >= 0.3
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
