@@ -184,6 +184,13 @@ _DETOK_STARTING_QUOTES = [
 
 
 _PLAIN_TOKEN_RE = re.compile(r"^[a-z0-9]+$")
+# detokenizer contraction patterns, precompiled once (NLTK rebuilds
+# them per call via .pattern.replace — same regexes, order preserved:
+# CONTRACTIONS3 first, then CONTRACTIONS2, as in its detokenize())
+_DETOK_CONTRACTIONS = [
+    re.compile(r.pattern.replace("(?#X)", r"\s"))
+    for r in _CONTRACTIONS3 + _CONTRACTIONS2
+]
 # first words of the apostrophe-free MacIntyre contraction pairs that
 # the detokenizer re-joins ("can not" -> "cannot", ...)
 _CONTRACTION_HEADS = frozenset(["can", "gim", "gon", "got", "lem", "wan"])
@@ -195,11 +202,18 @@ def treebank_detokenize(tokens: list[str]) -> str:
     if _plain_tokens(text) is not None and _CONTRACTION_HEADS.isdisjoint(tokens):
         # ("can not" re-joins to "cannot" below, so it can't fast-path)
         return text
+    return _detokenize_slow(text)
 
-    for regexp in _CONTRACTIONS3:
-        text = re.sub(regexp.pattern.replace("(?#X)", r"\s"), r"\1\2", text)
-    for regexp in _CONTRACTIONS2:
-        text = re.sub(regexp.pattern.replace("(?#X)", r"\s"), r"\1\2", text)
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=65536)
+def _detokenize_slow(text: str) -> str:
+    # pure function of the joined text: cache it — a sample's tokens
+    # are detokenized twice (plain + sci-name variants, usually equal)
+    for regexp in _DETOK_CONTRACTIONS:
+        text = regexp.sub(r"\1\2", text)
 
     for regexp, substitution in _DETOK_ENDING_QUOTES:
         text = regexp.sub(substitution, text)
