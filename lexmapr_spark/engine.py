@@ -366,12 +366,13 @@ def render_wide_tsv(mentions_rows, full: bool = True,
 
 
 def wide_lines(mentions: DataFrame, full: bool = True,
-               bucket: bool = False) -> DataFrame:
+               bucket: bool = False, extra_cols: tuple = ()) -> DataFrame:
     """Worker-side wide-TSV rendering: one formatted ``line`` per
     mention row, byte-identical to :func:`render_wide_tsv` body rows.
     A narrow Arrow-batched map — no shuffle, no driver collect — so
     the reference's primary artifact (pipeline.py:279-291) renders at
-    any scale."""
+    any scale. ``extra_cols`` ride along verbatim (e.g. a bucket id so
+    the sink can partition the part files)."""
     ship_package(mentions.sparkSession)
     if bucket:
         need = {"lexmapr_classification", "lexmapr_bucket",
@@ -403,9 +404,15 @@ def wide_lines(mentions: DataFrame, full: bool = True,
                                      for d in r.transformations]
                     if full else None,
                     full=full, bucket=bucket, **kwargs)))
-            yield pd.DataFrame({"line": lines})
+            frame = pd.DataFrame({"line": lines})
+            for c in extra_cols:
+                frame[c] = pdf[c].values
+            yield frame
 
-    return mentions.mapInPandas(fmt, "line STRING")
+    schema = StructType(
+        [StructField("line", StringType())]
+        + [mentions.schema[c] for c in extra_cols])
+    return mentions.mapInPandas(fmt, schema)
 
 
 def write_wide_tsv(mentions: DataFrame, path: str, full: bool = True,
@@ -716,6 +723,153 @@ def _checkpoint_job(spark, pages, lex_bc, buckets, n_buckets, comps,
             _delete_path(spark, os.path.join(triples_dir, f"bucket={b}"))
         # manifest row = lineage + metrics for this split; the bucket id
         # lives in the directory name (partition column on read)
+        spark.createDataFrame(
+            [(n_pages, n_triples)], "pages BIGINT, triples BIGINT",
+        ).write.mode("overwrite").parquet(
+            os.path.join(manifest_dir, f"bucket={b}"))
+        stats["pages"] += n_pages
+        stats["triples"] += n_triples
+
+
+def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
+                       n_buckets: int = 32, full: bool = True,
+                       classify: bool = True, canonical: bool = False,
+                       manifest_chunks: int = 1) -> dict:
+    """Production run emitting EVERY user-facing artifact from ONE
+    pass over the input, bucket-resumable like
+    :func:`run_with_checkpoint`:
+
+    * ``out_dir/mentions/bucket=<b>`` — the wide mention table
+      (parquet). This is the durable intermediate: the input is
+      scanned exactly once, through the expensive Arrow matching
+      stage, to land it.
+    * ``out_dir/triples/bucket=<b>`` — derived by RE-READING the
+      stored mentions (a much smaller, column-pruned scan), not the
+      input; optionally canonicalized.
+    * ``out_dir/wide/bucket=<b>`` — the reference's wide TSV as text
+      part files (cells formatted worker-side via :func:`wide_lines`),
+      plus ``out_dir/wide/_header.tsv``.
+
+    Manifest rows land only after all three artifacts for a bucket
+    are durable, so resume never trusts a half-written bucket; all
+    sinks use dynamic partition overwrite, so re-running a bucket is
+    idempotent. ``manifest_chunks`` trades extra passes for intra-run
+    durability exactly as in :func:`run_with_checkpoint`.
+    """
+    spark = pages.sparkSession
+    manifest_dir = os.path.join(out_dir, "manifest")
+    mentions_dir = os.path.join(out_dir, "mentions")
+    triples_dir = os.path.join(out_dir, "triples")
+    wide_dir = os.path.join(out_dir, "wide")
+
+    done: set[int] = set()
+    if _path_exists(spark, manifest_dir):
+        done = {
+            r.bucket for r in
+            spark.read.parquet(manifest_dir).select("bucket").collect()
+        }
+    todo = [b for b in range(n_buckets) if b not in done]
+    stats = {"buckets_total": n_buckets, "buckets_skipped": len(done),
+             "pages": 0, "triples": 0}
+    if not todo:
+        return stats
+
+    comps = (connected_components(alias_edges(spark, lex_bc.value))
+             if canonical else None)
+    n_chunks = max(1, min(int(manifest_chunks), len(todo)))
+    size = -(-len(todo) // n_chunks)
+    chunks = [todo[i:i + size] for i in range(0, len(todo), size)]
+
+    overwrite_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for chunk in chunks:
+            _artifacts_job(spark, pages, lex_bc, chunk, n_buckets, comps,
+                           full, classify, mentions_dir, triples_dir,
+                           wide_dir, manifest_dir, stats)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       overwrite_mode)
+    _write_text_file(spark, os.path.join(wide_dir, "_header.tsv"),
+                     "\t".join(wide_headers(full, classify)) + "\n")
+    return stats
+
+
+def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
+                   full, classify, mentions_dir, triples_dir, wide_dir,
+                   manifest_dir, stats) -> None:
+    import uuid
+
+    from pyspark.sql import Observation
+
+    bucketed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    if len(buckets) < n_buckets:
+        bucketed = bucketed.where(F.col("bucket").isin(*buckets))
+
+    def per_bucket_counts():
+        return [F.count(F.when(F.col("bucket") == b, 1)).alias(f"b{b}")
+                for b in buckets]
+
+    tag = uuid.uuid4().hex[:8]
+    pages_obs = Observation(f"art_pages_{tag}")
+    bucketed_raw = bucketed
+    bucketed = bucketed.observe(pages_obs, *per_bucket_counts())
+
+    # THE input pass: scan -> Arrow matching stage -> mentions parquet
+    mentions = annotate(bucketed, lex_bc, classify=classify,
+                        extra_cols=("bucket",))
+    mentions.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(mentions_dir)
+
+    # derive the other artifacts from the STORED mentions — re-reads
+    # the small intermediate, never the input
+    stored = spark.read.parquet(mentions_dir).where(
+        F.col("bucket").isin(*buckets))
+    t = triples(stored, extra_cols=("bucket",))
+    if comps is not None:
+        t = canonicalize(t, comps, keep_cols=("bucket",))
+    triples_obs = Observation(f"art_triples_{tag}")
+    t = t.observe(triples_obs, *per_bucket_counts())
+    t.write.mode("overwrite").partitionBy("bucket").parquet(triples_dir)
+
+    wide_lines(stored, full=full, bucket=classify,
+               extra_cols=("bucket",)) \
+        .write.mode("overwrite").partitionBy("bucket").text(wide_dir)
+
+    def counts(obs, fallback):
+        try:
+            return obs.get
+        except Exception:
+            if fallback is None:
+                return {f"b{b}": 0 for b in buckets}
+            got = {r.bucket: r.n for r in
+                   fallback.groupBy("bucket").agg(
+                       F.count("*").alias("n")).collect()}
+            return {f"b{b}": got.get(b, 0) for b in buckets}
+
+    page_counts = counts(pages_obs, bucketed_raw)
+    written = None
+    if _path_exists(spark, triples_dir):
+        try:
+            written = spark.read.parquet(triples_dir).where(
+                F.col("bucket").isin(*buckets))
+        except Exception:
+            pass  # dir exists but has no readable footers
+    triple_counts = counts(triples_obs, written)
+
+    for b in buckets:
+        n_pages = int(page_counts[f"b{b}"])
+        n_triples = int(triple_counts[f"b{b}"])
+        # empty buckets write no partition under dynamic overwrite:
+        # clear stale partials from a crashed prior run before
+        # manifesting (same invariant as run_with_checkpoint)
+        if n_pages == 0:
+            _delete_path(spark, os.path.join(mentions_dir, f"bucket={b}"))
+            _delete_path(spark, os.path.join(wide_dir, f"bucket={b}"))
+        if n_triples == 0:
+            _delete_path(spark, os.path.join(triples_dir, f"bucket={b}"))
         spark.createDataFrame(
             [(n_pages, n_triples)], "pages BIGINT, triples BIGINT",
         ).write.mode("overwrite").parquet(

@@ -313,6 +313,54 @@ def test_checkpoint_chunked_matches_single_job(spark, lex_bc):
         shutil.rmtree(out2, ignore_errors=True)
 
 
+def test_run_full_artifacts_end_to_end(spark, lex_bc):
+    """Production runner: mentions + triples + wide TSV from ONE input
+    pass, bucket-resumable. Checks the single scan (accumulator), the
+    triple set vs the direct pipeline, wide part files vs the
+    driver-side renderer, and resume."""
+    import glob
+
+    out = tempfile.mkdtemp()
+    try:
+        pages = synth_pages(spark, 160, corpus=load_corpus(limit=80))
+        rows_read = spark.sparkContext.accumulator(0)
+
+        def counting(batches):
+            for pdf in batches:
+                rows_read.add(len(pdf))
+                yield pdf
+
+        counted = pages.mapInPandas(counting, pages.schema)
+        s = engine.run_full_artifacts(counted, lex_bc, out, n_buckets=4)
+        assert s["pages"] == 160 and s["triples"] > 0
+        assert rows_read.value == 160, (
+            f"input scanned {rows_read.value / 160:.1f}x, expected 1x")
+
+        mentions = spark.read.parquet(os.path.join(out, "mentions"))
+        assert mentions.count() == 160
+        assert "ifsac_labels" in mentions.columns  # classify=True default
+
+        got_triples = spark.read.parquet(os.path.join(out, "triples")) \
+            .select("subj", "pred", "obj")
+        direct = engine.triples(engine.annotate(pages, lex_bc))
+        assert got_triples.exceptAll(direct).count() == 0
+        assert direct.exceptAll(got_triples).count() == 0
+
+        header = open(os.path.join(out, "wide", "_header.tsv")).read()
+        assert header == "\t".join(engine.wide_headers(True, True)) + "\n"
+        lines = []
+        for p in glob.glob(os.path.join(out, "wide", "bucket=*", "part-*")):
+            lines += open(p).read().rstrip("\n").split("\n")
+        expect = engine.render_wide_tsv(
+            mentions.collect(), full=True, bucket=True)
+        assert sorted(lines) == sorted(expect.rstrip("\n").split("\n")[1:])
+
+        s2 = engine.run_full_artifacts(pages, lex_bc, out, n_buckets=4)
+        assert s2["buckets_skipped"] == 4 and s2["pages"] == 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_spark_bucket_output_byte_exact_vs_local(spark, lex_bc):
     """--bucket --full wide output through the Spark path: the four
     classification cells (pipeline.py:81-92,286-289) must render

@@ -3,11 +3,14 @@
 
 Usage:
   spark-submit --master local[8] --py-files /path/lexmapr_spark.zip \
-      tools/submit_job.py <n_pages> <out_dir> [n_buckets]
+      tools/submit_job.py <n_pages> <out_dir> [n_buckets] [--artifacts]
 
 Runs the checkpointed, resumable pipeline (pages -> mentions -> triples
 with a per-bucket manifest). Re-submitting with the same out_dir after
-a kill resumes, skipping completed buckets. Prints one JSON line.
+a kill resumes, skipping completed buckets. With ``--artifacts`` it
+runs ``engine.run_full_artifacts`` instead, emitting the mentions
+table, the triples, AND the wide TSV part files from one input pass.
+Prints one JSON line.
 
 The lexicon resource CSVs are data files (not importable from a
 --py-files zip), so when running from a zip the lexicon is compiled
@@ -22,9 +25,10 @@ import time
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/lexmapr_out"
-    n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_pages = int(args[0]) if len(args) > 0 else 20000
+    out_dir = args[1] if len(args) > 1 else "/tmp/lexmapr_out"
+    n_buckets = int(args[2]) if len(args) > 2 else 8
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.appName("lexmapr_kg_submit")
@@ -46,8 +50,12 @@ def main():
 
     pages = synth_pages(spark, n_pages)
     t0 = time.time()
-    stats = engine.run_with_checkpoint(pages, lex_bc, out_dir,
-                                       n_buckets=n_buckets)
+    if "--artifacts" in sys.argv[1:]:
+        stats = engine.run_full_artifacts(pages, lex_bc, out_dir,
+                                          n_buckets=n_buckets)
+    else:
+        stats = engine.run_with_checkpoint(pages, lex_bc, out_dir,
+                                           n_buckets=n_buckets)
     stats["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     spark.stop()
