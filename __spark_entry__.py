@@ -423,6 +423,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.frame_sample_plan(media, every_ms=1000)
     q["multimodal_frame_plan_docs"] = multimodal_frame_plan_docs
 
+    # ---- C7 confidence scoring (lexmapr_spark/confidence.py)
+    # Oracle-checked core: synthetic (tokens, statuses) derived from
+    # documents via SQL-expressible transforms, scored with the JVM
+    # confidence_cols expressions; DuckDB independently replicates the
+    # penalty fold, the str(set)-membership quirk, and the int-vs-float
+    # score rendering. Tokens are non-empty-filtered so instr/strpos
+    # agree across engines.
+    def conf_scoring(spark, sf):
+        from lexmapr_spark import confidence as conf
+        docs = _t(spark, sf, "documents")
+        toks = F.filter(F.split(F.lower(F.col("text")), " "),
+                        lambda x: x != "")
+        base = (docs
+                .withColumn("toks", toks)
+                .where(F.size("toks") >= 4)
+                .select(
+                    "doc_id",
+                    F.slice("toks", 1, 6).alias("sample_tokens"),
+                    F.when(F.col("doc_id") % 3 == 0, "Full Term Match")
+                     .when(F.col("doc_id") % 3 == 1, "Component Match")
+                     .otherwise("No Match").alias("macro_status"),
+                    F.array(
+                        F.when(F.col("doc_id") % 2 == 0,
+                               "Used Cleaned Sample")
+                         .otherwise("A Direct Match"),
+                        F.when(F.col("n_chars") % 2 == 0,
+                               "Spelling Correction Treatment")
+                         .otherwise("Synonym Usage")).alias("micro_status"),
+                    F.slice("toks", 1, 2).alias("covered_tokens"),
+                    F.slice("toks", 2, 2).alias("head_nouns")))
+        score, rendered = conf.confidence_cols(
+            "sample_tokens", "macro_status", "micro_status",
+            "covered_tokens", "head_nouns")
+        return base.select("doc_id", score.alias("confidence_score"),
+                           rendered.alias("confidence"))
+    q["conf_scoring"] = conf_scoring
+
+    # rows-only (matcher-driven): per-level confidence histogram over
+    # annotated pages — exercises annotate(confidence=True) +
+    # with_confidence end-to-end
+    def kg_confidence_histogram(spark, sf):
+        from lexmapr_spark import confidence as conf
+        m = engine.annotate(_docs_as_pages(spark, sf), _lex_bc(spark),
+                            confidence=True)
+        c = conf.with_confidence(m)
+        return (c.groupBy(
+                    "macro_status",
+                    F.regexp_extract("confidence", r"^(.+) \(", 1)
+                     .alias("confidence_level"))
+                 .agg(F.count("*").alias("n"),
+                      F.round(F.avg("confidence_score"), 6)
+                       .alias("avg_score")))
+    q["kg_confidence_histogram"] = kg_confidence_histogram
+
     # Python-UDF-bearing queries need the package importable on the
     # executors regardless of the driver's launch directory
     def _shipped(fn):
@@ -924,7 +978,77 @@ def oracle_sql() -> dict[str, str]:
     if ivf is not None:
         oracles["ann_ivf_topk"] = ivf
     oracles.update(_srp_oracle_sqls())
+    oracles["conf_scoring"] = _conf_oracle_sql()
     return oracles
+
+
+def _conf_oracle_sql() -> str:
+    """DuckDB replication of the C7 confidence scorer over the same
+    synthetic inputs as ``conf_scoring``. Covered set here is always
+    exactly (tok1, tok2) and head nouns (tok2, tok3), so the
+    str(set)-repr membership quirk (substring of ``'elem'`` with quote
+    boundaries; ``'set()'`` when empty — see
+    ``lexmapr_spark/confidence.py``, deviation 2) unrolls to scalar
+    strpos tests without nested lambdas. Penalty weights are computed
+    independently from the CASE branches (5/0 + 4/3 per
+    confidence_weight_penalty.csv), not via the Spark fold."""
+    q = "chr(39) || {0} || chr(39)"
+    c1q, c2q = q.format("c1"), q.format("c2")
+    h1q, h2q = q.format("h1"), q.format("h2")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, list_slice(toks, 1, 6) AS stoks,
+             toks[1] AS c1, toks[2] AS c2, toks[2] AS h1, toks[3] AS h2,
+             CASE WHEN doc_id % 3 = 0 THEN 'Full Term Match'
+                  WHEN doc_id % 3 = 1 THEN 'Component Match'
+                  ELSE 'No Match' END AS status,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 0 END
+                  + CASE WHEN n_chars % 2 = 0 THEN 4 ELSE 3 END
+                  AS DOUBLE) AS penalty
+      FROM base WHERE len(toks) >= 4),
+    cov AS (
+      SELECT *,
+        strpos({c1q}, h1) > 0 OR strpos({c2q}, h1) > 0 AS h1_cov,
+        strpos({c1q}, h2) > 0 OR strpos({c2q}, h2) > 0 AS h2_cov
+      FROM f),
+    nc AS (
+      SELECT *,
+        CASE WHEN h1 = h2 THEN CASE WHEN h1_cov THEN 0 ELSE 1 END
+             ELSE (CASE WHEN h1_cov THEN 0 ELSE 1 END
+                   + CASE WHEN h2_cov THEN 0 ELSE 1 END) END AS n_nc_hn
+      FROM cov),
+    cnt AS (
+      SELECT *,
+        len(list_distinct(list_filter(stoks, t ->
+          NOT (strpos({c1q}, t) > 0 OR strpos({c2q}, t) > 0)
+          AND NOT (CASE WHEN n_nc_hn = 0 THEN strpos('set()', t) > 0
+                   ELSE ((NOT h1_cov) AND strpos({h1q}, t) > 0)
+                     OR ((NOT h2_cov) AND strpos({h2q}, t) > 0) END)
+        ))) AS n_nc_toks
+      FROM nc),
+    scored AS (
+      SELECT doc_id, status,
+        CASE WHEN status = 'Full Term Match' THEN 100.0 - penalty
+             WHEN status = 'Component Match'
+               THEN 90.0 - penalty - 6.0 * n_nc_toks - 10.0 * n_nc_hn
+             ELSE 0.0 END AS confidence_score
+      FROM cnt)
+    SELECT doc_id, confidence_score,
+      CASE WHEN status = 'No Match' THEN 'Low (0%)'
+           ELSE (CASE WHEN confidence_score > 89 THEN 'Highest'
+                      WHEN confidence_score > 79 THEN 'High'
+                      WHEN confidence_score > 69 THEN 'Moderately High'
+                      WHEN confidence_score > 59 THEN 'Medium'
+                      ELSE 'Low' END)
+                || ' (' || printf('%.1f', confidence_score) || '%)' END
+        AS confidence
+    FROM scored
+    """
 
 
 def _quality_oracle_sql() -> str:

@@ -69,6 +69,14 @@ CLASSIFY_FIELDS = [
     StructField("third_party_bucket", StringType()),
 ]
 
+# extra columns when annotate(confidence=True): inputs for the C7
+# confidence scorer (lexmapr_spark/confidence.py) — cleaned-sample
+# tokens and the component-match covered set (pipeline.py:195-219)
+CONFIDENCE_FIELDS = [
+    StructField("sample_tokens", ArrayType(StringType())),
+    StructField("covered_tokens", ArrayType(StringType())),
+]
+
 OBO_PREFIX = "http://purl.obolibrary.org/obo/"
 _PRED = {"Full Term Match": "fullTermMatch", "Component Match": "componentMatch"}
 
@@ -144,6 +152,7 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
              text_col: str = "text",
              min_partitions: int | None = 0,
              classify: bool = False,
+             confidence: bool = False,
              extra_cols: tuple = ()) -> DataFrame:
     """pages -> wide mention table via one Arrow-batched stage.
 
@@ -212,6 +221,12 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
                      for k, v in r.transformations.items()]
                     for r in results],
             }
+            if confidence:
+                # opt-in (C7 inputs): token arrays ride the Arrow
+                # batch only when the caller will score confidence —
+                # the default path pays nothing for them
+                out["sample_tokens"] = [r.sample_tokens for r in results]
+                out["covered_tokens"] = [r.covered_tokens for r in results]
             if classify:
                 out["ifsac_labels"] = [
                     r.third_party_classification for r in results]
@@ -233,6 +248,7 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
 
     schema = StructType(
         MENTION_SCHEMA.fields
+        + (CONFIDENCE_FIELDS if confidence else [])
         + (CLASSIFY_FIELDS if classify else [])
         + extra_fields)
     return projected.mapInPandas(run_batches, schema)

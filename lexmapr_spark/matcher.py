@@ -60,6 +60,11 @@ class MatchResult:
     lexmapr_bucket: list = field(default_factory=list)
     third_party_bucket: list = field(default_factory=list)
     third_party_classification: list = field(default_factory=list)
+    # confidence inputs (C7, dormant in the reference): tokens of the
+    # cleaned sample and the component-match covered set
+    # (pipeline.py:195-219 covered_tokens), sorted for determinism
+    sample_tokens: list = field(default_factory=list)
+    covered_tokens: list = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -379,6 +384,7 @@ def process_sample(sample_id: str, original_sample: str, lex: Lexicon,
         matched_components.append(full["term"] + ":" + full["id"])
         macro_status = "Full Term Match"
         micro_status += full["status"]
+        res.sample_tokens = word_tokenize(cleaned)
         if classify:
             from lexmapr_spark.classification import classify_sample
             cls = classify_sample(sample, matched_components, lex)
@@ -393,6 +399,7 @@ def process_sample(sample_id: str, original_sample: str, lex: Lexicon,
         covered_tokens: set = set()
         vocab = lex.vocab
         cleaned_tokens = word_tokenize(cleaned)
+        res.sample_tokens = cleaned_tokens
         # per-distinct-token memo of (is_plain, prunable): every token
         # participates in up to ~15 chunks per window size, so running
         # the regex + vocab probe once per token (not once per
@@ -438,6 +445,8 @@ def process_sample(sample_id: str, original_sample: str, lex: Lexicon,
                 if component_match:
                     component_matches.append(component_match)
                     covered_tokens.update(gram_tokens)
+
+        res.covered_tokens = sorted(covered_tokens)
 
         # Ancestor suppression via precomputed closure (pipeline.py:222-238)
         ancestors: set = set()
