@@ -423,6 +423,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.frame_sample_plan(media, every_ms=1000)
     q["multimodal_frame_plan_docs"] = multimodal_frame_plan_docs
 
+    # ---- Gopher-style repetition stats (lines synthesized by
+    # replacing a frequent word with newlines — SQL-expressible so the
+    # DuckDB oracle recomputes every stat via unnest + window)
+    def text_repetition(spark, sf):
+        lined = _t(spark, sf, "documents").select(
+            "doc_id", F.replace(F.col("text"), F.lit(" table "),
+                                F.lit("\n")).alias("text"))
+        return textstats.repetition_stats(lined)
+    q["text_repetition"] = text_repetition
+
+    # ---- unigram-LM perplexity proxy (self-scored corpus)
+    def text_perplexity(spark, sf):
+        return textstats.perplexity(_t(spark, sf, "documents"))
+    q["text_perplexity"] = text_perplexity
+
     # ---- C7 confidence scoring (lexmapr_spark/confidence.py)
     # Oracle-checked core: synthetic (tokens, statuses) derived from
     # documents via SQL-expressible transforms, scored with the JVM
@@ -979,7 +994,97 @@ def oracle_sql() -> dict[str, str]:
         oracles["ann_ivf_topk"] = ivf
     oracles.update(_srp_oracle_sqls())
     oracles["conf_scoring"] = _conf_oracle_sql()
+    oracles["text_repetition"] = _repetition_oracle_sql()
+    oracles["text_perplexity"] = _perplexity_oracle_sql()
     return oracles
+
+
+def _repetition_oracle_sql() -> str:
+    """Independent unnest+window recomputation of repetition_stats
+    over the same line-synthesized text (replace scans left-to-right
+    non-overlapping in Spark, DuckDB, and Python alike)."""
+    return """
+    WITH d AS (
+      SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+      FROM documents),
+    feat AS (
+      SELECT doc_id, length(text) AS n_chars FROM d),
+    lc AS (
+      SELECT doc_id, line, count(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM d) GROUP BY doc_id, line),
+    line_stats AS (
+      SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+             sum(length(line) * (c - 1)) AS dup_line_chars
+      FROM lc GROUP BY doc_id),
+    wc AS (
+      SELECT doc_id, tok, count(*) AS c FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+        FROM d) GROUP BY doc_id, tok),
+    word_stats AS (
+      SELECT doc_id, sum(c) AS n_toks, sum(c) - count(*) AS dup_word,
+             max(c) AS max_c
+      FROM wc GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(toks) - 1),
+        i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS toks FROM d)),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM grams
+           GROUP BY doc_id, g),
+    topg AS (
+      SELECT doc_id, g, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY c DESC, g ASC) AS rn FROM gc) WHERE rn = 1)
+    SELECT d.doc_id,
+      round(CAST(ls.dup_lines AS DOUBLE) / ls.n_lines, 6)
+        AS dup_line_frac,
+      CASE WHEN f.n_chars > 0 THEN
+        round(CAST(ls.dup_line_chars AS DOUBLE) / f.n_chars, 6)
+        ELSE 0.0 END AS dup_line_char_frac,
+      CASE WHEN coalesce(ws.n_toks, 0) > 0 THEN
+        round(CAST(ws.dup_word AS DOUBLE) / ws.n_toks, 6)
+        ELSE 0.0 END AS dup_word_frac,
+      CASE WHEN coalesce(ws.n_toks, 0) > 0 THEN
+        round(CAST(ws.max_c AS DOUBLE) / ws.n_toks, 6)
+        ELSE 0.0 END AS max_word_frac,
+      CASE WHEN tg.g IS NOT NULL AND f.n_chars > 0 THEN
+        round(CAST(length(tg.g) * tg.c AS DOUBLE) / f.n_chars, 6)
+        ELSE 0.0 END AS top_2gram_char_frac
+    FROM d
+    JOIN feat f USING (doc_id)
+    JOIN line_stats ls ON d.doc_id = ls.doc_id
+    LEFT JOIN word_stats ws ON d.doc_id = ws.doc_id
+    LEFT JOIN topg tg ON d.doc_id = tg.doc_id
+    """
+
+
+def _perplexity_oracle_sql() -> str:
+    """Full SQL replication of unigram_lm + perplexity: corpus counts,
+    6-dp-rounded logprobs (order-independent DECIMAL sums), one double
+    division + exp at the end."""
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+      FROM documents),
+    counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    total AS (SELECT sum(c) AS t FROM counts),
+    lm AS (
+      SELECT token,
+             CAST(round(ln(CAST(c AS DOUBLE) / t), 6) AS DECIMAL(28,6))
+               AS lp
+      FROM counts, total),
+    per AS (
+      SELECT doc_id, sum(lp) AS s, count(*) AS n
+      FROM toks JOIN lm USING (token) GROUP BY doc_id)
+    SELECT doc_id, n AS n_tokens,
+      round(-(CAST(s AS DOUBLE) / n), 6) AS cross_entropy,
+      round(exp(round(-(CAST(s AS DOUBLE) / n), 6)), 6) AS perplexity
+    FROM per
+    """
 
 
 def _conf_oracle_sql() -> str:

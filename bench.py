@@ -85,7 +85,8 @@ def main():
         "text_langid", "text_fingerprint", "multimodal_features",
         "curation_pipeline", "multimodal_features_docs",
         "sample_hash_10pct", "sample_domain_cap", "text_contamination",
-        "text_pii_redaction",
+        "text_pii_redaction", "text_repetition", "text_perplexity",
+        "conf_scoring",
     ]
     qs = entrymod.queries()
     timings = {}

@@ -4,6 +4,7 @@ the hot path — and reproducible in the DuckDB oracle."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -223,3 +224,167 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     return docs.select(F.col(id_col), redacted.alias("redacted_text"),
                        *counts)
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     line_sep: str = "\n") -> DataFrame:
+    """Per-document repetition measures from the published Gopher
+    quality rules (Rae et al. 2021, "Scaling Language Models", §A1.1):
+
+    - ``dup_line_frac``       lines that duplicate an earlier line / lines
+    - ``dup_line_char_frac``  chars in those duplicate lines / chars
+    - ``dup_word_frac``       repeated-token occurrences / tokens
+    - ``max_word_frac``       occurrences of the most frequent token / tokens
+    - ``top_2gram_char_frac`` chars covered by the most frequent word
+      2-gram / chars (most-frequent ties broken lexicographically)
+
+    Shape for 100 TB: every stat is per-row, so this is ONE
+    Arrow-vectorized ``pandas_udf`` over a narrow (id, text)
+    projection — zero shuffle, embarrassingly parallel. A builtin-only
+    alternative exists but is strictly worse at scale: per-row
+    frequency tables in Catalyst require either a quadratic
+    ``transform(distinct, g -> count-in-array)`` per document or an
+    explode -> groupBy(doc, gram) -> re-aggregate pipeline (two
+    corpus-sized shuffles). Counter-per-doc streams in O(tokens).
+    The DuckDB oracle recomputes every stat independently with
+    unnest + window SQL (q:``text_repetition``).
+    """
+    empty_frac = 0.0
+
+    @F.pandas_udf("struct<dup_line_frac:double, dup_line_char_frac:double,"
+                  " dup_word_frac:double, max_word_frac:double,"
+                  " top_2gram_char_frac:double>")
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for text in texts:
+            text = text if text is not None else ""
+            lines = text.split(line_sep)
+            line_counts = Counter(lines)
+            n_lines = len(lines)
+            dup_lines = sum(c - 1 for c in line_counts.values())
+            dup_line_chars = sum(len(ln) * (c - 1)
+                                 for ln, c in line_counts.items())
+            n_chars = len(text)
+
+            toks = [t for t in text.split(" ") if t != ""]
+            n_toks = len(toks)
+            tok_counts = Counter(toks)
+            if n_toks:
+                dup_word = (n_toks - len(tok_counts)) / n_toks
+                max_word = max(tok_counts.values()) / n_toks
+            else:
+                dup_word = max_word = empty_frac
+
+            grams = [" ".join(toks[i:i + 2]) for i in range(n_toks - 1)]
+            if grams and n_chars:
+                gcounts = Counter(grams)
+                best = max(gcounts.items(), key=lambda kv: (kv[1], ), )
+                # deterministic tie-break: highest count, then
+                # lexicographically smallest gram
+                bc = best[1]
+                bg = min(g for g, c in gcounts.items() if c == bc)
+                top2 = len(bg) * gcounts[bg] / n_chars
+            else:
+                top2 = empty_frac
+
+            rows.append((
+                round(dup_lines / n_lines, 6) if n_lines else empty_frac,
+                round(dup_line_chars / n_chars, 6) if n_chars else empty_frac,
+                round(dup_word, 6),
+                round(max_word, 6),
+                round(top2, 6),
+            ))
+        return pd.DataFrame(rows, columns=[
+            "dup_line_frac", "dup_line_char_frac", "dup_word_frac",
+            "max_word_frac", "top_2gram_char_frac"])
+
+    docs = fan_out(docs)
+    out = docs.select(F.col(id_col), _stats(F.col(text_col)).alias("s"))
+    return out.select(id_col, "s.*")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy
+# ---------------------------------------------------------------------------
+
+def unigram_lm(docs: DataFrame, text_col: str = "text",
+               top_k: int | None = None) -> DataFrame:
+    """Corpus unigram language model: (token, logprob) with
+    ``p(tok) = count(tok) / total_tokens`` and logprob rounded to 6
+    decimals (cross-engine determinism: a rounded double survives the
+    decimal sums downstream identically in Spark and DuckDB).
+
+    One corpus-sized shuffle (explode -> groupBy token), map-side
+    combined — the canonical word-count shape. ``top_k`` bounds the
+    vocabulary for the 100 TB path (order by count desc, token asc —
+    deterministic); everything outside the kept vocab scores as OOV
+    downstream.
+    """
+    toks = fan_out(docs).select(
+        F.explode(tokens_col(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    # total BEFORE any top-k truncation; shares the groupBy exchange
+    # with the counts branch (ReusedExchange — one corpus scan, no
+    # driver-side action)
+    total_df = counts.agg(F.sum("c").alias("lm_total"))
+    if top_k is not None:
+        counts = (counts.orderBy(F.desc("c"), F.asc("token"))
+                  .limit(top_k))
+    return (counts.crossJoin(F.broadcast(total_df))
+            .select("token",
+                    F.round(F.log(F.col("c") / F.col("lm_total")), 6)
+                     .alias("logprob"),
+                    "lm_total"))
+
+
+def perplexity(docs: DataFrame, lm: DataFrame | None = None,
+               id_col: str = "doc_id", text_col: str = "text",
+               broadcast_lm: bool | None = None) -> DataFrame:
+    """Per-document cross-entropy + perplexity under a unigram LM —
+    the standard cheap quality proxy for training-data curation
+    (CCNet-style filtering, with a unigram model instead of KenLM).
+
+    ``lm`` defaults to ``unigram_lm(docs)`` (self-scored corpus).
+    OOV tokens score ``ln(1 / (total + 1))``. Docs with zero tokens
+    are dropped (no distribution to score).
+
+    Scale shape: explode -> hash join tokens to the LM -> one
+    map-side-combinable groupBy(doc). The LM side is broadcast when
+    the vocab is known-bounded (``top_k`` was set or
+    ``broadcast_lm=True``); an unbounded vocab is left to Catalyst/AQE
+    to pick the join strategy. Per-doc sums use DECIMAL(28,6) so the
+    result is independent of partitioning/summation order — then one
+    double division + exp at the end, rounded to 6.
+    """
+    if lm is None:
+        lm = unigram_lm(docs)
+    # OOV logprob as a lazy 1-row broadcast — no driver-side action,
+    # so the whole op stays one job
+    oov_df = lm.groupBy().agg(
+        F.round(F.log(1.0 / (F.max("lm_total") + 1.0)), 6)
+         .cast("decimal(28,6)").alias("oov_lp"))
+
+    lm_side = lm.select("token", F.col("logprob").cast("decimal(28,6)")
+                        .alias("logprob"))
+    if broadcast_lm or broadcast_lm is None:
+        lm_side = F.broadcast(lm_side)
+    doc_toks = fan_out(docs).select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    joined = (doc_toks.join(lm_side, "token", "left")
+              .crossJoin(F.broadcast(oov_df))
+              .select(id_col,
+                      F.coalesce("logprob", "oov_lp").alias("lp")))
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("lp").alias("sum_lp"), F.count("*").alias("n_tokens"))
+    ce = -(F.col("sum_lp").cast("double") / F.col("n_tokens"))
+    return per_doc.select(
+        id_col, "n_tokens",
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(F.round(ce, 6)), 6).alias("perplexity"))

@@ -426,3 +426,85 @@ def test_redact_pii_replaces_and_counts(spark):
     assert "192.168.0.1" not in got[2].redacted_text
     assert got[3].redacted_text == "clean text with no identifiers at all"
     assert got[3].n_email == got[3].n_ipv4 == got[3].n_phone == 0
+
+
+# ---------------------------------------------------------------------------
+# repetition stats + unigram perplexity (round 3 curation additions)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_values(spark):
+    rows = [
+        (1, "a b a b a b c"),                 # heavy 2-gram repetition
+        (2, "line one\nline one\nline two"),  # 1 duplicated line
+        (3, ""),                              # degenerate
+        (4, "the the the the"),               # one token repeated
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    # doc 1: 7 tokens, 3 distinct -> dup_word 4/7; 'a b' occurs 3x of
+    # 6 grams; covered chars 3*3/13
+    assert out[1].dup_word_frac == round(4 / 7, 6)
+    assert out[1].max_word_frac == round(3 / 7, 6)
+    assert out[1].top_2gram_char_frac == round(9 / 13, 6)
+    assert out[1].dup_line_frac == 0.0
+    # doc 2: 3 lines, one dup ("line one" x2) -> 1/3; chars 8/26
+    assert out[2].dup_line_frac == round(1 / 3, 6)
+    assert out[2].dup_line_char_frac == round(8 / 26, 6)
+    # doc 3: all zeros, no NaNs
+    assert (out[3].dup_line_frac, out[3].dup_word_frac,
+            out[3].top_2gram_char_frac) == (0.0, 0.0, 0.0)
+    # doc 4: overlapping top-2-gram coverage may exceed 1 (Gopher
+    # artifact): 'the the' x3, len 7, 15 chars
+    assert out[4].max_word_frac == 1.0
+    assert out[4].top_2gram_char_frac == round(21 / 15, 6)
+
+
+def test_repetition_stats_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    phys = (textstats.repetition_stats(df, id_col="doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    # per-row Arrow stage only: the single Exchange is the fan_out
+    # round-robin (input had 1 partition), never a key shuffle
+    assert phys.count("Exchange hashpartitioning") == 0
+
+
+def test_unigram_lm_probabilities(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id LONG, text STRING")
+    lm = {r.token: r for r in textstats.unigram_lm(df).collect()}
+    assert lm["a"].lm_total == 5
+    assert lm["a"].logprob == round(math.log(2 / 5), 6)
+    assert lm["c"].logprob == round(math.log(1 / 5), 6)
+    # top_k keeps highest counts with lexicographic tie-break
+    top = textstats.unigram_lm(df, top_k=2).collect()
+    assert sorted(r.token for r in top) == ["a", "b"]
+
+
+def test_perplexity_self_and_oov(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in textstats.perplexity(df).collect()}
+    lp = {"a": round(math.log(2 / 5), 6), "b": round(math.log(2 / 5), 6),
+          "c": round(math.log(1 / 5), 6)}
+    ce1 = round(-(lp["a"] * 2 + lp["b"]) / 3, 6)
+    assert out[1].cross_entropy == ce1
+    assert out[1].perplexity == round(math.exp(ce1), 6)
+    assert out[1].n_tokens == 3
+
+    # external LM: unseen tokens take the OOV logprob ln(1/(total+1))
+    lm = textstats.unigram_lm(df)
+    other = spark.createDataFrame([(9, "zzz a")], "doc_id LONG, text STRING")
+    r9 = textstats.perplexity(other, lm=lm).collect()[0]
+    oov = round(math.log(1 / 6), 6)
+    assert r9.cross_entropy == round(-(oov + lp["a"]) / 2, 6)
+
+
+def test_perplexity_broadcasts_lm(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id LONG, text STRING")
+    phys = (textstats.perplexity(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in phys  # LM side never shuffles the corpus
