@@ -750,7 +750,8 @@ def _checkpoint_job(spark, pages, lex_bc, buckets, n_buckets, comps,
 def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
                        n_buckets: int = 32, full: bool = True,
                        classify: bool = True, canonical: bool = False,
-                       manifest_chunks: int = 1) -> dict:
+                       manifest_chunks: int = 1,
+                       ordered_wide: bool = True) -> dict:
     """Production run emitting EVERY user-facing artifact from ONE
     pass over the input, bucket-resumable like
     :func:`run_with_checkpoint`:
@@ -764,7 +765,12 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
       input; optionally canonicalized.
     * ``out_dir/wide/bucket=<b>`` — the reference's wide TSV as text
       part files (cells formatted worker-side via :func:`wide_lines`),
-      plus ``out_dir/wide/_header.tsv``.
+      plus ``out_dir/wide/_header.tsv``. With ``ordered_wide`` (the
+      default) each bucket is ONE part file sorted by url, so a
+      bucket's bytes are deterministic across runs/resumes and
+      ``cat _header.tsv bucket=*/part-*`` is a stable artifact; pass
+      ``ordered_wide=False`` to skip the line shuffle when downstream
+      only needs set semantics.
 
     Manifest rows land only after all three artifacts for a bucket
     are durable, so resume never trusts a half-written bucket; all
@@ -803,7 +809,8 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
         for chunk in chunks:
             _artifacts_job(spark, pages, lex_bc, chunk, n_buckets, comps,
                            full, classify, mentions_dir, triples_dir,
-                           wide_dir, manifest_dir, stats)
+                           wide_dir, manifest_dir, stats,
+                           ordered_wide=ordered_wide)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        overwrite_mode)
@@ -814,7 +821,7 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
 
 def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
                    full, classify, mentions_dir, triples_dir, wide_dir,
-                   manifest_dir, stats) -> None:
+                   manifest_dir, stats, ordered_wide=True) -> None:
     import uuid
 
     from pyspark.sql import Observation
@@ -850,8 +857,20 @@ def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
     t = t.observe(triples_obs, *per_bucket_counts())
     t.write.mode("overwrite").partitionBy("bucket").parquet(triples_dir)
 
-    wide_lines(stored, full=full, bucket=classify,
-               extra_cols=("bucket",)) \
+    wl = wide_lines(stored, full=full, bucket=classify,
+                    extra_cols=("bucket", "url"))
+    if ordered_wide:
+        # deterministic bytes per bucket: hash-repartition on the
+        # bucket id (all of a bucket's rows land in one task — buckets
+        # are uniform url-hash slices, so no skew) and sort by url
+        # within. The text sink's required ordering is just the
+        # partition column, which (bucket, url) prefixes — no extra
+        # sort is inserted and the url order reaches the part file,
+        # so each bucket is ONE part file in url order and re-running
+        # a bucket reproduces identical bytes.
+        wl = (wl.repartition(max(len(buckets), 1), "bucket")
+                .sortWithinPartitions("bucket", "url"))
+    wl.select("line", "bucket") \
         .write.mode("overwrite").partitionBy("bucket").text(wide_dir)
 
     def counts(obs, fallback):

@@ -361,6 +361,41 @@ def test_run_full_artifacts_end_to_end(spark, lex_bc):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_run_full_artifacts_wide_bucket_byte_order(spark, lex_bc):
+    """ordered_wide (default): each wide bucket is ONE part file
+    sorted by url, and re-running a bucket reproduces identical
+    bytes — the per-bucket byte-order guarantee."""
+    import glob
+
+    def bucket_bytes(out):
+        got = {}
+        for d in sorted(glob.glob(os.path.join(out, "wide", "bucket=*"))):
+            parts = sorted(glob.glob(os.path.join(d, "part-*")))
+            assert len(parts) == 1, f"{d}: expected 1 part file"
+            got[os.path.basename(d)] = open(parts[0], "rb").read()
+        return got
+
+    pages = synth_pages(spark, 120, corpus=load_corpus(limit=60))
+    out1, out2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        engine.run_full_artifacts(pages, lex_bc, out1, n_buckets=4)
+        b1 = bucket_bytes(out1)
+        assert len(b1) == 4
+        # url-sorted within each bucket (urls are unique per page, and
+        # wide line col 0 is the url/sample id)
+        for blob in b1.values():
+            ids = [ln.split("\t", 1)[0]
+                   for ln in blob.decode().rstrip("\n").split("\n")]
+            assert ids == sorted(ids)
+        # independent run -> byte-identical buckets
+        engine.run_full_artifacts(
+            pages.repartition(7), lex_bc, out2, n_buckets=4)
+        assert bucket_bytes(out2) == b1
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+
+
 def test_spark_bucket_output_byte_exact_vs_local(spark, lex_bc):
     """--bucket --full wide output through the Spark path: the four
     classification cells (pipeline.py:81-92,286-289) must render
