@@ -351,9 +351,15 @@ def perplexity(docs: DataFrame, lm: DataFrame | None = None,
     the standard cheap quality proxy for training-data curation
     (CCNet-style filtering, with a unigram model instead of KenLM).
 
-    ``lm`` defaults to ``unigram_lm(docs)`` (self-scored corpus).
-    OOV tokens score ``ln(1 / (total + 1))``. Docs with zero tokens
-    are dropped (no distribution to score).
+    ``lm`` defaults to ``unigram_lm(docs)`` (self-scored corpus),
+    PERSISTED: the LM is vocabulary-sized, and caching it pins the
+    whole op at exactly two corpus scans (one to build the LM, one to
+    score) no matter how many consumers reference it — the lazy
+    alternative re-derives the count shuffle per consumer and only
+    AQE's runtime exchange reuse claws some of it back. At real scale
+    you would ``lm.write.parquet(...)`` instead; pass the reloaded
+    frame as ``lm``. OOV tokens score ``ln(1 / (total + 1))``. Docs
+    with zero tokens are dropped (no distribution to score).
 
     Scale shape: explode -> hash join tokens to the LM -> one
     map-side-combinable groupBy(doc). The LM side is broadcast when
@@ -364,7 +370,7 @@ def perplexity(docs: DataFrame, lm: DataFrame | None = None,
     double division + exp at the end, rounded to 6.
     """
     if lm is None:
-        lm = unigram_lm(docs)
+        lm = unigram_lm(docs).persist()
     # OOV logprob as a lazy 1-row broadcast — no driver-side action,
     # so the whole op stays one job
     oov_df = lm.groupBy().agg(

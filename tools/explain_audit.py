@@ -100,6 +100,26 @@ def main():
             "signature table is stored bucketed by prefix), 1-row "
             "broadcast cross join for the re-rank, "
             "TakeOrderedAndProject for top-k.",
+        "text_repetition":
+            "Repetition stats (round 3): one Arrow-vectorized stage "
+            "over a narrow (id, text) projection — per-row Counter "
+            "arithmetic, ZERO hash Exchange (the only repartition is "
+            "the fan_out round-robin on a too-coarse input).",
+        "text_perplexity":
+            "Perplexity proxy (round 3): the self-built LM is "
+            "vocabulary-sized and PERSISTED, pinning the op at two "
+            "corpus scans (build + score) — every consumer (logprob "
+            "side, OOV row, broadcast) reads InMemoryTableScan, and "
+            "AQE's runtime exchange reuse dedupes the count/total "
+            "branches inside the build; the scoring join broadcasts "
+            "the LM (BroadcastHashJoin — the corpus side never "
+            "shuffles for the join); per-doc DECIMAL sums with "
+            "map-side partial aggregation.",
+        "conf_scoring":
+            "C7 confidence (round 3): the entire penalty fold, "
+            "str(set)-membership tests, and score/level rendering are "
+            "Catalyst array expressions in ONE projection — zero "
+            "Exchange, zero Python.",
     }
     for name, note in audit.items():
         sections.append((f"Query: {name}", note,
