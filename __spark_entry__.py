@@ -438,6 +438,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.perplexity(_t(spark, sf, "documents"))
     q["text_perplexity"] = text_perplexity
 
+    # ---- URL/domain blocklist gate (zero-shuffle literal path; the
+    # DataFrame join path is pinned equal by pytest)
+    def web_host_filter(spark, sf):
+        from lexmapr_spark.ops import web
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(F.lit("https://"),
+                     F.when(F.col("doc_id") % 5 == 0, "ads.")
+                      .otherwise(""),
+                     F.col("source"), F.lit(".example.com/p/"),
+                     F.col("doc_id")).alias("url"))
+        kept = web.filter_blocked_hosts(
+            d, ["src1.example.com", "ads.src0.example.com"])
+        return kept.select("doc_id", "host")
+    q["web_host_filter"] = web_host_filter
+
     # ---- C7 confidence scoring (lexmapr_spark/confidence.py)
     # Oracle-checked core: synthetic (tokens, statuses) derived from
     # documents via SQL-expressible transforms, scored with the JVM
@@ -996,6 +1012,19 @@ def oracle_sql() -> dict[str, str]:
     oracles["conf_scoring"] = _conf_oracle_sql()
     oracles["text_repetition"] = _repetition_oracle_sql()
     oracles["text_perplexity"] = _perplexity_oracle_sql()
+    oracles["web_host_filter"] = (
+        "WITH d AS (SELECT doc_id, 'https://' || "
+        "CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END || source || "
+        "'.example.com/p/' || doc_id AS url FROM documents), "
+        "h AS (SELECT doc_id, lower(regexp_extract(url, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) "
+        "AS host FROM d), "
+        "s AS (SELECT doc_id, host, string_split(host, '.') AS labels "
+        "FROM h) "
+        "SELECT doc_id, host FROM s WHERE len(list_intersect("
+        "list_transform(generate_series(1, len(labels)), "
+        "i -> array_to_string(list_slice(labels, i, len(labels)), '.')), "
+        "['src1.example.com', 'ads.src0.example.com'])) = 0")
     return oracles
 
 

@@ -508,3 +508,58 @@ def test_perplexity_broadcasts_lm(spark):
     phys = (textstats.perplexity(df)._jdf.queryExecution()
             .executedPlan().toString())
     assert "BroadcastHashJoin" in phys  # LM side never shuffles the corpus
+
+
+# ---------------------------------------------------------------------------
+# URL/domain curation (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_host_parsing_and_suffixes(spark):
+    from lexmapr_spark.ops import web
+    rows = [
+        (1, "https://Ads.Example.COM/x?y=1"),
+        (2, "http://user:pw@a.b.co.uk:8080/path"),
+        (3, "not a url"),
+        (4, "ftp://plain/file"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", web.host_col("url").alias("h"),
+        web.host_suffixes_col(web.host_col("url")).alias("s")).collect()}
+    assert out[1].h == "ads.example.com"
+    assert out[1].s == ["ads.example.com", "example.com", "com"]
+    assert out[2].h == "a.b.co.uk"          # userinfo + port stripped
+    assert out[3].h == "" and out[3].s == []
+    assert out[4].h == "plain"
+
+
+def test_filter_blocked_hosts_paths_agree(spark):
+    from lexmapr_spark.ops import web
+    rows = [(i, f"https://{h}/p/{i}") for i, h in enumerate([
+        "good.example.com", "ads.tracker.net", "tracker.net",
+        "nottracker.net", "deep.sub.ads.tracker.net", "other.org"])]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    blocked = ["tracker.net", "other.org"]
+    kept_lit = {r.doc_id for r in
+                web.filter_blocked_hosts(df, blocked).collect()}
+    # suffix semantics: subdomains blocked, 'nottracker.net' is NOT
+    assert kept_lit == {0, 3}
+    bl_df = spark.createDataFrame([(d,) for d in blocked],
+                                  "domain STRING")
+    kept_join = {r.doc_id for r in
+                 web.filter_blocked_hosts(df, bl_df).collect()}
+    assert kept_join == kept_lit
+    # kept rows carry the parsed host for downstream domain caps
+    hosts = {r.host for r in web.filter_blocked_hosts(df, blocked).collect()}
+    assert hosts == {"good.example.com", "nottracker.net"}
+
+
+def test_filter_blocked_hosts_literal_path_no_join(spark):
+    from lexmapr_spark.ops import web
+    df = spark.createDataFrame([(1, "https://a.b/x")],
+                               "doc_id LONG, url STRING")
+    phys = (web.filter_blocked_hosts(df, ["b.com"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in phys
+    assert phys.count("Exchange hashpartitioning") == 0

@@ -115,6 +115,10 @@ def main():
             "the LM (BroadcastHashJoin — the corpus side never "
             "shuffles for the join); per-doc DECIMAL sums with "
             "map-side partial aggregation.",
+        "web_host_filter":
+            "URL blocklist gate (round 3, literal path): host regexp "
+            "+ suffix build + arrays_overlap as ONE whole-stage-"
+            "codegen projection — zero joins, zero hash Exchange.",
         "conf_scoring":
             "C7 confidence (round 3): the entire penalty fold, "
             "str(set)-membership tests, and score/level rendering are "
