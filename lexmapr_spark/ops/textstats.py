@@ -254,6 +254,17 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     The DuckDB oracle recomputes every stat independently with
     unnest + window SQL (q:``text_repetition``).
     """
+    docs = fan_out(docs)
+    out = docs.select(F.col(id_col),
+                      repetition_stats_col(text_col, line_sep).alias("s"))
+    return out.select(id_col, "s.*")
+
+
+def repetition_stats_col(text_col: str = "text",
+                         line_sep: str = "\n"):
+    """The :func:`repetition_stats` struct as a reusable column —
+    per-row and stateless, so it drops into batch projections and
+    Structured Streaming gates alike (no shuffle either way)."""
     empty_frac = 0.0
 
     @F.pandas_udf("struct<dup_line_frac:double, dup_line_char_frac:double,"
@@ -305,9 +316,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             "dup_line_frac", "dup_line_char_frac", "dup_word_frac",
             "max_word_frac", "top_2gram_char_frac"])
 
-    docs = fan_out(docs)
-    out = docs.select(F.col(id_col), _stats(F.col(text_col)).alias("s"))
-    return out.select(id_col, "s.*")
+    return _stats(F.col(text_col))
 
 
 # ---------------------------------------------------------------------------

@@ -223,21 +223,35 @@ def stream_deduped_pages(pages_stream, out_dir: str, checkpoint_dir: str,
 
 def stream_curated_pages(pages_stream, out_dir: str, checkpoint_dir: str,
                          min_quality: float = 0.3, lang: str = "en",
+                         blocked_hosts: list | tuple | None = None,
+                         max_dup_word_frac: float | None = None,
                          available_now: bool = True):
-    """Streaming curation: language gate + quality gate + PII scrub —
-    the STATELESS prefix of ``textstats.curate`` on an unbounded page
-    stream. All pure-JVM sibling expressions in one projection, so the
-    stream is shuffle-free and its checkpoint holds only source
-    offsets; the stateful stages stay where bounded state lives
-    (fingerprint/url dedup -> ``stream_deduped_pages``'
-    watermark-bounded dedup, global dedup -> periodic batch compaction
-    over the sink, exactly like ``stream_triples``' dedup note).
+    """Streaming curation: URL-blocklist gate + language gate +
+    quality gate + optional repetition gate + PII scrub — the
+    STATELESS prefix of ``textstats.curate`` on an unbounded page
+    stream. The blocklist and quality gates are pure-JVM sibling
+    expressions in one projection; the optional repetition gate
+    (``max_dup_word_frac``, Gopher rule) adds the per-row Arrow stage
+    from ``repetition_stats`` — still stateless and shuffle-free, so
+    the checkpoint holds only source offsets; the stateful stages stay
+    where bounded state lives (fingerprint/url dedup ->
+    ``stream_deduped_pages``' watermark-bounded dedup, global dedup ->
+    periodic batch compaction over the sink, exactly like
+    ``stream_triples``' dedup note).
     """
     from lexmapr_spark.ops.textstats import (
         PII_PATTERNS,
         _lang_pred_col,
         _quality_cols,
     )
+
+    if blocked_hosts:
+        from lexmapr_spark.ops.web import host_col, host_suffixes_col
+        blocked_lit = F.array(
+            *[F.lit(d.lower()) for d in sorted(set(blocked_hosts))])
+        pages_stream = pages_stream.where(
+            ~F.arrays_overlap(host_suffixes_col(host_col("url")),
+                              blocked_lit))
 
     qc = _quality_cols("text")
     redacted = F.col("text")
@@ -252,6 +266,13 @@ def stream_curated_pages(pages_stream, out_dir: str, checkpoint_dir: str,
         .select("url", "warc_ts", redacted.alias("text"),
                 "lang_pred", "quality")
     )
+    if max_dup_word_frac is not None:
+        from lexmapr_spark.ops.textstats import repetition_stats_col
+        curated = (curated
+                   .withColumn("dup_word_frac",
+                               repetition_stats_col("text")
+                               .getField("dup_word_frac"))
+                   .where(F.col("dup_word_frac") <= max_dup_word_frac))
     writer = (
         curated.writeStream.format("parquet")
         .option("path", out_dir)

@@ -247,3 +247,38 @@ def test_stream_curated_pages_filters_and_scrubs(spark):
         assert got[0].lang_pred == "en" and got[0].quality >= 0.3
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_curated_pages_blocklist_and_repetition_gates(spark):
+    """Optional stateless gates: URL blocklist (suffix semantics) and
+    the Gopher dup-word repetition rule, both on the stream with an
+    offsets-only checkpoint."""
+    import datetime
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "pages")
+    out = os.path.join(base, "curated")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "it is resting in the shade of a big tree for an hour")
+        spammy = ("the spam the spam the spam the spam the spam the "
+                  "spam the spam the spam the spam the spam the spam "
+                  "in it and it is a spam of the spam for the spam")
+        rows = [
+            ("https://good.site.org/a", t0, None, good, "en"),
+            ("https://sub.blocked.net/b", t0, None, good, "en"),  # blocklist
+            ("https://ok.org/c", t0, None, spammy, "en"),         # repetition
+        ]
+        spark.createDataFrame(rows, streaming.PAGES_SCHEMA) \
+            .write.parquet(landing)
+        q = streaming.stream_curated_pages(
+            streaming.stream_pages(spark, landing), out, ckpt,
+            blocked_hosts=["blocked.net"], max_dup_word_frac=0.5)
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).collect()
+        assert [r.url for r in got] == ["https://good.site.org/a"]
+        assert got[0].dup_word_frac <= 0.5
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
