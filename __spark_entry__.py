@@ -313,6 +313,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = lambda spark, sf: similarity.cosine_topk(
         _t(spark, sf, "embeddings"), query_id=0, k=10)
 
+    # int8-quantized brute-force cosine (4x narrower scan; floor(x+.5)
+    # tie-break makes the codes bit-identical cross-engine, and integer
+    # dot/norms are exact doubles, so the oracle is a value check)
+    q["ann_quantized_topk"] = lambda spark, sf: (
+        similarity.cosine_topk_quantized(
+            similarity.quantize_embeddings(_t(spark, sf, "embeddings")),
+            query_id=0, k=10))
+
     q["ann_srp_bucketed_topk"] = lambda spark, sf: similarity.srp_bucketed_topk(
         _t(spark, sf, "embeddings"), query_id=0, k=10)
 
@@ -1012,6 +1020,18 @@ def oracle_sql() -> dict[str, str]:
     oracles["conf_scoring"] = _conf_oracle_sql()
     oracles["text_repetition"] = _repetition_oracle_sql()
     oracles["text_perplexity"] = _perplexity_oracle_sql()
+    oracles["ann_quantized_topk"] = (
+        "WITH qt AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CASE WHEN s > 0 THEN CAST(greatest(-127, least(127, "
+        "CAST(floor(x / s + 0.5) AS INT))) AS DOUBLE) ELSE 0.0 END) "
+        "AS qvec FROM (SELECT vec_id, embedding, "
+        "list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS s "
+        "FROM embeddings)), "
+        "qq AS (SELECT qvec AS q_query FROM qt WHERE vec_id = 0) "
+        "SELECT vec_id, "
+        "round(list_cosine_similarity(qt.qvec, qq.q_query), 6) "
+        "AS cosine_q FROM qt, qq WHERE vec_id <> 0 "
+        "ORDER BY cosine_q DESC, vec_id ASC LIMIT 10")
     oracles["web_host_filter"] = (
         "WITH d AS (SELECT doc_id, 'https://' || "
         "CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END || source || "

@@ -86,7 +86,7 @@ def main():
         "curation_pipeline", "multimodal_features_docs",
         "sample_hash_10pct", "sample_domain_cap", "text_contamination",
         "text_pii_redaction", "text_repetition", "text_perplexity",
-        "conf_scoring", "web_host_filter",
+        "conf_scoring", "web_host_filter", "ann_quantized_topk",
     ]
     qs = entrymod.queries()
     timings = {}

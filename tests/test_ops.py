@@ -563,3 +563,54 @@ def test_filter_blocked_hosts_literal_path_no_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in phys
     assert phys.count("Exchange hashpartitioning") == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_embeddings_roundtrip_and_edges(spark):
+    import numpy as np
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),          # all-zero vector
+        (2, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r.vec_id: r for r in
+           similarity.quantize_embeddings(df).collect()}
+    assert out[1].qvec == [0, 0, 0, 0] and out[1].scale == 0.0
+    for vid, vec in [(0, rows[0][1]), (2, rows[2][1])]:
+        q, s = out[vid].qvec, out[vid].scale
+        assert max(q) <= 127 and min(q) >= -127
+        assert max(abs(x) for x in q) == 127  # max component saturates
+        err = max(abs(qi * s - xi) for qi, xi in zip(q, vec))
+        assert err <= s / 2 + 1e-9            # dequant error bound
+
+
+def test_quantized_topk_tracks_float_topk(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    qt = similarity.quantize_embeddings(df)
+    got = similarity.cosine_topk_quantized(qt, query_id=0, k=10).collect()
+    ref = similarity.cosine_topk(df, query_id=0, k=10).collect()
+    # int8 cosine is within quantization noise of the float cosine
+    ref_map = {r.vec_id: r.cosine for r in ref}
+    overlap = len({r.vec_id for r in got} & set(ref_map))
+    assert overlap >= 8
+    for r in got:
+        if r.vec_id in ref_map:
+            assert abs(r.cosine_q - ref_map[r.vec_id]) < 0.02
+
+
+def test_quantize_no_shuffle(spark):
+    df = spark.createDataFrame([(0, [1.0, 2.0])],
+                               "vec_id LONG, embedding ARRAY<FLOAT>")
+    phys = (similarity.quantize_embeddings(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert phys.count("Exchange hashpartitioning") == 0

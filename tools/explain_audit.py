@@ -115,6 +115,12 @@ def main():
             "the LM (BroadcastHashJoin — the corpus side never "
             "shuffles for the join); per-doc DECIMAL sums with "
             "map-side partial aggregation.",
+        "ann_quantized_topk":
+            "int8 quantized cosine (round 3): quantize + score in "
+            "whole-stage codegen over a narrow scan (4x fewer bytes "
+            "at rest for the embedding table), 1-row BroadcastNested"
+            "LoopJoin for the query vector, TakeOrderedAndProject "
+            "top-k — no shuffle of the embedding side.",
         "web_host_filter":
             "URL blocklist gate (round 3, literal path): host regexp "
             "+ suffix build + arrays_overlap as ONE whole-stage-"
