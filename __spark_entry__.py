@@ -431,6 +431,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.frame_sample_plan(media, every_ms=1000)
     q["multimodal_frame_plan_docs"] = multimodal_frame_plan_docs
 
+    # ---- full curation pipeline v2: + repetition gate + benchmark
+    # decontamination on top of lang/quality/fingerprint-dedup
+    def curation_pipeline_v2(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return textstats.curate(
+            docs, max_dup_word_frac=0.9,
+            probes=docs.where(F.col("doc_id") < 5))
+    q["curation_pipeline_v2"] = curation_pipeline_v2
+
     # ---- Gopher-style repetition stats (lines synthesized by
     # replacing a frequent word with newlines — SQL-expressible so the
     # DuckDB oracle recomputes every stat via unnest + window)
@@ -1010,6 +1019,50 @@ def oracle_sql() -> dict[str, str]:
             "FROM lid JOIN qual USING (doc_id) JOIN fp USING (doc_id) "
             "WHERE lang_pred = 'en' AND quality >= 0.3) "
             "SELECT doc_id, lang_pred, quality, fingerprint FROM ("
+            "SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS k "
+            "FROM passed) WHERE doc_id = k",
+
+        # v2: + Gopher dup-word gate + probe-gram decontamination
+        # (hits computed over ALL docs is equivalent to Spark's
+        # post-gate probing — the anti-join only ever removes gated
+        # survivors)
+        "curation_pipeline_v2":
+            "WITH h AS (SELECT doc_id, "
+            + ",".join(f"{expr} AS {lang}"
+                       for lang, expr in lang_hits.items())
+            + " FROM documents), "
+            f"lid AS (SELECT doc_id, {langid_case} AS lang_pred FROM h), "
+            f"qual AS ({_quality_oracle_sql()}), "
+            "fp AS (SELECT doc_id, md5(list_aggregate(list_sort("
+            "list_distinct(list_filter(string_split(text, ' '), "
+            "x -> x != ''))), 'string_agg', ' ')) AS fingerprint "
+            "FROM documents), "
+            "rep AS (SELECT doc_id, round(CAST(sum(c) - count(*) AS "
+            "DOUBLE) / sum(c), 6) AS dup_word_frac FROM ("
+            "SELECT doc_id, tok, count(*) AS c FROM ("
+            "SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+            "x -> x != '')) AS tok FROM documents) GROUP BY doc_id, tok)"
+            " GROUP BY doc_id), "
+            "dg AS (SELECT doc_id, unnest(list_filter(list_transform("
+            "generate_series(1, greatest(len(toks) - 7, 1)), "
+            "i -> concat_ws(' ', " +
+            ", ".join(f"toks[i+{j}]" for j in range(8)) +
+            ")), s -> s != '')) AS gram FROM ("
+            "SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x != '') AS toks FROM documents)), "
+            "pg AS (SELECT DISTINCT gram FROM dg WHERE doc_id < 5), "
+            "hits AS (SELECT DISTINCT doc_id FROM dg "
+            "JOIN pg USING (gram)), "
+            "passed AS (SELECT lid.doc_id, lang_pred, quality, "
+            "fingerprint, coalesce(rep.dup_word_frac, 0.0) "
+            "AS dup_word_frac "
+            "FROM lid JOIN qual USING (doc_id) JOIN fp USING (doc_id) "
+            "LEFT JOIN rep USING (doc_id) "
+            "WHERE lang_pred = 'en' AND quality >= 0.3 "
+            "AND coalesce(rep.dup_word_frac, 0.0) <= 0.9 "
+            "AND lid.doc_id NOT IN (SELECT doc_id FROM hits)) "
+            "SELECT doc_id, lang_pred, quality, fingerprint, "
+            "dup_word_frac FROM ("
             "SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS k "
             "FROM passed) WHERE doc_id = k",
     }

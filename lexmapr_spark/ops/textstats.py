@@ -125,33 +125,63 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
 
 
 def curate(docs: DataFrame, min_quality: float = 0.3, lang: str = "en",
-           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """End-to-end training-data curation in ONE projection + ONE
-    shuffle: language filter -> quality gate -> fingerprint dedup
-    (lowest id per fingerprint survives).
+           id_col: str = "doc_id", text_col: str = "text",
+           max_dup_word_frac: float | None = None,
+           probes: DataFrame | None = None,
+           contamination_n: int = 8) -> DataFrame:
+    """End-to-end training-data curation: language filter -> quality
+    gate -> optional Gopher repetition gate -> optional benchmark
+    decontamination -> fingerprint dedup (lowest id survives).
 
-    Composition matters at 100 TB: joining the three per-op DataFrames
-    back on doc_id would shuffle the corpus three times; here
-    lang/quality/fingerprint are computed as sibling expressions in a
-    single scan-side projection, the filters cut the data BEFORE the
-    only shuffle (the fingerprint window), and everything stays in
-    whole-stage codegen.
+    Composition matters at 100 TB: joining per-op DataFrames back on
+    doc_id would shuffle the corpus once per op; here lang / quality /
+    fingerprint (and the optional ``dup_word_frac``) are sibling
+    expressions in a single scan-side projection, every filter cuts
+    the data BEFORE the fingerprint-window shuffle, and the stateless
+    part stays in whole-stage codegen (the repetition column adds one
+    Arrow stage, still shuffle-free). Decontamination
+    (``probes`` given) broadcast-probes the benchmark n-grams against
+    the already-gated survivors and anti-joins the (small) hit-id set
+    back — strategy left to AQE. With the optional stages off, the
+    plan is the pinned 0-join / 1-Exchange shape.
     """
     from pyspark.sql.window import Window
 
     docs = fan_out(docs)
-    scored = docs.select(
+    cols = [
         F.col(id_col),
         _lang_pred_col(text_col).alias("lang_pred"),
         F.round(_quality_cols(text_col)["quality"], 6).alias("quality"),
         _fingerprint_col(text_col).alias("fingerprint"),
-    )
-    passed = scored.where((F.col("lang_pred") == lang)
-                          & (F.col("quality") >= min_quality))
+    ]
+    out_cols = [id_col, "lang_pred", "quality", "fingerprint"]
+    gates = (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
+    if max_dup_word_frac is not None:
+        cols.append(repetition_stats_col(text_col)
+                    .getField("dup_word_frac").alias("dup_word_frac"))
+        out_cols.append("dup_word_frac")
+        gates = gates & (F.col("dup_word_frac") <= max_dup_word_frac)
+    if probes is not None:
+        cols.append(F.col(text_col))
+
+    passed = docs.select(*cols).where(gates)
+
+    if probes is not None:
+        probe_grams = (probes.select(
+            F.explode(ngrams_col(text_col, contamination_n)).alias("gram"))
+            .distinct())
+        hits = (passed
+                .select(F.col(id_col),
+                        F.explode(ngrams_col(text_col, contamination_n))
+                         .alias("gram"))
+                .join(F.broadcast(probe_grams), "gram")
+                .select(id_col).distinct())
+        passed = passed.join(hits, id_col, "left_anti").drop(text_col)
+
     keeper = F.min(id_col).over(Window.partitionBy("fingerprint"))
     return (passed.withColumn("_keeper", keeper)
             .where(F.col("_keeper") == F.col(id_col))
-            .select(id_col, "lang_pred", "quality", "fingerprint"))
+            .select(*out_cols))
 
 
 def ngrams_col(text_col: str, n: int):

@@ -614,3 +614,23 @@ def test_quantize_no_shuffle(spark):
     phys = (similarity.quantize_embeddings(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert phys.count("Exchange hashpartitioning") == 0
+
+
+def test_curate_v2_repetition_and_decontamination(spark):
+    good = ("the cat and the dog went to the market in town and it "
+            "is a fine day to buy fresh bread and fruit there")
+    spam = ("buy now buy now buy now buy now buy now buy now buy now "
+            "buy now buy now buy now buy now buy now in the town it")
+    bench = ("the secret benchmark question about spark engines is "
+             "exactly this one of a kind sequence here today")
+    rows = [(1, good), (2, spam), (3, bench + " plus extra words"),
+            (4, "completely fine other document about the weather and "
+                "the seasons in the town it is nice to be outside")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    probes = spark.createDataFrame([(99, bench)], "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in textstats.curate(
+        df, min_quality=0.2, max_dup_word_frac=0.6,
+        probes=probes).collect()}
+    # 2 fails the dup-word gate, 3 shares an 8-gram with the probe
+    assert set(out) == {1, 4}
+    assert out[1].dup_word_frac <= 0.6
