@@ -34,10 +34,19 @@ import pytest
 from tests.golden_harness import INPUT_DIR, read_samples
 from tests.ref_classification_loader import load_reference_modules
 
-SLICES = [("small_simple.csv", 1, None),
-          ("zheminSamples.csv", 40, 50),
-          ("enteroForFreq.csv", 68, 50),
-          ("genomeTrackerMaster.csv", 40, 50)]
+# LEXMAPR_DIFF_FULL=1 sweeps EVERY row of every corpus (~5 min, the
+# reference side is the bottleneck) — the out-of-band re-certification
+# recorded in BENCH/BASELINE.md; default slices keep CI at ~15 s.
+if os.environ.get("LEXMAPR_DIFF_FULL") == "1":
+    SLICES = [("small_simple.csv", 1, None),
+              ("zheminSamples.csv", 1, None),
+              ("enteroForFreq.csv", 1, None),
+              ("genomeTrackerMaster.csv", 1, None)]
+else:
+    SLICES = [("small_simple.csv", 1, None),
+              ("zheminSamples.csv", 40, 50),
+              ("enteroForFreq.csv", 68, 50),
+              ("genomeTrackerMaster.csv", 40, 50)]
 
 
 @pytest.fixture(scope="module")
