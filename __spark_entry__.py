@@ -431,6 +431,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.frame_sample_plan(media, every_ms=1000)
     q["multimodal_frame_plan_docs"] = multimodal_frame_plan_docs
 
+    # ---- C4-style global line dedup (lines synthesized from tokens
+    # so cross-document duplicates are plentiful and SQL-reproducible)
+    def dedup_global_lines(spark, sf):
+        lined = _t(spark, sf, "documents").select(
+            "doc_id", F.replace(F.col("text"), F.lit(" "),
+                                F.lit("\n")).alias("text"))
+        return dedup.global_line_dedup(lined)
+    q["dedup_global_lines"] = dedup_global_lines
+
     # ---- full curation pipeline v2: + repetition gate + benchmark
     # decontamination on top of lang/quality/fingerprint-dedup
     def curation_pipeline_v2(spark, sf):
@@ -1085,6 +1094,21 @@ def oracle_sql() -> dict[str, str]:
         "round(list_cosine_similarity(qt.qvec, qq.q_query), 6) "
         "AS cosine_q FROM qt, qq WHERE vec_id <> 0 "
         "ORDER BY cosine_q DESC, vec_id ASC LIMIT 10")
+    oracles["dedup_global_lines"] = (
+        "WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text "
+        "FROM documents), "
+        "p AS (SELECT doc_id, string_split(text, chr(10)) AS parts "
+        "FROM d), "
+        "l AS (SELECT doc_id, unnest(generate_series(1, len(parts))) "
+        "AS i, parts FROM p), "
+        "ln AS (SELECT doc_id, i - 1 AS pos, parts[i] AS line FROM l), "
+        "kept AS (SELECT doc_id, pos, line FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY line "
+        "ORDER BY doc_id, pos) AS rn FROM ln) WHERE rn = 1), "
+        "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) "
+        "ORDER BY pos) AS deduped_text FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(rebuilt.deduped_text, '') "
+        "AS deduped_text FROM d LEFT JOIN rebuilt USING (doc_id)")
     oracles["web_host_filter"] = (
         "WITH d AS (SELECT doc_id, 'https://' || "
         "CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END || source || "

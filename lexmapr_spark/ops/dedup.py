@@ -278,3 +278,49 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line dedup (round 3)
+# ---------------------------------------------------------------------------
+
+def global_line_dedup(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", line_sep: str = "\n",
+                      min_chars: int = 0) -> DataFrame:
+    """Corpus-wide line deduplication (the C4 rule: a line that occurs
+    anywhere else in the corpus survives only at its FIRST occurrence,
+    ordered by (doc id, position); every other copy is dropped) and
+    document reconstruction from the surviving lines.
+
+    Scale shape: two linear shuffles — posexplode -> window by line
+    (map-side nothing to combine, but AQE splits hot lines' partitions;
+    the window key is the line text itself so boilerplate lines are the
+    skewed keys exactly where dedup does its work) -> regroup by doc
+    id to reassemble text in position order. Documents whose every
+    line is dropped come back with empty text (left join keeps the
+    row). ``min_chars``: lines shorter than this bypass dedup and are
+    always kept (C4 dedups only substantial lines).
+    """
+    from pyspark.sql.window import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep))
+         .alias("pos", "line"))
+    eligible = F.length("line") >= min_chars
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    ranked = lines.withColumn(
+        "rn", F.when(eligible, F.row_number().over(w)).otherwise(1))
+    kept = ranked.where(F.col("rn") == 1)
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("pos"), F.col("line")))),
+                        lambda s: s.getField("line")),
+                    line_sep).alias("deduped_text")))
+    return (docs.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("deduped_text", F.lit(""))
+                     .alias("deduped_text")))

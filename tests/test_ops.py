@@ -634,3 +634,23 @@ def test_curate_v2_repetition_and_decontamination(spark):
     # 2 fails the dup-word gate, 3 shares an 8-gram with the probe
     assert set(out) == {1, 4}
     assert out[1].dup_word_frac <= 0.6
+
+
+def test_global_line_dedup(spark):
+    rows = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),        # 'beta' already in doc 1 -> dropped
+        (3, "alpha\nbeta"),        # everything duplicated -> empty
+        (4, "x\nalpha\nx"),        # in-doc dup: only first 'x' kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r.deduped_text
+           for r in dedup.global_line_dedup(df).collect()}
+    assert out[1] == "alpha\nbeta\ngamma"
+    assert out[2] == "delta"
+    assert out[3] == ""
+    assert out[4] == "x"
+    # min_chars: short lines bypass dedup entirely
+    out2 = {r.doc_id: r.deduped_text
+            for r in dedup.global_line_dedup(df, min_chars=2).collect()}
+    assert out2[4] == "x\nx"

@@ -115,6 +115,11 @@ def main():
             "the LM (BroadcastHashJoin — the corpus side never "
             "shuffles for the join); per-doc DECIMAL sums with "
             "map-side partial aggregation.",
+        "dedup_global_lines":
+            "C4 global line dedup (round 3): posexplode -> ONE window "
+            "Exchange keyed on the line text (boilerplate lines are "
+            "the hot keys — AQE splits them) -> ONE positional regroup "
+            "Exchange; both linear, no self-joins.",
         "ann_quantized_topk":
             "int8 quantized cosine (round 3): quantize + score in "
             "whole-stage codegen over a narrow scan (4x fewer bytes "
