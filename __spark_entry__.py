@@ -431,6 +431,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.frame_sample_plan(media, every_ms=1000)
     q["multimodal_frame_plan_docs"] = multimodal_frame_plan_docs
 
+    # ---- sequence packing (two-phase distributed prefix sum ==
+    # the single-threaded cumsum the oracle computes directly)
+    def pack_sequences_2k(spark, sf):
+        from lexmapr_spark.ops import packing
+        return packing.pack_sequences(
+            _t(spark, sf, "documents"), seq_len=2048, n_buckets=32)
+    q["pack_sequences_2k"] = pack_sequences_2k
+
     # ---- C4-style global line dedup (lines synthesized from tokens
     # so cross-document duplicates are plentiful and SQL-reproducible)
     def dedup_global_lines(spark, sf):
@@ -1094,6 +1102,20 @@ def oracle_sql() -> dict[str, str]:
         "round(list_cosine_similarity(qt.qvec, qq.q_query), 6) "
         "AS cosine_q FROM qt, qq WHERE vec_id <> 0 "
         "ORDER BY cosine_q DESC, vec_id ASC LIMIT 10")
+    oracles["pack_sequences_2k"] = (
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS n_tokens, "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        "AS hkey FROM documents), "
+        "f AS (SELECT *, CAST(hkey % 32 AS INT) AS bucket FROM t "
+        "WHERE n_tokens > 0), "
+        "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+        "ORDER BY bucket, hkey, doc_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0) AS gcum FROM f) "
+        "SELECT doc_id, n_tokens, "
+        "CAST(floor(gcum / 2048.0) AS BIGINT) AS pack_id, "
+        "CAST(gcum % 2048 AS BIGINT) AS pack_offset FROM c")
     oracles["dedup_global_lines"] = (
         "WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text "
         "FROM documents), "

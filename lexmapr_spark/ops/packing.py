@@ -1,0 +1,88 @@
+"""Sequence packing: assign documents to fixed-token-budget packs for
+pretraining batch construction.
+
+The training-data step after curation: concatenate documents into
+examples of ~``seq_len`` tokens each. Greedy bin packing is inherently
+sequential, so the scalable formulation is the standard streaming one:
+fix a deterministic document order,
+take the running token total, and cut a pack boundary every
+``seq_len`` tokens — ``pack_id = floor(cum_before / seq_len)``.
+
+Distribution: a single global ``Window.orderBy`` would funnel the
+whole corpus through ONE partition. Instead this uses the classic
+two-phase prefix sum:
+
+1. bucket each doc by the hash of its id (the same 60-bit md5 prefix
+   the sampling ops use, so the order is engine-reproducible and
+   decorrelated from document length), cumsum WITHIN each bucket via a
+   per-bucket window — P parallel sorts, no global funnel;
+2. aggregate one row per bucket (its token total), collect the P
+   totals (bounded: P = shuffle partitions, not corpus size), prefix-
+   sum them driver-side, and broadcast the offsets back.
+
+``global cumsum = bucket offset + within-bucket cumsum`` — exact, and
+identical to what a single-threaded pass over (bucket, order_key)
+order would produce, which is how the DuckDB oracle checks it
+value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lexmapr_spark.ops.dedup import tokens_col
+from lexmapr_spark.ops.sampling import _hash60
+from lexmapr_spark.ops.util import fan_out
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   n_buckets: int = 32, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, pack_id, pack_offset) — ``pack_offset`` is where
+    the document starts inside its pack's token stream. A document
+    whose tokens straddle a boundary belongs to the pack where it
+    STARTS (the usual packing-with-overflow convention; splitting the
+    tail into the next example is a tokenizer-side concern).
+    Zero-token documents are dropped.
+    """
+    from pyspark.sql.window import Window
+
+    docs = fan_out(docs)
+    base = (docs.select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+        _hash60(F.col(id_col)).alias("hkey"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("bucket",
+                    F.pmod(F.col("hkey"), F.lit(n_buckets)).cast("int"))
+        # narrow (id, count, key) projection, read twice (bucket
+        # totals + the window pass) — cache it rather than re-scan
+        # the corpus text
+        .persist())
+
+    w = (Window.partitionBy("bucket")
+         .orderBy("hkey", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = base.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+
+    totals = {r.bucket: r.total for r in
+              base.groupBy("bucket")
+                  .agg(F.sum("n_tokens").alias("total")).collect()}
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += int(totals.get(b, 0))
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, offsets[b]) for b in range(n_buckets)],
+        "bucket INT, bucket_offset BIGINT")
+
+    packed = (local.join(F.broadcast(off_df), "bucket")
+              .withColumn("gcum",
+                          F.col("bucket_offset") + F.col("cum_before")))
+    return packed.select(
+        id_col, "n_tokens",
+        F.floor(F.col("gcum") / seq_len).cast("bigint").alias("pack_id"),
+        (F.col("gcum") % seq_len).alias("pack_offset"))

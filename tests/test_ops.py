@@ -654,3 +654,52 @@ def test_global_line_dedup(spark):
     out2 = {r.doc_id: r.deduped_text
             for r in dedup.global_line_dedup(df, min_chars=2).collect()}
     assert out2[4] == "x\nx"
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_single_threaded_reference(spark):
+    import hashlib
+    from lexmapr_spark.ops import packing
+
+    rows = [(i, "tok " * (3 + (i * 7) % 40)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in
+           packing.pack_sequences(df, seq_len=64, n_buckets=8).collect()}
+
+    # single-threaded reference: global cumsum in (bucket, hkey, id)
+    # order
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    docs = [(i, len([t for t in txt.split(" ") if t]))
+            for i, txt in rows]
+    docs = [(i, n, h60(i), h60(i) % 8) for i, n in docs if n > 0]
+    docs.sort(key=lambda d: (d[3], d[2], d[0]))
+    cum = 0
+    for i, n, _, _ in docs:
+        r = got[i]
+        assert (r.n_tokens, r.pack_id, r.pack_offset) == \
+            (n, cum // 64, cum % 64), i
+        cum += n
+    assert len(got) == len(docs)
+
+    # partition-layout invariance: same result from a 7-way split
+    got2 = {r.doc_id: (r.pack_id, r.pack_offset) for r in
+            packing.pack_sequences(df.repartition(7), seq_len=64,
+                                   n_buckets=8).collect()}
+    assert got2 == {i: (r.pack_id, r.pack_offset) for i, r in got.items()}
+
+
+def test_pack_sequences_offsets_bounded(spark):
+    from lexmapr_spark.ops import packing
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id LONG, text STRING")
+    out = packing.pack_sequences(df, seq_len=16).collect()
+    assert all(0 <= r.pack_offset < 16 for r in out)
+    # packs are dense: ids 0..max all present
+    pids = {r.pack_id for r in out}
+    assert pids == set(range(max(pids) + 1))

@@ -115,6 +115,11 @@ def main():
             "the LM (BroadcastHashJoin — the corpus side never "
             "shuffles for the join); per-doc DECIMAL sums with "
             "map-side partial aggregation.",
+        "pack_sequences_2k":
+            "Sequence packing (round 3): two-phase prefix sum — P "
+            "parallel per-bucket window sorts (no single-partition "
+            "global Window funnel), bucket totals collected as P "
+            "bounded rows and broadcast back as offsets.",
         "dedup_global_lines":
             "C4 global line dedup (round 3): posexplode -> ONE window "
             "Exchange keyed on the line text (boilerplate lines are "
