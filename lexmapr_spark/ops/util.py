@@ -16,7 +16,9 @@ def fan_out(df: DataFrame, min_partitions: int | None = 0) -> DataFrame:
     partitions than the session's default parallelism). Pass ``None``
     to forbid the shuffle entirely.
     """
-    if min_partitions is None:
+    if min_partitions is None or df.isStreaming:
+        # streaming DataFrames have no .rdd and get their parallelism
+        # from the source trigger; leave them untouched
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

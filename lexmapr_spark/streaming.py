@@ -282,3 +282,44 @@ def stream_curated_pages(pages_stream, out_dir: str, checkpoint_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_perplexity_pages(pages_stream, lm, out_dir: str,
+                            checkpoint_dir: str,
+                            max_perplexity: float | None = None,
+                            available_now: bool = True):
+    """Score an unbounded page stream against a PRE-BUILT unigram LM
+    (``ops.textstats.unigram_lm`` output, typically reloaded from
+    parquet) and optionally gate on perplexity — the CCNet-style
+    streaming quality filter.
+
+    Per-document scoring needs no cross-batch state: every page
+    arrives as ONE row and its per-url token aggregation completes
+    inside the micro-batch, so the batch twin runs verbatim under
+    ``foreachBatch`` (a bare streaming ``groupBy`` would demand
+    watermarked state the semantics don't need) and the checkpoint
+    stays offsets-only. The static LM broadcasts into each batch's
+    token join. OOV tokens score ``ln(1/(total+1))``, exactly like
+    the batch twin (``ops.textstats.perplexity``), with which the
+    output is pinned equal by test.
+    """
+    from pyspark.sql import functions as F
+
+    from lexmapr_spark.ops.textstats import perplexity
+
+    def write_batch(batch_df, _batch_id):
+        scored = perplexity(batch_df, lm=lm, id_col="url",
+                            text_col="text", broadcast_lm=True)
+        if max_perplexity is not None:
+            scored = scored.where(F.col("perplexity") <= max_perplexity)
+        scored.write.mode("append").parquet(out_dir)
+
+    writer = (
+        pages_stream.select("url", "text").writeStream
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

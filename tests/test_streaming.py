@@ -282,3 +282,54 @@ def test_stream_curated_pages_blocklist_and_repetition_gates(spark):
         assert got[0].dup_word_frac <= 0.5
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_perplexity_matches_batch_twin(spark):
+    """Streaming perplexity scoring against a pre-built LM equals the
+    batch operator on the same pages, and the gate filters high-ppl
+    rows."""
+    import datetime
+
+    from lexmapr_spark.ops import textstats
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "pages")
+    out = os.path.join(base, "scored")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            ("u1", t0, None, "the cat sat on the mat", "en"),
+            ("u2", t0, None, "the cat sat on the mat again", "en"),
+            ("u3", t0, None, "zebra quantum xylophone", "en"),  # OOV-ish
+        ]
+        pages = spark.createDataFrame(rows, streaming.PAGES_SCHEMA)
+        pages.write.parquet(landing)
+        lm_src = spark.createDataFrame(
+            [(1, "the cat sat on the mat and the dog sat too")],
+            "doc_id LONG, text STRING")
+        lm = textstats.unigram_lm(lm_src).persist()
+        q = streaming.stream_perplexity_pages(
+            streaming.stream_pages(spark, landing), lm, out, ckpt)
+        q.awaitTermination(120)
+        got = {r.url: r for r in spark.read.parquet(out).collect()}
+        want = {r.url: r for r in textstats.perplexity(
+            pages, lm=lm, id_col="url", text_col="text").collect()}
+        assert set(got) == set(want) == {"u1", "u2", "u3"}
+        for u in want:
+            assert got[u].cross_entropy == want[u].cross_entropy
+            assert got[u].perplexity == want[u].perplexity
+        # OOV-heavy page scores strictly worse than in-vocab pages
+        assert got["u3"].perplexity > got["u1"].perplexity
+
+        # gated variant drops the OOV-heavy page
+        out2, ckpt2 = os.path.join(base, "s2"), os.path.join(base, "c2")
+        cutoff = (got["u1"].perplexity + got["u3"].perplexity) / 2
+        q2 = streaming.stream_perplexity_pages(
+            streaming.stream_pages(spark, landing), lm, out2, ckpt2,
+            max_perplexity=cutoff)
+        q2.awaitTermination(120)
+        kept = {r.url for r in spark.read.parquet(out2).collect()}
+        assert "u3" not in kept and "u1" in kept
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
