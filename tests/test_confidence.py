@@ -199,3 +199,51 @@ def test_annotate_default_schema_unchanged(spark):
     pages = spark.createDataFrame([("u", "x")], "url STRING, text STRING")
     cols = engine.annotate(pages, lex_bc).columns
     assert "sample_tokens" not in cols and "covered_tokens" not in cols
+
+
+# ---------------------------------------------------------------------------
+# property-based differential (hypothesis): arbitrary inputs through
+# our pure functions vs the reference's own dormant code
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["chicken", "breast", "set", "'s", "raw", "frozen", "a", "(",
+          "salt", "menu", "sample", "x", "sets", "et", "'", "item"]
+_token = st.sampled_from(_WORDS)
+_tokens = st.lists(_token, max_size=6)
+_status = st.sampled_from([
+    "Full Term Match", "Component Match", "No Match",
+    "Component Match:Scientific Name", "Full Term Match:Synonym"])
+_micro = st.lists(st.sampled_from([
+    "A Direct Match", "Used Cleaned Sample", "Synonym Usage",
+    "Suffix Addition", "Spelling Correction Treatment: x -> y",
+    "Inflection (Plural) Treatment", "Permutation of Tokens in Resource Term",
+    "Abbreviation-Acronym Treatment: z", "{chicken: ['A Direct Match']}",
+    "Used Cleaned Sample and Suffix Addition"]), max_size=4)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_tokens, _status, _micro, st.sets(_token, max_size=4),
+       st.lists(_token, max_size=4))
+def test_assign_confidence_property_differential(ref_helpers, penalty_dict,
+                                                 tokens, status, micro,
+                                                 covered, hn):
+    # same set OBJECT to both sides -> identical str(set) serialization
+    assert C.assign_confidence_level(
+        tokens, status, micro, penalty_dict, covered, hn) == \
+        ref_helpers.assign_confidence_level(
+            tokens, status, micro, penalty_dict, covered, hn)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_token, max_size=8).map(" ".join))
+def test_get_head_noun_property_differential(ref_helpers, text):
+    orig = ref_helpers.pos_tag
+    try:
+        ref_helpers.pos_tag = C.rule_pos_tag
+        theirs = ref_helpers.get_head_noun(text)
+    finally:
+        ref_helpers.pos_tag = orig
+    assert C.get_head_noun(text) == theirs
