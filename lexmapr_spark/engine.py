@@ -198,6 +198,9 @@ def annotate(pages: DataFrame, lex_bc, url_col: str = "url",
                 memo.clear()
             results = []
             for u, t in zip(pdf["url"], pdf["text"]):
+                # crawl tables contain null cells; a None must degrade
+                # to an empty row, never kill the job
+                u = u if u is not None else ""
                 t = t if t is not None else ""
                 r = memo.get(t)
                 if r is None:

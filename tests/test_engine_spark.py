@@ -584,3 +584,21 @@ def test_annotate_classify_with_extra_cols(spark, lex_bc):
     assert by_url["u1"].tag == 7 and by_url["u2"].tag == 8
     assert isinstance(by_url["u1"].ifsac_labels, list)
     assert by_url["u1"].third_party_bucket.startswith("[")
+
+
+def test_annotate_survives_null_cells(spark, lex_bc):
+    """Crawl tables contain null urls/texts; a None cell must degrade
+    to an empty mention row, never kill the job."""
+    pages = spark.createDataFrame(
+        [(None, "chicken breast"), ("u2", None), (None, None),
+         ("u4", "chicken breast")],
+        "url STRING, text STRING")
+    out = engine.annotate(pages, lex_bc).collect()
+    assert len(out) == 4
+    by_url = {r.url: r for r in out}
+    assert by_url["u2"].macro_status == "No Match"
+    # null-url rows still match on their text
+    matched = [r for r in out if r.url is None and r.macro_status
+               != "No Match"]
+    assert len(matched) == 1
+    assert by_url["u4"].matched_components == matched[0].matched_components
