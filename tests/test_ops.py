@@ -756,3 +756,21 @@ def test_ann_recall_harness(spark):
     assert ivf["recall"] >= 0.8, ivf
     assert srp["n_queries"] == 5 and set(srp["per_query"]) == \
         set(ivf["per_query"])
+
+
+def test_ops_tolerate_null_text_cells(spark):
+    """Crawl tables contain null cells; no operator may crash on them
+    (matching engine.annotate's degrade-to-empty behavior)."""
+    from lexmapr_spark.ops import packing, web
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "")], "doc_id LONG, text STRING")
+    assert len(textstats.repetition_stats(docs).collect()) == 3
+    assert len(textstats.lang_id(docs).collect()) == 3
+    assert len(textstats.redact_pii(docs).collect()) == 3
+    assert len(dedup.global_line_dedup(docs).collect()) == 3
+    assert len(packing.pack_sequences(docs, seq_len=4).collect()) == 1
+    textstats.curate(docs).collect()          # no crash
+    textstats.perplexity(docs).collect()      # no crash
+    urls = spark.createDataFrame(
+        [(1, None), (2, "https://a.b/x")], "doc_id LONG, url STRING")
+    web.filter_blocked_hosts(urls, ["b.c"]).collect()  # no crash
