@@ -439,6 +439,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), seq_len=2048, n_buckets=32)
     q["pack_sequences_2k"] = pack_sequences_2k
 
+    # materialized packed examples (seq_len small enough that packs
+    # hold several documents at sf0.01)
+    def pack_examples_512(spark, sf):
+        from lexmapr_spark.ops import packing
+        return packing.build_packed_examples(
+            _t(spark, sf, "documents"), seq_len=512, n_buckets=32)
+    q["pack_examples_512"] = pack_examples_512
+
     # ---- C4-style global line dedup (lines synthesized from tokens
     # so cross-document duplicates are plentiful and SQL-reproducible)
     def dedup_global_lines(spark, sf):
@@ -1116,6 +1124,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, n_tokens, "
         "CAST(floor(gcum / 2048.0) AS BIGINT) AS pack_id, "
         "CAST(gcum % 2048 AS BIGINT) AS pack_offset FROM c")
+    oracles["pack_examples_512"] = (
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS n_tokens, "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        "AS hkey FROM documents), "
+        "f AS (SELECT *, CAST(hkey % 32 AS INT) AS bucket FROM t "
+        "WHERE n_tokens > 0), "
+        "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+        "ORDER BY bucket, hkey, doc_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), 0) AS gcum FROM f) "
+        "SELECT CAST(floor(gcum / 512.0) AS BIGINT) AS pack_id, "
+        "string_agg(text, ' ' ORDER BY gcum) AS text, "
+        "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
+        "FROM c JOIN documents USING (doc_id) GROUP BY 1")
     oracles["dedup_global_lines"] = (
         "WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text "
         "FROM documents), "

@@ -87,7 +87,7 @@ def main():
         "sample_hash_10pct", "sample_domain_cap", "text_contamination",
         "text_pii_redaction", "text_repetition", "text_perplexity",
         "conf_scoring", "web_host_filter", "ann_quantized_topk",
-        "dedup_global_lines", "pack_sequences_2k",
+        "dedup_global_lines", "pack_sequences_2k", "pack_examples_512",
         "curation_pipeline_v2",
     ]
     qs = entrymod.queries()

@@ -38,13 +38,16 @@ from lexmapr_spark.ops.util import fan_out
 
 def pack_sequences(docs: DataFrame, seq_len: int = 2048,
                    n_buckets: int = 32, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   carry_cols: tuple = ()) -> DataFrame:
     """(id, n_tokens, pack_id, pack_offset) — ``pack_offset`` is where
     the document starts inside its pack's token stream. A document
     whose tokens straddle a boundary belongs to the pack where it
     STARTS (the usual packing-with-overflow convention; splitting the
     tail into the next example is a tokenizer-side concern).
-    Zero-token documents are dropped.
+    Zero-token documents are dropped. ``carry_cols`` ride the bucket
+    shuffle verbatim and come back in the output (e.g. the text, for
+    :func:`build_packed_examples`).
     """
     from pyspark.sql.window import Window
 
@@ -52,7 +55,8 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     base = (docs.select(
         F.col(id_col),
         F.size(tokens_col(text_col)).alias("n_tokens"),
-        _hash60(F.col(id_col)).alias("hkey"))
+        _hash60(F.col(id_col)).alias("hkey"),
+        *[F.col(c) for c in carry_cols])
         .where(F.col("n_tokens") > 0)
         .withColumn("bucket",
                     F.pmod(F.col("hkey"), F.lit(n_buckets)).cast("int"))
@@ -85,4 +89,34 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     return packed.select(
         id_col, "n_tokens",
         F.floor(F.col("gcum") / seq_len).cast("bigint").alias("pack_id"),
-        (F.col("gcum") % seq_len).alias("pack_offset"))
+        (F.col("gcum") % seq_len).alias("pack_offset"),
+        *[F.col(c) for c in carry_cols])
+
+
+def build_packed_examples(docs: DataFrame, seq_len: int = 2048,
+                          n_buckets: int = 32, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          doc_sep: str = " ") -> DataFrame:
+    """Materialized training examples: one row per pack with the
+    member documents concatenated in pack order —
+    ``(pack_id, text, n_docs, n_tokens)``.
+
+    One extra shuffle on ``pack_id`` beyond :func:`pack_sequences`;
+    within a pack the global order is recovered from ``pack_offset``
+    (strictly increasing inside a pack, since consecutive documents'
+    cumulative starts differ by their positive token counts).
+    """
+    packed = pack_sequences(docs, seq_len=seq_len, n_buckets=n_buckets,
+                            id_col=id_col, text_col=text_col,
+                            carry_cols=(text_col,))
+    return (packed.groupBy("pack_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("pack_offset"),
+                                     F.col(text_col)))),
+                        lambda s: s.getField(text_col)),
+                    doc_sep).alias("text"),
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens")))

@@ -774,3 +774,32 @@ def test_ops_tolerate_null_text_cells(spark):
     urls = spark.createDataFrame(
         [(1, None), (2, "https://a.b/x")], "doc_id LONG, url STRING")
     web.filter_blocked_hosts(urls, ["b.c"]).collect()  # no crash
+
+
+def test_build_packed_examples(spark):
+    import hashlib
+    from lexmapr_spark.ops import packing
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range((i % 5) + 1)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.pack_id: r for r in
+           packing.build_packed_examples(df, seq_len=8,
+                                         n_buckets=4).collect()}
+
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    docs = sorted(((i, t, h60(i) % 4, h60(i)) for i, t in rows),
+                  key=lambda d: (d[2], d[3], d[0]))
+    cum, want = 0, {}
+    for i, t, _, _ in docs:
+        n = len(t.split())
+        want.setdefault(cum // 8, []).append(t)
+        cum += n
+    assert set(out) == set(want)
+    for pid, texts in want.items():
+        assert out[pid].text == " ".join(texts), pid
+        assert out[pid].n_docs == len(texts)
+    # token conservation
+    assert sum(r.n_tokens for r in out.values()) == cum
