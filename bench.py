@@ -213,6 +213,27 @@ def deep():
           lambda: dedup.simhash_near_duplicates(docs, max_hamming=3).count())
     timed("near_dup_filter_kept",
           lambda: dedup.near_duplicate_filter(docs, threshold=0.7).count())
+
+    # C4 line dedup on the clone corpus: lines = tokens, and the 40x
+    # cloned base text makes every base token a 40+-copy hot key —
+    # the boilerplate-skew regime the window shuffle must survive
+    lined = docs.select("doc_id",
+                        F.replace(F.col("text"), F.lit(" "),
+                                  F.lit("\n")).alias("text")).persist()
+    lined.count()
+    # filter on a computed column before counting — a bare count()
+    # lets Catalyst eliminate the dedup join / window entirely
+    timed("global_line_dedup",
+          lambda: dedup.global_line_dedup(lined)
+          .where(F.length("deduped_text") >= 0).count())
+    lined.unpersist()
+
+    # sequence packing at depth: the two-phase prefix sum over the
+    # full clone corpus
+    from lexmapr_spark.ops import packing
+    timed("pack_sequences",
+          lambda: packing.pack_sequences(docs, seq_len=2048)
+          .where(F.col("pack_offset") >= 0).count())
     docs.unpersist()
 
     spark.stop()
