@@ -468,3 +468,58 @@ def ann_recall(embeds: DataFrame, method, k: int = 10,
     mean = sum(per_query.values()) / len(per_query) if per_query else 0.0
     return {"recall": round(mean, 4), "per_query": per_query,
             "k": k, "n_queries": len(qids)}
+
+
+def build_quantized_ivf_index(embeds: DataFrame, path: str,
+                              n_lists: int = 16,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> np.ndarray:
+    """Materialize the production vector-store layout: int8 codes +
+    per-vector scale, partitioned by IVF list — 4x less storage than
+    the float index AND partition-pruned probes. Returns the centroid
+    codebook (persist it next to the index; it is a few KB).
+    """
+    cents = kmeans_centroids(embeds, k=n_lists, id_col=id_col,
+                             vec_col=vec_col)
+    assigned = ivf_assign(embeds, cents, id_col=id_col, vec_col=vec_col)
+    quantized = quantize_embeddings(embeds, id_col=id_col,
+                                    vec_col=vec_col)
+    index = (assigned.select(id_col, "ivf_list")
+             .join(quantized, id_col))
+    write_ivf_index(index, path)
+    return cents
+
+
+def ivf_topk_quantized(index: DataFrame, centroids, query_id: int,
+                       k: int = 10, nprobe: int = 4,
+                       id_col: str = "vec_id") -> DataFrame:
+    """Top-k over a quantized IVF index (``build_quantized_ivf_index``
+    output read back via :func:`read_ivf_index`): the query's
+    dequantized vector picks the ``nprobe`` nearest lists (driver-side
+    O(n_lists x dim)), the scan prunes to those partitions, and
+    scoring is the scale-invariant integer cosine of
+    :func:`cosine_topk_quantized` — no float vectors anywhere in the
+    serving path.
+    """
+    qrow = index.where(F.col(id_col) == query_id) \
+        .select("qvec", "scale").first()
+    if qrow is None:
+        raise ValueError(
+            f"ivf_topk_quantized: query_id {query_id} not found")
+    cents = np.asarray(centroids, dtype=np.float64)
+    qvec = np.asarray(list(qrow[0]), dtype=np.float64) * float(qrow[1])
+    d = ((cents - qvec[None, :]) ** 2).sum(1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+
+    q = index.where(F.col(id_col) == query_id).select(
+        F.col("qvec").alias("q_query"))
+    cands = index.where(F.col("ivf_list").isin(probes))
+    dvec = F.col("qvec").cast("array<double>")
+    dq = F.col("q_query").cast("array<double>")
+    scored = (cands.where(F.col(id_col) != query_id)
+              .crossJoin(F.broadcast(q))
+              .select(F.col(id_col),
+                      F.round(_dot(dvec, dq)
+                              / (_norm(dvec) * _norm(dq)), 6)
+                       .alias("cosine_q")))
+    return scored.orderBy(F.desc("cosine_q"), F.asc(id_col)).limit(k)

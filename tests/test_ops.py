@@ -803,3 +803,40 @@ def test_build_packed_examples(spark):
         assert out[pid].n_docs == len(texts)
     # token conservation
     assert sum(r.n_tokens for r in out.values()) == cum
+
+
+def test_quantized_ivf_index_pruned_and_accurate(spark, tmp_path):
+    """The int8 IVF index: partition-pruned probes (PartitionFilters
+    on ivf_list) and >=0.8 recall on clustered vectors through the
+    all-integer serving path."""
+    import functools
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((20, 32))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(15):
+            v = c + 0.05 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    embeds = spark.createDataFrame(rows,
+                                   "vec_id LONG, embedding ARRAY<FLOAT>")
+    path = str(tmp_path / "qivf")
+    cents = similarity.build_quantized_ivf_index(embeds, path, n_lists=8)
+    index = similarity.read_ivf_index(spark, path)
+
+    res = similarity.ivf_topk_quantized(index, cents, query_id=0, k=10,
+                                        nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "ivf_list" in pf            # probes prune the scan
+
+    def method(_, qid, k):
+        return similarity.ivf_topk_quantized(index, cents, qid, k,
+                                             nprobe=2)
+
+    rec = similarity.ann_recall(embeds, method, k=10, n_queries=5)
+    assert rec["recall"] >= 0.8, rec
