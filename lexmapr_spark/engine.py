@@ -871,8 +871,11 @@ def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
         # sort is inserted and the url order reaches the part file,
         # so each bucket is ONE part file in url order and re-running
         # a bucket reproduces identical bytes.
+        # "line" as the tiebreaker makes the sort total even when a
+        # url appears twice (crawl duplicates) — required for the
+        # byte-identical re-run guarantee
         wl = (wl.repartition(max(len(buckets), 1), "bucket")
-                .sortWithinPartitions("bucket", "url"))
+                .sortWithinPartitions("bucket", "url", "line"))
     wl.select("line", "bucket") \
         .write.mode("overwrite").partitionBy("bucket").text(wide_dir)
 

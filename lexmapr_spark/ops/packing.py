@@ -59,11 +59,14 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         *[F.col(c) for c in carry_cols])
         .where(F.col("n_tokens") > 0)
         .withColumn("bucket",
-                    F.pmod(F.col("hkey"), F.lit(n_buckets)).cast("int"))
-        # narrow (id, count, key) projection, read twice (bucket
-        # totals + the window pass) — cache it rather than re-scan
-        # the corpus text
-        .persist())
+                    F.pmod(F.col("hkey"), F.lit(n_buckets)).cast("int")))
+    # the projection is read twice (bucket totals + the window pass).
+    # Cache it ONLY when it is genuinely narrow — with carry_cols the
+    # frame includes the full document text, and pinning the corpus in
+    # executor storage is worse than a second scan of a column-pruned
+    # parquet read
+    if not carry_cols:
+        base = base.persist()
 
     w = (Window.partitionBy("bucket")
          .orderBy("hkey", id_col)

@@ -464,7 +464,11 @@ def ann_recall(embeds: DataFrame, method, k: int = 10,
     per_query = {}
     for qid in qids:
         got = {r[0] for r in method(embeds, qid, k).collect()}
-        per_query[qid] = len(got & truth.get(qid, set())) / float(k)
+        # standard recall@k: denominator is the ACHIEVABLE truth-set
+        # size (min(k, corpus-1)), so tiny corpora don't understate
+        # exact methods
+        denom = max(1, len(truth.get(qid, set())))
+        per_query[qid] = len(got & truth.get(qid, set())) / float(denom)
     mean = sum(per_query.values()) / len(per_query) if per_query else 0.0
     return {"recall": round(mean, 4), "per_query": per_query,
             "k": k, "n_queries": len(qids)}

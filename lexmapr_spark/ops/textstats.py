@@ -326,10 +326,9 @@ def repetition_stats_col(text_col: str = "text",
             grams = [" ".join(toks[i:i + 2]) for i in range(n_toks - 1)]
             if grams and n_chars:
                 gcounts = Counter(grams)
-                best = max(gcounts.items(), key=lambda kv: (kv[1], ), )
                 # deterministic tie-break: highest count, then
                 # lexicographically smallest gram
-                bc = best[1]
+                bc = max(gcounts.values())
                 bg = min(g for g, c in gcounts.items() if c == bc)
                 top2 = len(bg) * gcounts[bg] / n_chars
             else:
@@ -401,10 +400,12 @@ def perplexity(docs: DataFrame, lm: DataFrame | None = None,
     with zero tokens are dropped (no distribution to score).
 
     Scale shape: explode -> hash join tokens to the LM -> one
-    map-side-combinable groupBy(doc). The LM side is broadcast when
-    the vocab is known-bounded (``top_k`` was set or
-    ``broadcast_lm=True``); an unbounded vocab is left to Catalyst/AQE
-    to pick the join strategy. Per-doc sums use DECIMAL(28,6) so the
+    map-side-combinable groupBy(doc). The LM side is BROADCAST BY
+    DEFAULT (``broadcast_lm=None`` behaves like True — right for the
+    usual capped/``top_k`` vocabulary); for an uncapped
+    100 TB-corpus vocabulary pass ``broadcast_lm=False`` so
+    Catalyst/AQE picks the join strategy instead of forcing a
+    driver-sized broadcast. Per-doc sums use DECIMAL(28,6) so the
     result is independent of partitioning/summation order — then one
     double division + exp at the end, rounded to 6.
     """

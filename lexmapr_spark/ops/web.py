@@ -46,6 +46,8 @@ def filter_blocked_hosts(docs: DataFrame, blocklist,
     """Drop documents whose URL host equals a blocked domain or is a
     subdomain of one. Returns the kept rows with a ``host`` column
     attached (downstream per-domain caps reuse it without re-parsing).
+    Null URLs can never match a blocklist, so they are KEPT by both
+    paths (the literal path guards against three-valued-logic drops).
 
     ``blocklist`` is either
 
@@ -63,7 +65,8 @@ def filter_blocked_hosts(docs: DataFrame, blocklist,
     if isinstance(blocklist, (list, tuple, set, frozenset)):
         blocked_lit = F.array(
             *[F.lit(d.lower()) for d in sorted(set(blocklist))])
-        return docs.where(~F.arrays_overlap(suffixes, blocked_lit))
+        return docs.where(~F.coalesce(
+            F.arrays_overlap(suffixes, blocked_lit), F.lit(False)))
     blocked = blocklist.select(
         F.lower(F.col("domain")).alias("suffix")).distinct()
     hits = (docs

@@ -249,30 +249,37 @@ def stream_curated_pages(pages_stream, out_dir: str, checkpoint_dir: str,
         from lexmapr_spark.ops.web import host_col, host_suffixes_col
         blocked_lit = F.array(
             *[F.lit(d.lower()) for d in sorted(set(blocked_hosts))])
+        # coalesce: a null url can never match a blocklist — keep it
+        # rather than let three-valued logic drop the row
         pages_stream = pages_stream.where(
-            ~F.arrays_overlap(host_suffixes_col(host_col("url")),
-                              blocked_lit))
+            ~F.coalesce(
+                F.arrays_overlap(host_suffixes_col(host_col("url")),
+                                 blocked_lit), F.lit(False)))
 
     qc = _quality_cols("text")
     redacted = F.col("text")
     for name, pat in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
-    curated = (
+    gated = (
         pages_stream
         .withColumn("lang_pred", _lang_pred_col("text"))
         .withColumn("quality", F.round(qc["quality"], 6))
         .where((F.col("lang_pred") == lang)
                & (F.col("quality") >= min_quality))
-        .select("url", "warc_ts", redacted.alias("text"),
-                "lang_pred", "quality")
     )
     if max_dup_word_frac is not None:
+        # gate on the RAW text, before redaction — `textstats.curate`
+        # parity (redacting first would collapse every PII hit into
+        # one repeated token and inflate the duplicate-word fraction)
         from lexmapr_spark.ops.textstats import repetition_stats_col
-        curated = (curated
-                   .withColumn("dup_word_frac",
-                               repetition_stats_col("text")
-                               .getField("dup_word_frac"))
-                   .where(F.col("dup_word_frac") <= max_dup_word_frac))
+        gated = (gated
+                 .withColumn("dup_word_frac",
+                             repetition_stats_col("text")
+                             .getField("dup_word_frac"))
+                 .where(F.col("dup_word_frac") <= max_dup_word_frac))
+    curated = gated.select(
+        "url", "warc_ts", redacted.alias("text"), "lang_pred", "quality",
+        *(["dup_word_frac"] if max_dup_word_frac is not None else []))
     writer = (
         curated.writeStream.format("parquet")
         .option("path", out_dir)
@@ -307,12 +314,27 @@ def stream_perplexity_pages(pages_stream, lm, out_dir: str,
 
     from lexmapr_spark.ops.textstats import perplexity
 
-    def write_batch(batch_df, _batch_id):
+    def write_batch(batch_df, batch_id):
         scored = perplexity(batch_df, lm=lm, id_col="url",
                             text_col="text", broadcast_lm=True)
         if max_perplexity is not None:
             scored = scored.where(F.col("perplexity") <= max_perplexity)
-        scored.write.mode("append").parquet(out_dir)
+        # idempotent replay: each micro-batch owns its partition, so a
+        # batch reprocessed after a crash-before-checkpoint overwrites
+        # its own rows instead of appending duplicates (a bare append
+        # here would silently downgrade to at-least-once)
+        spark = batch_df.sparkSession
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (scored.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("batch_id")
+             .parquet(out_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev)
 
     writer = (
         pages_stream.select("url", "text").writeStream

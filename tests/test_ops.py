@@ -550,6 +550,15 @@ def test_filter_blocked_hosts_paths_agree(spark):
     kept_join = {r.doc_id for r in
                  web.filter_blocked_hosts(df, bl_df).collect()}
     assert kept_join == kept_lit
+
+    # null urls can never match a blocklist: KEPT by BOTH paths (the
+    # literal path must not let three-valued logic drop them)
+    with_null = df.union(spark.createDataFrame(
+        [(99, None)], "doc_id LONG, url STRING"))
+    assert 99 in {r.doc_id for r in
+                  web.filter_blocked_hosts(with_null, blocked).collect()}
+    assert 99 in {r.doc_id for r in
+                  web.filter_blocked_hosts(with_null, bl_df).collect()}
     # kept rows carry the parsed host for downstream domain caps
     hosts = {r.host for r in web.filter_blocked_hosts(df, blocked).collect()}
     assert hosts == {"good.example.com", "nottracker.net"}
