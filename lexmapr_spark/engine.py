@@ -660,16 +660,9 @@ def run_with_checkpoint(pages: DataFrame, lex_bc, out_dir: str,
     size = -(-len(todo) // n_chunks)
     chunks = [todo[i:i + size] for i in range(0, len(todo), size)]
 
-    overwrite_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        for chunk in chunks:
-            _checkpoint_job(spark, pages, lex_bc, chunk, n_buckets, comps,
-                            triples_dir, manifest_dir, stats)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       overwrite_mode)
+    for chunk in chunks:
+        _checkpoint_job(spark, pages, lex_bc, chunk, n_buckets, comps,
+                        triples_dir, manifest_dir, stats)
     return stats
 
 
@@ -703,7 +696,8 @@ def _checkpoint_job(spark, pages, lex_bc, buckets, n_buckets, comps,
     triples_obs = Observation(f"triples_per_bucket_{tag}")
     t = t.observe(triples_obs, *per_bucket_counts())
 
-    t.write.mode("overwrite").partitionBy("bucket").parquet(triples_dir)
+    t.write.mode("overwrite").option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("bucket").parquet(triples_dir)
 
     def counts(obs, fallback: DataFrame | None):
         # when the whole output is empty, AQE's empty-relation
@@ -805,18 +799,11 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
     size = -(-len(todo) // n_chunks)
     chunks = [todo[i:i + size] for i in range(0, len(todo), size)]
 
-    overwrite_mode = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        for chunk in chunks:
-            _artifacts_job(spark, pages, lex_bc, chunk, n_buckets, comps,
-                           full, classify, mentions_dir, triples_dir,
-                           wide_dir, manifest_dir, stats,
-                           ordered_wide=ordered_wide)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       overwrite_mode)
+    for chunk in chunks:
+        _artifacts_job(spark, pages, lex_bc, chunk, n_buckets, comps,
+                       full, classify, mentions_dir, triples_dir,
+                       wide_dir, manifest_dir, stats,
+                       ordered_wide=ordered_wide)
     _write_text_file(spark, os.path.join(wide_dir, "_header.tsv"),
                      "\t".join(wide_headers(full, classify)) + "\n")
     return stats
@@ -846,8 +833,9 @@ def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
     # THE input pass: scan -> Arrow matching stage -> mentions parquet
     mentions = annotate(bucketed, lex_bc, classify=classify,
                         extra_cols=("bucket",))
-    mentions.write.mode("overwrite").partitionBy("bucket") \
-        .parquet(mentions_dir)
+    mentions.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("bucket").parquet(mentions_dir)
 
     # derive the other artifacts from the STORED mentions — re-reads
     # the small intermediate, never the input
@@ -858,7 +846,8 @@ def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
         t = canonicalize(t, comps, keep_cols=("bucket",))
     triples_obs = Observation(f"art_triples_{tag}")
     t = t.observe(triples_obs, *per_bucket_counts())
-    t.write.mode("overwrite").partitionBy("bucket").parquet(triples_dir)
+    t.write.mode("overwrite").option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("bucket").parquet(triples_dir)
 
     wl = wide_lines(stored, full=full, bucket=classify,
                     extra_cols=("bucket", "url"))
@@ -877,7 +866,9 @@ def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
         wl = (wl.repartition(max(len(buckets), 1), "bucket")
                 .sortWithinPartitions("bucket", "url", "line"))
     wl.select("line", "bucket") \
-        .write.mode("overwrite").partitionBy("bucket").text(wide_dir)
+        .write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("bucket").text(wide_dir)
 
     def counts(obs, fallback):
         try:

@@ -60,13 +60,15 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         .where(F.col("n_tokens") > 0)
         .withColumn("bucket",
                     F.pmod(F.col("hkey"), F.lit(n_buckets)).cast("int")))
-    # the projection is read twice (bucket totals + the window pass).
-    # Cache it ONLY when it is genuinely narrow — with carry_cols the
-    # frame includes the full document text, and pinning the corpus in
-    # executor storage is worse than a second scan of a column-pruned
-    # parquet read
-    if not carry_cols:
-        base = base.persist()
+    # the projection is read twice (bucket totals NOW, the window pass
+    # LATER). Persisting pins ONE snapshot for both reads — without it
+    # a source that changes between the two (files added to a live
+    # directory) would pair old bucket offsets with new cumsums and
+    # silently corrupt pack ids. DataFrame persist is
+    # MEMORY_AND_DISK, so carrying the corpus text (carry_cols) spills
+    # rather than OOMs; callers doing repeated packing over an
+    # immutable source can unpersist via the returned plan's source.
+    base = base.persist()
 
     w = (Window.partitionBy("bucket")
          .orderBy("hkey", id_col)

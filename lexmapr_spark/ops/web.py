@@ -41,6 +41,21 @@ def host_suffixes_col(host: Column) -> Column:
         lambda s: s != "")
 
 
+def blocked_host_cond(host: Column, domains) -> Column:
+    """True iff ``host`` equals a blocked domain or is a subdomain of
+    one — the shared predicate behind the batch filter and the
+    streaming gate (one definition, so suffix semantics can't drift).
+
+    Null-safety invariant: for a null/invalid URL ``host_col`` yields
+    null, but ``host_suffixes_col`` still evaluates to a NON-null
+    empty array (its sequence/filter operate on non-null literals),
+    so ``arrays_overlap`` returns false — null-host rows are never
+    blocked and ``~cond`` keeps them without any coalesce.
+    """
+    blocked_lit = F.array(*[F.lit(d.lower()) for d in sorted(set(domains))])
+    return F.arrays_overlap(host_suffixes_col(host), blocked_lit)
+
+
 def filter_blocked_hosts(docs: DataFrame, blocklist,
                          url_col: str = "url") -> DataFrame:
     """Drop documents whose URL host equals a blocked domain or is a
@@ -63,10 +78,7 @@ def filter_blocked_hosts(docs: DataFrame, blocklist,
     docs = fan_out(docs).withColumn("host", host_col(url_col))
     suffixes = host_suffixes_col(F.col("host"))
     if isinstance(blocklist, (list, tuple, set, frozenset)):
-        blocked_lit = F.array(
-            *[F.lit(d.lower()) for d in sorted(set(blocklist))])
-        return docs.where(~F.coalesce(
-            F.arrays_overlap(suffixes, blocked_lit), F.lit(False)))
+        return docs.where(~blocked_host_cond(F.col("host"), blocklist))
     blocked = blocklist.select(
         F.lower(F.col("domain")).alias("suffix")).distinct()
     hits = (docs

@@ -246,15 +246,11 @@ def stream_curated_pages(pages_stream, out_dir: str, checkpoint_dir: str,
     )
 
     if blocked_hosts:
-        from lexmapr_spark.ops.web import host_col, host_suffixes_col
-        blocked_lit = F.array(
-            *[F.lit(d.lower()) for d in sorted(set(blocked_hosts))])
-        # coalesce: a null url can never match a blocklist — keep it
-        # rather than let three-valued logic drop the row
+        # shared predicate with the batch filter — suffix semantics
+        # and null handling live in ONE place (ops/web.py)
+        from lexmapr_spark.ops.web import blocked_host_cond, host_col
         pages_stream = pages_stream.where(
-            ~F.coalesce(
-                F.arrays_overlap(host_suffixes_col(host_col("url")),
-                                 blocked_lit), F.lit(False)))
+            ~blocked_host_cond(host_col("url"), blocked_hosts))
 
     qc = _quality_cols("text")
     redacted = F.col("text")
@@ -319,22 +315,17 @@ def stream_perplexity_pages(pages_stream, lm, out_dir: str,
                             text_col="text", broadcast_lm=True)
         if max_perplexity is not None:
             scored = scored.where(F.col("perplexity") <= max_perplexity)
-        # idempotent replay: each micro-batch owns its partition, so a
-        # batch reprocessed after a crash-before-checkpoint overwrites
-        # its own rows instead of appending duplicates (a bare append
-        # here would silently downgrade to at-least-once)
-        spark = batch_df.sparkSession
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        try:
-            (scored.withColumn("batch_id", F.lit(batch_id))
-             .write.mode("overwrite").partitionBy("batch_id")
-             .parquet(out_dir))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           prev)
+        # idempotent replay: each micro-batch owns its batch_id=N/
+        # partition (the sink is partitioned parquet — consumers read
+        # the extra batch_id column), so a batch reprocessed after a
+        # crash-before-checkpoint overwrites its own rows instead of
+        # appending duplicates. The overwrite mode is a PER-WRITE
+        # option, never a session-global conf flip (which would race
+        # concurrent writers in the same SparkSession).
+        (scored.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_dir))
 
     writer = (
         pages_stream.select("url", "text").writeStream
