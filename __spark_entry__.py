@@ -306,6 +306,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     threshold=0.7)
         .select("doc_id"))
 
+    # cluster-consistent keeper: connected components (pointer-doubling)
+    # over the verified pair graph, ONE survivor (min id) per dup
+    # cluster — the C4/RefinedWeb policy
+    q["dedup_near_dup_components"] = lambda spark, sf: (
+        dedup.near_duplicate_filter(_docs_with_clones(spark, sf),
+                                    threshold=0.7, keeper="component")
+        .select("doc_id"))
+
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_near_duplicates(
         _docs_with_clones(spark, sf), max_hamming=3)
 
@@ -898,6 +906,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near_dup_filter":
             f"SELECT doc_id FROM {_CLONES_SQL} WHERE doc_id NOT IN "
             f"(SELECT id_b FROM ({_LSH_PAIRS_SQL_TEMPLATE}))",
+
+        # cluster-consistent keeper: exact transitive closure over the
+        # verified pair set (bounded — pairs are few at oracle scale),
+        # component representative = min reachable id, drop everything
+        # else in the component
+        "dedup_near_dup_components":
+            "WITH RECURSIVE pairs0 AS (" + _LSH_PAIRS_SQL_TEMPLATE + "), "
+            "sym AS (SELECT id_a AS src, id_b AS dst FROM pairs0 "
+            "UNION SELECT id_b, id_a FROM pairs0), "
+            "reach AS (SELECT src, dst FROM sym UNION "
+            "SELECT r.src, s.dst FROM reach r JOIN sym s "
+            "ON r.dst = s.src), "
+            "comp AS (SELECT src AS node, least(src, min(dst)) "
+            "AS component FROM reach GROUP BY src) "
+            f"SELECT doc_id FROM {_CLONES_SQL} WHERE doc_id NOT IN "
+            "(SELECT node FROM comp WHERE node <> component)",
 
 
 

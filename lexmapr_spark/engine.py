@@ -509,17 +509,26 @@ def alias_edges(spark: SparkSession, lex: Lexicon) -> DataFrame:
 
 def connected_components(edges: DataFrame, max_iter: int = 20,
                          strict: bool = True) -> DataFrame:
-    """Min-label propagation to a fixpoint: (node, component).
+    """Min-label propagation with pointer doubling to a fixpoint:
+    (node, component).
 
-    Iterative DataFrame joins (the classic alternating star pattern
-    collapsed into one min-propagation step per round), with
-    convergence detection and an iteration cap. The graph here is
-    lexicon-sized, but the implementation only uses joins/groupBy, so
-    it scales to data-derived alias graphs too.
+    Each round does (1) a neighbor-min step — every node takes the min
+    of its own and its neighbors' labels (one hop of propagation) —
+    and (2) a pointer-doubling step — every node re-labels to its
+    label's label (``L(v) <- L(L(v))``, the path-halving trick from
+    the published MapReduce CC algorithms: Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"). Doubling makes
+    label depth collapse geometrically, so convergence is O(log
+    diameter) rounds instead of O(diameter) — the difference between
+    ~40 and ~10^6 shuffle rounds on a pathological chain in a
+    data-derived dup/alias graph at 100x scale. Every step is a
+    join + min-aggregate (no windows), so AQE handles skewed hub
+    nodes, and each round is localCheckpoint'ed to truncate lineage.
 
-    Min-propagation advances one hop per round, so ``max_iter`` bounds
-    the component diameter it can resolve. ``strict`` (default) raises
-    instead of silently returning split components when the cap is hit.
+    Label values are always existing node ids (mins over node ids), so
+    the doubling join always finds its target. ``strict`` (default)
+    raises instead of silently returning split components if the cap
+    is somehow hit.
     """
     converged = False
     sym = edges.union(edges.select(F.col("dst").alias("src"),
@@ -535,12 +544,25 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src").agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("component"),
                         F.coalesce(F.col("nmin"), F.col("component"))
+                        ).alias("component"),
+            )
+        )
+        # pointer doubling: component <- component's component (labels
+        # only ever decrease, so least() is just a safety clamp)
+        ptr = stepped.select(F.col("node").alias("pnode"),
+                             F.col("component").alias("pcomp"))
+        new_labels = (
+            stepped.join(ptr, stepped.component == ptr.pnode, "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("pcomp"), F.col("component"))
                         ).alias("component"),
             )
         )

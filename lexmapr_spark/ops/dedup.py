@@ -173,22 +173,44 @@ def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
 
 def near_duplicate_filter(docs: DataFrame, threshold: float = 0.7,
                           id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          keeper: str = "pairwise") -> DataFrame:
     """The curation consumer's view of near-dup detection: the KEPT
     corpus, not the pair list.
 
-    Policy: for every verified near-dup pair (id_a < id_b), the
-    higher id is dropped — so in any connected group the lowest id
-    survives, and docs tied only transitively through a dropped doc
-    are both kept (similarity evidence is pairwise, not transitive).
-    Implemented as a left-anti join of docs against the ``id_b`` side
-    of :func:`jaccard_near_duplicates`. The drop set is ids only;
-    Spark broadcasts it when small (the common case — dup rates are
-    a few percent), degrading to one id-keyed shuffle of the corpus
-    when it isn't. AQE makes that choice at runtime.
+    ``keeper="pairwise"`` (default): for every verified near-dup pair
+    (id_a < id_b), the higher id is dropped — so in any connected
+    group the lowest id survives, and docs tied only transitively
+    through a dropped doc are both kept (similarity evidence is
+    pairwise, not transitive).
+
+    ``keeper="component"``: the cluster-consistent policy real
+    pipelines (C4, RefinedWeb) use — run connected components over the
+    verified pair graph and keep exactly ONE doc (the min id) per dup
+    cluster, so a size-3 transitive chain a~b, b~c keeps only a.
+    Costs O(log diameter) extra join rounds
+    (:func:`lexmapr_spark.engine.connected_components`, pointer-
+    doubling) over the pair set — which is tiny relative to the
+    corpus, so the added work is on the small side only.
+
+    Either way the drop set is ids only; Spark broadcasts it when
+    small (the common case — dup rates are a few percent), degrading
+    to one id-keyed shuffle of the corpus when it isn't. AQE makes
+    that choice at runtime.
     """
-    drops = (jaccard_near_duplicates(docs, threshold, id_col, text_col)
-             .select(F.col("id_b").alias(id_col)).distinct())
+    pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col)
+    if keeper == "component":
+        from lexmapr_spark.engine import connected_components
+        comps = connected_components(pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+        drops = (comps.where(F.col("node") != F.col("component"))
+                 .select(F.col("node").alias(id_col)))
+    elif keeper == "pairwise":
+        drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(
+            f"near_duplicate_filter: unknown keeper {keeper!r} "
+            "(expected 'pairwise' or 'component')")
     return docs.join(drops, id_col, "left_anti")
 
 
@@ -292,26 +314,41 @@ def global_line_dedup(docs: DataFrame, id_col: str = "doc_id",
     ordered by (doc id, position); every other copy is dropped) and
     document reconstruction from the surviving lines.
 
-    Scale shape: two linear shuffles — posexplode -> window by line
-    (map-side nothing to combine, but AQE splits hot lines' partitions;
-    the window key is the line text itself so boilerplate lines are the
-    skewed keys exactly where dedup does its work) -> regroup by doc
-    id to reassemble text in position order. Documents whose every
-    line is dropped come back with empty text (left join keeps the
-    row). ``min_chars``: lines shorter than this bypass dedup and are
-    always kept (C4 dedups only substantial lines).
+    Scale shape: two linear, map-side-combinable shuffles — no window,
+    no join. The keeper of each distinct line is
+    ``min(struct(doc_id, pos))`` under a ``groupBy(line)``: partial
+    aggregation collapses every input partition's copies of a
+    boilerplate hot line ("Home", a cookie banner — 10^8 occurrences
+    in a 100 TB crawl) to ONE candidate row per partition BEFORE the
+    line-keyed exchange, so the reducer for the hottest line receives
+    at most one row per upstream partition. (A ``row_number() OVER
+    (PARTITION BY line)`` window — the naive formulation — funnels all
+    10^8 copies into one task, and AQE cannot split a window partition;
+    that is exactly the skew this operator exists to remove.) The
+    aggregate's output rows ARE the kept eligible lines — each carries
+    its keeper's (doc id, position) — so no join-back is needed; they
+    union with the ``min_chars``-bypassed short lines (which never
+    touch the line-keyed shuffle at all) and regroup by doc id to
+    reassemble text in position order. Documents whose every line is
+    dropped come back with empty text (left join keeps the row).
+    ``min_chars``: lines shorter than this bypass dedup and are always
+    kept (C4 dedups only substantial lines).
     """
-    from pyspark.sql.window import Window
-
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), line_sep))
          .alias("pos", "line"))
     eligible = F.length("line") >= min_chars
-    w = Window.partitionBy("line").orderBy(id_col, "pos")
-    ranked = lines.withColumn(
-        "rn", F.when(eligible, F.row_number().over(w)).otherwise(1))
-    kept = ranked.where(F.col("rn") == 1)
+    # keeper rows: min (doc, pos) per distinct line — struct min is
+    # lexicographic by field order, identical to ORDER BY doc_id, pos
+    kept = (lines.where(eligible)
+            .groupBy("line")
+            .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("k"))
+            .select(F.col(f"k.{id_col}").alias(id_col),
+                    F.col("k.pos").alias("pos"), "line"))
+    if min_chars > 0:
+        kept = kept.unionByName(
+            lines.where(~eligible).select(id_col, "pos", "line"))
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
                     F.transform(

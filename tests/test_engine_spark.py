@@ -201,6 +201,23 @@ def test_connected_components_basic(spark):
     assert comps == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_long_path_converges_in_log_rounds(spark):
+    """A 300-node path graph converges within 15 rounds — impossible
+    for one-hop-per-round min propagation (O(diameter) would need
+    299) — proving the pointer-doubling step gives O(log n) rounds on
+    exactly the pathological chains a data-derived dup/alias graph
+    can contain at scale."""
+    n = 300
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)],
+        "src STRING, dst STRING")
+    comps = {r.node: r.component
+             for r in engine.connected_components(
+                 edges, max_iter=15).collect()}
+    assert len(comps) == n
+    assert set(comps.values()) == {"n0000"}
+
+
 def test_canonicalize_rewrites_variant_ids(spark):
     lex = Lexicon()
     lex.non_standard_resource_ids = {"id_b": "foo bar", "id_a": "bar foo"}

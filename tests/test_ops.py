@@ -665,6 +665,53 @@ def test_global_line_dedup(spark):
     assert out2[4] == "x\nx"
 
 
+def test_global_line_dedup_plan_is_partial_aggregate_not_window(spark):
+    """The keeper must be a map-side-combinable min aggregate, never a
+    row_number window partitioned by the raw line text: a window key
+    must be co-located by definition, so a boilerplate hot line
+    (occurring 10^8 times in a crawl) would funnel into ONE task and
+    AQE could not split it. With partial aggregation the hot key
+    collapses to one candidate row per upstream partition before the
+    line-keyed Exchange."""
+    df = spark.createDataFrame([(1, "a\nb"), (2, "b\nc")],
+                               "doc_id LONG, text STRING")
+    phys = (dedup.global_line_dedup(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in phys
+    assert "partial_min" in phys
+    # min_chars bypass routes short lines around the line-keyed
+    # aggregate via a union below it
+    phys2 = (dedup.global_line_dedup(df, min_chars=2)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "Union" in phys2 and "Window" not in phys2
+
+
+def test_near_duplicate_filter_component_keeper(spark):
+    # transitive 3-doc cluster where the shared neighbor has the
+    # HIGHEST id: doc 3 is near both 1 and 2, but 1 and 2 are below
+    # threshold with each other
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima").split()
+    c = " ".join(base)
+    a = " ".join(base[:-1] + ["mike"])
+    b = " ".join(["november"] + base[1:])
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)],
+                               "doc_id LONG, text STRING")
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.jaccard_near_duplicates(df, 0.7).collect()}
+    assert pairs == {(1, 3), (2, 3)}
+    # pairwise policy: only the id_b side (3) drops -> 1 AND 2 kept
+    # even though they are in one dup cluster
+    kept_pair = {r.doc_id
+                 for r in dedup.near_duplicate_filter(df, 0.7).collect()}
+    assert kept_pair == {1, 2}
+    # component policy: one keeper (min id) per connected cluster
+    kept_comp = {r.doc_id
+                 for r in dedup.near_duplicate_filter(
+                     df, 0.7, keeper="component").collect()}
+    assert kept_comp == {1}
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (round 3)
 # ---------------------------------------------------------------------------

@@ -121,10 +121,18 @@ def main():
             "global Window funnel), bucket totals collected as P "
             "bounded rows and broadcast back as offsets.",
         "dedup_global_lines":
-            "C4 global line dedup (round 3): posexplode -> ONE window "
-            "Exchange keyed on the line text (boilerplate lines are "
-            "the hot keys — AQE splits them) -> ONE positional regroup "
-            "Exchange; both linear, no self-joins.",
+            "C4 global line dedup (keeper rewrite, round 4): "
+            "posexplode -> groupBy(line) with a PARTIAL min(struct("
+            "doc_id, pos)) aggregate (each upstream partition "
+            "collapses a boilerplate hot line to one candidate row "
+            "BEFORE the line-keyed Exchange — a row_number window "
+            "here would funnel all 10^8 copies of a hot line into "
+            "one task, and AQE cannot split a window partition) -> "
+            "the aggregate output rows ARE the kept lines, so no "
+            "join-back -> ONE positional regroup Exchange. "
+            "min_chars-bypassed short lines union in below the line "
+            "aggregate and never ride its shuffle. No Window node "
+            "anywhere (plan-asserted).",
         "ann_quantized_topk":
             "int8 quantized cosine (round 3): quantize + score in "
             "whole-stage codegen over a narrow scan (4x fewer bytes "
