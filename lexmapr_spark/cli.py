@@ -83,7 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "directory of part files (worker-side "
                              "formatting, no driver collect — the "
                              "scale path; _header.tsv + part files "
-                             "concatenate to the same bytes as -o)")
+                             "concatenate to the same rows as -o, "
+                             "sorted by sample id rather than input "
+                             "order)")
     return parser
 
 

@@ -442,12 +442,19 @@ def write_wide_tsv(mentions: DataFrame, path: str, full: bool = True,
     collect, so the wide table scales like the triple table. The
     header goes to ``<path>/_header.tsv`` (a sidecar, like Spark's own
     ``_SUCCESS``); with the default ``order_by`` the rows are
-    range-sorted, so concatenating the header and the part files in
-    name order reproduces :func:`render_wide_tsv`'s bytes exactly
-    (pinned by test). Pass ``order_by=None`` to skip the sort shuffle
-    when row order doesn't matter."""
-    src = mentions.orderBy(*order_by) if order_by else mentions
-    wide_lines(src, full=full, bucket=bucket).write.mode(mode).text(path)
+    range-sorted by (url, formatted line) — the formatted-line
+    tiebreaker makes the sort total even when a url appears twice, so
+    re-runs are byte-deterministic — and concatenating the header and
+    the part files in name order yields the same ROWS as
+    :func:`render_wide_tsv`, in url order (byte-identical to it when
+    the input arrives url-sorted; pinned by test). Pass
+    ``order_by=None`` to skip the sort shuffle when row order doesn't
+    matter."""
+    wl = wide_lines(mentions, full=full, bucket=bucket,
+                    extra_cols=tuple(order_by) if order_by else ())
+    if order_by:
+        wl = wl.orderBy(*order_by, "line")
+    wl.select("line").write.mode(mode).text(path)
     _write_text_file(mentions.sparkSession,
                      os.path.join(path, "_header.tsv"),
                      "\t".join(wide_headers(full, bucket)) + "\n")
@@ -770,7 +777,8 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
                        n_buckets: int = 32, full: bool = True,
                        classify: bool = True, canonical: bool = False,
                        manifest_chunks: int = 1,
-                       ordered_wide: bool = True) -> dict:
+                       ordered_wide: bool = True,
+                       wide_files_per_bucket: int | None = None) -> dict:
     """Production run emitting EVERY user-facing artifact from ONE
     pass over the input, bucket-resumable like
     :func:`run_with_checkpoint`:
@@ -785,11 +793,23 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
     * ``out_dir/wide/bucket=<b>`` — the reference's wide TSV as text
       part files (cells formatted worker-side via :func:`wide_lines`),
       plus ``out_dir/wide/_header.tsv``. With ``ordered_wide`` (the
-      default) each bucket is ONE part file sorted by url, so a
-      bucket's bytes are deterministic across runs/resumes and
-      ``cat _header.tsv bucket=*/part-*`` is a stable artifact; pass
-      ``ordered_wide=False`` to skip the line shuffle when downstream
-      only needs set semantics.
+      default) a bucket's bytes are deterministic across runs and
+      resumes, so ``cat _header.tsv bucket=*/part-*`` is a stable
+      artifact; pass ``ordered_wide=False`` to skip the line shuffle
+      when downstream only needs set semantics.
+
+    ``wide_files_per_bucket`` bounds per-task volume in the ordered
+    wide sink: each bucket's rows split into that many deterministic
+    url-hash sub-slices, each sorted and written independently, so a
+    bucket is never forced through ONE task (at 100 TB with 32
+    buckets, one-task-per-bucket would mean a ~3 TB single-task
+    sort). Default: ``spark.sql.shuffle.partitions / n_buckets``
+    (min 1) — per-task volume then tracks the session's configured
+    parallelism instead of the bucket count. With the value 1 each
+    bucket is one part file in url order (the strongest ordering
+    guarantee); with k > 1 each part file is internally url-sorted
+    and bucket bytes remain deterministic, but the concatenation is
+    sub-slice order, not global url order.
 
     Manifest rows land only after all three artifacts for a bucket
     are durable, so resume never trusts a half-written bucket; all
@@ -803,6 +823,13 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
     triples_dir = os.path.join(out_dir, "triples")
     wide_dir = os.path.join(out_dir, "wide")
 
+    # header first: it is input-independent, and writing it before any
+    # chunk (and on every resume) means a crash between the last
+    # bucket's manifest and run end can never leave the documented
+    # `cat _header.tsv bucket=*/part-*` artifact permanently headerless
+    _write_text_file(spark, os.path.join(wide_dir, "_header.tsv"),
+                     "\t".join(wide_headers(full, classify)) + "\n")
+
     done: set[int] = set()
     if _path_exists(spark, manifest_dir):
         done = {
@@ -815,6 +842,10 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
     if not todo:
         return stats
 
+    if wide_files_per_bucket is None:
+        wide_files_per_bucket = max(
+            1, _session_parallelism(spark) // max(n_buckets, 1))
+
     comps = (connected_components(alias_edges(spark, lex_bc.value))
              if canonical else None)
     n_chunks = max(1, min(int(manifest_chunks), len(todo)))
@@ -825,15 +856,24 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
         _artifacts_job(spark, pages, lex_bc, chunk, n_buckets, comps,
                        full, classify, mentions_dir, triples_dir,
                        wide_dir, manifest_dir, stats,
-                       ordered_wide=ordered_wide)
-    _write_text_file(spark, os.path.join(wide_dir, "_header.tsv"),
-                     "\t".join(wide_headers(full, classify)) + "\n")
+                       ordered_wide=ordered_wide,
+                       wide_files_per_bucket=wide_files_per_bucket)
     return stats
+
+
+def _session_parallelism(spark) -> int:
+    """The session's configured shuffle parallelism (falls back to the
+    cluster's default parallelism when the conf is non-numeric)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
 
 
 def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
                    full, classify, mentions_dir, triples_dir, wide_dir,
-                   manifest_dir, stats, ordered_wide=True) -> None:
+                   manifest_dir, stats, ordered_wide=True,
+                   wide_files_per_bucket=1) -> None:
     import uuid
 
     from pyspark.sql import Observation
@@ -874,19 +914,25 @@ def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
     wl = wide_lines(stored, full=full, bucket=classify,
                     extra_cols=("bucket", "url"))
     if ordered_wide:
-        # deterministic bytes per bucket: hash-repartition on the
-        # bucket id (all of a bucket's rows land in one task — buckets
-        # are uniform url-hash slices, so no skew) and sort by url
-        # within. The text sink's required ordering is just the
-        # partition column, which (bucket, url) prefixes — no extra
-        # sort is inserted and the url order reaches the part file,
-        # so each bucket is ONE part file in url order and re-running
-        # a bucket reproduces identical bytes.
-        # "line" as the tiebreaker makes the sort total even when a
-        # url appears twice (crawl duplicates) — required for the
-        # byte-identical re-run guarantee
-        wl = (wl.repartition(max(len(buckets), 1), "bucket")
-                .sortWithinPartitions("bucket", "url", "line"))
+        # deterministic bytes per bucket WITHOUT one-task-per-bucket:
+        # each bucket splits into wide_files_per_bucket url-hash
+        # sub-slices, hash-repartitioned on (bucket, sub) and sorted
+        # within tasks. The task count is n_buckets * fpb — constant
+        # regardless of which buckets this (possibly resumed) job
+        # covers — so the (bucket, sub) -> task mapping, and therefore
+        # every part file's contents, is identical across full runs
+        # and per-bucket resumes. The text sink's required ordering is
+        # just the partition column, which the sort prefixes — no
+        # extra sort is inserted. "line" as the final tiebreaker makes
+        # the sort total even when a url appears twice (crawl
+        # duplicates) — required for the byte-identical re-run
+        # guarantee. With fpb == 1 this degenerates to one url-sorted
+        # part file per bucket.
+        fpb = max(1, int(wide_files_per_bucket))
+        wl = (wl.withColumn("_sub", F.pmod(F.xxhash64("url"),
+                                           F.lit(fpb)).cast("int"))
+                .repartition(n_buckets * fpb, "bucket", "_sub")
+                .sortWithinPartitions("bucket", "_sub", "url", "line"))
     wl.select("line", "bucket") \
         .write.mode("overwrite") \
         .option("partitionOverwriteMode", "dynamic") \

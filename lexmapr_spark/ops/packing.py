@@ -37,7 +37,7 @@ from lexmapr_spark.ops.util import fan_out
 
 
 def pack_sequences(docs: DataFrame, seq_len: int = 2048,
-                   n_buckets: int = 32, id_col: str = "doc_id",
+                   n_buckets: int | None = None, id_col: str = "doc_id",
                    text_col: str = "text",
                    carry_cols: tuple = ()) -> DataFrame:
     """(id, n_tokens, pack_id, pack_offset) — ``pack_offset`` is where
@@ -48,10 +48,22 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     Zero-token documents are dropped. ``carry_cols`` ride the bucket
     shuffle verbatim and come back in the output (e.g. the text, for
     :func:`build_packed_examples`).
+
+    ``n_buckets`` defaults to ``spark.sql.shuffle.partitions``: the
+    per-bucket window sort (which carries the full text when
+    ``carry_cols`` does) then handles ``corpus / parallelism`` rows
+    per task at ANY input size, instead of a fixed 1/32nd of the
+    corpus — a hard-coded bucket count turns into a multi-TB
+    single-task sort at 100 TB. Pack ids depend on the bucket count,
+    so pin ``n_buckets`` explicitly when reproducing a layout across
+    sessions with different parallelism.
     """
     from pyspark.sql.window import Window
 
     docs = fan_out(docs)
+    if n_buckets is None:
+        from lexmapr_spark.engine import _session_parallelism
+        n_buckets = max(1, _session_parallelism(docs.sparkSession))
     base = (docs.select(
         F.col(id_col),
         F.size(tokens_col(text_col)).alias("n_tokens"),
@@ -99,7 +111,8 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
 
 
 def build_packed_examples(docs: DataFrame, seq_len: int = 2048,
-                          n_buckets: int = 32, id_col: str = "doc_id",
+                          n_buckets: int | None = None,
+                          id_col: str = "doc_id",
                           text_col: str = "text",
                           doc_sep: str = " ") -> DataFrame:
     """Materialized training examples: one row per pack with the

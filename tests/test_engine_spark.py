@@ -378,25 +378,30 @@ def test_run_full_artifacts_end_to_end(spark, lex_bc):
         shutil.rmtree(out, ignore_errors=True)
 
 
-def test_run_full_artifacts_wide_bucket_byte_order(spark, lex_bc):
-    """ordered_wide (default): each wide bucket is ONE part file
-    sorted by url, and re-running a bucket reproduces identical
-    bytes — the per-bucket byte-order guarantee."""
+def _wide_bucket_bytes(out, expect_parts=None):
     import glob
 
-    def bucket_bytes(out):
-        got = {}
-        for d in sorted(glob.glob(os.path.join(out, "wide", "bucket=*"))):
-            parts = sorted(glob.glob(os.path.join(d, "part-*")))
-            assert len(parts) == 1, f"{d}: expected 1 part file"
-            got[os.path.basename(d)] = open(parts[0], "rb").read()
-        return got
+    got = {}
+    for d in sorted(glob.glob(os.path.join(out, "wide", "bucket=*"))):
+        parts = sorted(glob.glob(os.path.join(d, "part-*")))
+        if expect_parts is not None:
+            assert len(parts) == expect_parts, \
+                f"{d}: expected {expect_parts} part files, got {len(parts)}"
+        got[os.path.basename(d)] = b"".join(
+            open(p, "rb").read() for p in parts)
+    return got
 
+
+def test_run_full_artifacts_wide_bucket_byte_order(spark, lex_bc):
+    """ordered_wide with wide_files_per_bucket=1: each wide bucket is
+    ONE part file sorted by url, and re-running reproduces identical
+    bytes — the strongest per-bucket ordering guarantee."""
     pages = synth_pages(spark, 120, corpus=load_corpus(limit=60))
     out1, out2 = tempfile.mkdtemp(), tempfile.mkdtemp()
     try:
-        engine.run_full_artifacts(pages, lex_bc, out1, n_buckets=4)
-        b1 = bucket_bytes(out1)
+        engine.run_full_artifacts(pages, lex_bc, out1, n_buckets=4,
+                                  wide_files_per_bucket=1)
+        b1 = _wide_bucket_bytes(out1, expect_parts=1)
         assert len(b1) == 4
         # url-sorted within each bucket (urls are unique per page, and
         # wide line col 0 is the url/sample id)
@@ -406,11 +411,73 @@ def test_run_full_artifacts_wide_bucket_byte_order(spark, lex_bc):
             assert ids == sorted(ids)
         # independent run -> byte-identical buckets
         engine.run_full_artifacts(
-            pages.repartition(7), lex_bc, out2, n_buckets=4)
-        assert bucket_bytes(out2) == b1
+            pages.repartition(7), lex_bc, out2, n_buckets=4,
+            wide_files_per_bucket=1)
+        assert _wide_bucket_bytes(out2, expect_parts=1) == b1
     finally:
         shutil.rmtree(out1, ignore_errors=True)
         shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_run_full_artifacts_wide_multi_file_buckets_deterministic(
+        spark, lex_bc):
+    """The scale-safe default: wide_files_per_bucket > 1 splits each
+    bucket across several tasks (no one-task-per-bucket sort funnel).
+    Bucket bytes stay deterministic across input layouts AND across a
+    per-bucket resume, every part file is internally url-sorted, and
+    the task count is fixed at n_buckets * fpb so resume reproduces
+    identical files."""
+    pages = synth_pages(spark, 120, corpus=load_corpus(limit=60))
+    out1, out2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        engine.run_full_artifacts(pages, lex_bc, out1, n_buckets=2,
+                                  wide_files_per_bucket=3)
+        b1 = _wide_bucket_bytes(out1)
+        assert len(b1) == 2
+        # >1 task per bucket actually materialized
+        import glob
+        n_parts = {d: len(glob.glob(os.path.join(d, "part-*")))
+                   for d in glob.glob(os.path.join(out1, "wide", "bucket=*"))}
+        assert any(n > 1 for n in n_parts.values()), n_parts
+        for d in n_parts:
+            for p in glob.glob(os.path.join(d, "part-*")):
+                ids = [ln.split("\t", 1)[0] for ln in
+                       open(p).read().rstrip("\n").split("\n") if ln]
+                assert ids == sorted(ids)
+        # different input partitioning -> byte-identical buckets
+        engine.run_full_artifacts(pages.repartition(7), lex_bc, out2,
+                                  n_buckets=2, wide_files_per_bucket=3)
+        assert _wide_bucket_bytes(out2) == b1
+        # resume of ONE bucket (delete its manifest row + data) writes
+        # the same bytes the full run produced
+        shutil.rmtree(os.path.join(out2, "manifest", "bucket=0"))
+        shutil.rmtree(os.path.join(out2, "wide", "bucket=0"))
+        s = engine.run_full_artifacts(pages, lex_bc, out2, n_buckets=2,
+                                      wide_files_per_bucket=3)
+        assert s["buckets_skipped"] == 1
+        assert _wide_bucket_bytes(out2) == b1
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_run_full_artifacts_header_written_before_chunks(spark, lex_bc):
+    """The wide header is input-independent and must land BEFORE bucket
+    processing (and again on resume), so a crash after the last
+    bucket's manifest can never leave the artifact headerless."""
+    pages = synth_pages(spark, 40, corpus=load_corpus(limit=20))
+    out = tempfile.mkdtemp()
+    try:
+        engine.run_full_artifacts(pages, lex_bc, out, n_buckets=2)
+        hdr = os.path.join(out, "wide", "_header.tsv")
+        assert os.path.exists(hdr)
+        os.remove(hdr)
+        # fully-resumed run (todo empty) must restore the header
+        s = engine.run_full_artifacts(pages, lex_bc, out, n_buckets=2)
+        assert s["buckets_skipped"] == 2
+        assert os.path.exists(hdr)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def test_spark_bucket_output_byte_exact_vs_local(spark, lex_bc):
