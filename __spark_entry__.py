@@ -1010,11 +1010,12 @@ def oracle_sql() -> dict[str, str]:
         # (email -> ipv4 -> phone), counts per kind on the raw text
         "text_pii_redaction": _pii_oracle_sql(),
 
-        # 8-gram builder mirrors Spark's slice-truncation for short
-        # docs (concat_ws skips DuckDB's out-of-bounds NULLs)
+        # standard n-gram semantics both sides: <8-token docs emit NO
+        # grams (DuckDB's generate_series(1, len-7) is empty when
+        # len < 8, matching Spark's CASE guard in ngrams_col)
         "text_contamination":
             "WITH dg AS (SELECT doc_id, unnest(list_filter(list_transform("
-            "generate_series(1, greatest(len(toks) - 7, 1)), "
+            "generate_series(1, len(toks) - 7), "
             "i -> concat_ws(' ', " +
             ", ".join(f"toks[i+{j}]" for j in range(8)) +
             ")), s -> s != '')) AS gram FROM ("
@@ -1093,7 +1094,7 @@ def oracle_sql() -> dict[str, str]:
             "x -> x != '')) AS tok FROM documents) GROUP BY doc_id, tok)"
             " GROUP BY doc_id), "
             "dg AS (SELECT doc_id, unnest(list_filter(list_transform("
-            "generate_series(1, greatest(len(toks) - 7, 1)), "
+            "generate_series(1, len(toks) - 7), "
             "i -> concat_ws(' ', " +
             ", ".join(f"toks[i+{j}]" for j in range(8)) +
             ")), s -> s != '')) AS gram FROM ("

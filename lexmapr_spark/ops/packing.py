@@ -76,11 +76,13 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     # LATER). Persisting pins ONE snapshot for both reads — without it
     # a source that changes between the two (files added to a live
     # directory) would pair old bucket offsets with new cumsums and
-    # silently corrupt pack ids. DataFrame persist is
-    # MEMORY_AND_DISK, so carrying the corpus text (carry_cols) spills
-    # rather than OOMs; callers doing repeated packing over an
-    # immutable source can unpersist via the returned plan's source.
-    base = base.persist()
+    # silently corrupt pack ids. DataFrame persist is MEMORY_AND_DISK,
+    # so carrying the corpus text (carry_cols) spills rather than
+    # OOMs. scoped_persist bounds a long-lived session to ONE live
+    # packing snapshot (each call releases the previous one);
+    # ops.util.release_cache("pack_sequences") frees it on demand.
+    from lexmapr_spark.ops.util import scoped_persist
+    base = scoped_persist(base, "pack_sequences")
 
     w = (Window.partitionBy("bucket")
          .orderBy("hkey", id_col)

@@ -186,11 +186,18 @@ def curate(docs: DataFrame, min_quality: float = 0.3, lang: str = "en",
 
 def ngrams_col(text_col: str, n: int):
     """Word n-grams of the whitespace-token stream, space-joined —
-    pure JVM expression (the dedup shingle builder generalized to n)."""
+    pure JVM expression. Standard n-gram semantics: a text with fewer
+    than ``n`` tokens yields NO n-grams (unlike the dedup shingle
+    builder, which deliberately emits one whole-doc shingle so short
+    docs still get MinHash signatures); decontamination must not
+    silently compare a truncated gram that no ``n``-gram of a probe
+    can ever equal. The CASE guard matters because Spark's
+    ``sequence(1, 0)`` counts DOWN, not empty."""
     toks = f"filter(split({text_col}, ' '), x -> x != '')"
     return F.expr(
-        f"filter(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({toks}, i, {n}))), s -> s != '')")
+        f"CASE WHEN size({toks}) < {n} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE filter(transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))), s -> s != '') END")
 
 
 def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
@@ -410,7 +417,11 @@ def perplexity(docs: DataFrame, lm: DataFrame | None = None,
     double division + exp at the end, rounded to 6.
     """
     if lm is None:
-        lm = unigram_lm(docs).persist()
+        # scoped: each perplexity call releases the previous
+        # self-built LM snapshot (ops.util.release_cache frees it
+        # eagerly), so long-lived sessions hold at most one
+        from lexmapr_spark.ops.util import scoped_persist
+        lm = scoped_persist(unigram_lm(docs), "perplexity_lm")
     # OOV logprob as a lazy 1-row broadcast — no driver-side action,
     # so the whole op stays one job
     oov_df = lm.groupBy().agg(

@@ -4,6 +4,52 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# ---------------------------------------------------------------------------
+# Scoped snapshot caches
+# ---------------------------------------------------------------------------
+# Operators that must read one consistent snapshot of their input twice
+# (pack_sequences: bucket totals now + window pass later; perplexity:
+# the self-built LM) persist that snapshot. A long-lived session
+# calling such an op repeatedly would otherwise accumulate cached
+# partitions without bound, because the op returns a lazy DataFrame
+# and has no "after the terminal action" hook to unpersist at. The
+# registry bounds that: each op registers its snapshot under a scope
+# key, the NEXT call in the same scope releases the previous snapshot,
+# and release_cache() frees everything on demand.
+
+_LAST_CACHE: dict[str, DataFrame] = {}
+
+
+def scoped_persist(df: DataFrame, scope: str) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) as ``scope``'s live snapshot,
+    releasing the previous snapshot registered under the same scope.
+
+    At most ONE snapshot per scope is ever cached, so repeated calls
+    in a long-lived session hold bounded executor storage. Caveat: the
+    release forces any still-unconsumed result of the PREVIOUS call in
+    the same scope to recompute from source on consumption — identical
+    results unless the source mutated in between; interleave calls
+    against a mutating source with :func:`release_cache` discipline
+    instead."""
+    release_cache(scope)
+    cached = df.persist()
+    _LAST_CACHE[scope] = cached
+    return cached
+
+
+def release_cache(scope: str | None = None) -> None:
+    """Unpersist the snapshot cached under ``scope`` (or every scope
+    when None). Safe to call at any time; consumers of already-
+    returned DataFrames simply recompute from source."""
+    keys = [scope] if scope is not None else list(_LAST_CACHE)
+    for k in keys:
+        df = _LAST_CACHE.pop(k, None)
+        if df is not None:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped; nothing to release
+
 
 def fan_out(df: DataFrame, min_partitions: int | None = 0) -> DataFrame:
     """Round-robin repartition a too-coarse input so CPU-bound stages

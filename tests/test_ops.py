@@ -400,14 +400,17 @@ def test_ngram_contamination_detects_planted_overlap(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_ngrams_col_short_doc_truncates(spark):
-    """Docs shorter than n yield one truncated gram (the shingle
-    builder's convention), never an empty set."""
-    df = spark.createDataFrame([(1, "just three words"), (2, "")],
-                               "doc_id LONG, text STRING")
+def test_ngrams_col_short_doc_yields_no_grams(spark):
+    """Standard n-gram semantics: docs shorter than n yield NO
+    n-grams (a truncated gram could only ever match an identical
+    truncated probe, never a containing probe — silently wrong for
+    decontamination)."""
+    df = spark.createDataFrame(
+        [(1, "just three words"), (2, ""), (3, "a b c d e f g h")],
+        "doc_id LONG, text STRING")
     out = {r.doc_id: list(r.g) for r in df.select(
         "doc_id", textstats.ngrams_col("text", 8).alias("g")).collect()}
-    assert out == {1: ["just three words"], 2: []}
+    assert out == {1: [], 2: [], 3: ["a b c d e f g h"]}
 
 
 def test_redact_pii_replaces_and_counts(spark):
@@ -684,6 +687,31 @@ def test_global_line_dedup_plan_is_partial_aggregate_not_window(spark):
     phys2 = (dedup.global_line_dedup(df, min_chars=2)
              ._jdf.queryExecution().executedPlan().toString())
     assert "Union" in phys2 and "Window" not in phys2
+
+
+def test_scoped_persist_bounds_cached_snapshots(spark):
+    """Repeated pack_sequences / perplexity calls in one session must
+    not accumulate cached partitions: each call releases the previous
+    call's snapshot (at most ONE live per scope), and release_cache()
+    frees everything."""
+    from lexmapr_spark.ops import packing, textstats, util
+
+    def n_persisted():
+        return int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+    util.release_cache()
+    base = n_persisted()
+    df = spark.createDataFrame(
+        [(i, "tok " * (3 + i % 7)) for i in range(40)],
+        "doc_id LONG, text STRING")
+    for _ in range(3):
+        packing.pack_sequences(df, seq_len=64, n_buckets=4).count()
+    assert n_persisted() <= base + 1
+    for _ in range(2):
+        textstats.perplexity(df).count()
+    assert n_persisted() <= base + 2  # one packing + one LM snapshot
+    util.release_cache()
+    assert n_persisted() <= base
 
 
 def test_near_duplicate_filter_component_keeper(spark):
