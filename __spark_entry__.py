@@ -332,6 +332,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_srp_bucketed_topk"] = lambda spark, sf: similarity.srp_bucketed_topk(
         _t(spark, sf, "embeddings"), query_id=0, k=10)
 
+    # batch serving: every query's top-k in ONE job (broadcast probe
+    # pairs + per-query window re-rank; pinned equal to the loop)
+    q["ann_srp_batch_topk"] = lambda spark, sf: (
+        similarity.srp_bucketed_topk_batch(
+            _t(spark, sf, "embeddings"), [0, 7, 19], k=10))
+
+    # int8 codes + SRP buckets composed: dequantized-code signatures
+    # are fold-deterministic (integer * scale), so this is oracled
+    # like ann_quantized_topk
+    q["ann_quantized_srp_topk"] = lambda spark, sf: (
+        similarity.srp_bucketed_topk_quantized(
+            similarity.quantize_embeddings(_t(spark, sf, "embeddings")),
+            query_id=0, k=10))
+
     q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_topk(
         _t(spark, sf, "embeddings"), query_id=0, k=10,
         n_lists=16, nprobe=4)
@@ -630,17 +644,17 @@ def _ivf_oracle_sql() -> str | None:
     )
 
 
-def _srp_sig_sql(planes, n_bits: int) -> str:
+def _srp_sig_sql(planes, n_bits: int, vec_expr: str = "embedding") -> str:
     """DuckDB expression for the first ``n_bits`` of the exact SRP
-    signature — the same sequential IEEE-double fold as
-    ``similarity.srp_signature_exact`` (bit-identical, verified)."""
+    signature over ``vec_expr`` — the same sequential IEEE-double fold
+    as ``similarity.srp_signature_exact`` (bit-identical, verified)."""
     dim = len(planes[0])
     terms = []
     for p in planes[:n_bits]:
         lit = "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
         terms.append(
             f"CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
-            f" i -> (embedding[i]::DOUBLE) * ({lit})[i])) >= 0 "
+            f" i -> (({vec_expr})[i]::DOUBLE) * ({lit})[i])) >= 0 "
             "THEN '1' ELSE '0' END")
     return "concat(" + ", ".join(terms) + ")"
 
@@ -654,6 +668,7 @@ def _srp_oracle_sqls() -> dict[str, str]:
     Bound to sf0.01 (the driver's oracle scale) like the IVF oracle."""
     import numpy as np
 
+    batch_qids = [0, 7, 19]
     try:
         import duckdb
         path = "/root/testdata/sf0.01/embeddings.parquet"
@@ -661,8 +676,12 @@ def _srp_oracle_sqls() -> dict[str, str]:
         qrow = con.sql(
             f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
         ).fetchall()
+        batch_rows = con.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{path}') "
+            f"WHERE vec_id IN ({','.join(map(str, batch_qids))}) "
+            "ORDER BY vec_id").fetchall()
         con.close()
-        if not qrow:
+        if not qrow or len(batch_rows) != len(batch_qids):
             return {}
     except Exception:
         return {}
@@ -675,6 +694,53 @@ def _srp_oracle_sqls() -> dict[str, str]:
     planes = srp_hyperplanes(len(qvec), 12)
     probes = srp_probe_buckets(qvec, np.asarray(planes), 6)
     probe_list = ",".join(f"'{b}'" for b in probes)
+
+    # batch ANN: one per-query top-k branch per query id, each with
+    # its own driver-derived probe set. Cosine uses the explicit
+    # sequential-fold SQL (not list_cosine_similarity, whose
+    # accumulation order differs in the last ulp and can flip the 6th
+    # rounded decimal) — the same bit-exact fold as the signatures.
+    dim = len(qvec)
+
+    def _fold(a, b):
+        return (f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE))")
+
+    def _cos6(a, b):
+        return (f"round({_fold(a, b)} / "
+                f"(sqrt({_fold(a, a)}) * sqrt({_fold(b, b)})), 6)")
+
+    batch_branches = []
+    for qid, vec in batch_rows:
+        v = np.asarray(list(vec), dtype=np.float64)
+        plist = ",".join(
+            f"'{b}'" for b in srp_probe_buckets(v, np.asarray(planes), 6))
+        batch_branches.append(
+            f"(SELECT CAST({qid} AS BIGINT) AS query_id, s.vec_id, "
+            f"{_cos6('s.embedding', 'q.embedding')} "
+            "AS cosine FROM sig s, (SELECT embedding FROM embeddings "
+            f"WHERE vec_id = {qid}) q "
+            f"WHERE s.bucket IN ({plist}) AND s.vec_id <> {qid} "
+            "ORDER BY cosine DESC, s.vec_id ASC LIMIT 10)")
+
+    # quantized SRP: replicate the engine's driver-side probe
+    # derivation — quantize (floor(x/s + 0.5), clamp), dequantize,
+    # fold — all exact IEEE-double ops shared by numpy/Spark/DuckDB
+    s = float(np.abs(qvec).max() / 127.0)
+    if s > 0:
+        qcodes = np.clip(np.floor(qvec / s + 0.5), -127, 127)
+    else:
+        qcodes = np.zeros_like(qvec)
+    dq = qcodes * s
+    qprobes = ",".join(
+        f"'{b}'" for b in srp_probe_buckets(dq, np.asarray(planes), 6))
+    qt_sql = (
+        "SELECT vec_id, s, list_transform(embedding, x -> "
+        "CASE WHEN s > 0 THEN CAST(greatest(-127, least(127, "
+        "CAST(floor(x / s + 0.5) AS INT))) AS DOUBLE) ELSE 0.0 END) "
+        "AS qvec FROM (SELECT vec_id, embedding, "
+        "list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS s "
+        "FROM embeddings)")
 
     emb_clones = ("(SELECT vec_id, embedding FROM embeddings UNION ALL "
                   "SELECT vec_id + 1000000 AS vec_id, embedding "
@@ -691,6 +757,24 @@ def _srp_oracle_sqls() -> dict[str, str]:
             "round(list_cosine_similarity(c.embedding, q.qvec), 6) "
             "AS cosine FROM cands c, q "
             "ORDER BY cosine DESC, c.vec_id ASC LIMIT 10",
+
+        "ann_srp_batch_topk":
+            f"WITH sig AS (SELECT vec_id, embedding, "
+            f"{_srp_sig_sql(planes, 6)} AS bucket FROM embeddings) "
+            + " UNION ALL ".join(batch_branches),
+
+        "ann_quantized_srp_topk":
+            f"WITH qt AS ({qt_sql}), "
+            "dq AS (SELECT vec_id, qvec, "
+            "list_transform(qvec, x -> x * s) AS dvec FROM qt), "
+            f"sig AS (SELECT vec_id, qvec, "
+            f"{_srp_sig_sql(planes, 6, 'dvec')} AS bucket FROM dq), "
+            "qq AS (SELECT qvec AS q_query FROM qt WHERE vec_id = 0) "
+            "SELECT s2.vec_id, "
+            "round(list_cosine_similarity(s2.qvec, qq.q_query), 6) "
+            "AS cosine_q FROM sig s2, qq "
+            f"WHERE s2.bucket IN ({qprobes}) AND s2.vec_id <> 0 "
+            "ORDER BY cosine_q DESC, s2.vec_id ASC LIMIT 10",
 
         "emb_near_duplicates":
             f"WITH sig AS (SELECT vec_id, embedding, "

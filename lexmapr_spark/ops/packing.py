@@ -39,7 +39,8 @@ from lexmapr_spark.ops.util import fan_out
 def pack_sequences(docs: DataFrame, seq_len: int = 2048,
                    n_buckets: int | None = None, id_col: str = "doc_id",
                    text_col: str = "text",
-                   carry_cols: tuple = ()) -> DataFrame:
+                   carry_cols: tuple = (),
+                   tokenizer=None) -> DataFrame:
     """(id, n_tokens, pack_id, pack_offset) — ``pack_offset`` is where
     the document starts inside its pack's token stream. A document
     whose tokens straddle a boundary belongs to the pack where it
@@ -48,6 +49,14 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     Zero-token documents are dropped. ``carry_cols`` ride the bucket
     shuffle verbatim and come back in the output (e.g. the text, for
     :func:`build_packed_examples`).
+
+    ``tokenizer``: injectable token-stream hook (a callable taking
+    the text Column and returning an ``array<string>`` Column —
+    pure-JVM expression or Arrow-batched ``pandas_udf``), so pack
+    boundaries can follow a REAL tokenizer's counts instead of the
+    whitespace proxy; default = whitespace
+    (:func:`lexmapr_spark.ops.dedup.tokens_col`), byte-identical to
+    the historical behavior the DuckDB oracle checks.
 
     ``n_buckets`` defaults to ``spark.sql.shuffle.partitions``: the
     per-bucket window sort (which carries the full text when
@@ -66,7 +75,8 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         n_buckets = max(1, _session_parallelism(docs.sparkSession))
     base = (docs.select(
         F.col(id_col),
-        F.size(tokens_col(text_col)).alias("n_tokens"),
+        F.size((tokenizer or tokens_col)(F.col(text_col)))
+         .alias("n_tokens"),
         _hash60(F.col(id_col)).alias("hkey"),
         *[F.col(c) for c in carry_cols])
         .where(F.col("n_tokens") > 0)
@@ -116,7 +126,8 @@ def build_packed_examples(docs: DataFrame, seq_len: int = 2048,
                           n_buckets: int | None = None,
                           id_col: str = "doc_id",
                           text_col: str = "text",
-                          doc_sep: str = " ") -> DataFrame:
+                          doc_sep: str = " ",
+                          tokenizer=None) -> DataFrame:
     """Materialized training examples: one row per pack with the
     member documents concatenated in pack order —
     ``(pack_id, text, n_docs, n_tokens)``.
@@ -128,7 +139,7 @@ def build_packed_examples(docs: DataFrame, seq_len: int = 2048,
     """
     packed = pack_sequences(docs, seq_len=seq_len, n_buckets=n_buckets,
                             id_col=id_col, text_col=text_col,
-                            carry_cols=(text_col,))
+                            carry_cols=(text_col,), tokenizer=tokenizer)
     return (packed.groupBy("pack_id")
             .agg(
                 F.array_join(

@@ -183,6 +183,80 @@ def srp_bucketed_topk(embeds: DataFrame, query_id: int, k: int = 10,
     return cands.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def srp_bucketed_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
+                            n_planes: int = 12, prefix_bits: int = 6,
+                            n_probes: int | None = None,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Batch ANN serving: top-k for EVERY query id in ONE Spark job —
+    the production path when queries arrive in batches (the per-query
+    :func:`srp_bucketed_topk` costs a driver round-trip each).
+
+    Returns (query_id, vec_id, cosine), k rows per query, identical
+    to running the per-query form in a loop (pinned by test). Shape:
+    the bounded query set is collected once to derive each query's
+    multi-probe bucket list driver-side (O(n_queries * n_planes *
+    dim) — the same work the per-query path does, amortized), the
+    (query_id, bucket) probe pairs BROADCAST-join against the
+    signature table (so a vector probed by several queries fans out
+    without re-scanning), the query vectors broadcast in, and one
+    per-query window takes the exact re-ranked top-k. The corpus is
+    scanned exactly once regardless of batch size; at scale with a
+    bucket-partitioned signature table the probe join prunes to the
+    union of probed partitions."""
+    from pyspark.sql.window import Window
+
+    from lexmapr_spark.engine import ship_package
+    ship_package(embeds.sparkSession)
+    qids = list(query_ids)
+    if not qids:
+        raise ValueError("srp_bucketed_topk_batch: empty query_ids")
+    qrows = (embeds.where(F.col(id_col).isin(qids))
+             .select(F.col(id_col), F.col(vec_col)).collect())
+    missing = set(qids) - {r[0] for r in qrows}
+    if missing:
+        raise ValueError(
+            f"srp_bucketed_topk_batch: query ids not found: "
+            f"{sorted(missing)}")
+    dim = len(qrows[0][1])
+    planes = srp_hyperplanes(dim, n_planes)
+    planes_arr = np.asarray(planes)
+    probe_pairs = [
+        (r[0], b) for r in qrows
+        for b in srp_probe_buckets(
+            np.asarray(list(r[1]), dtype=np.float64), planes_arr,
+            prefix_bits, n_probes)
+    ]
+    spark = embeds.sparkSession
+    id_ddl = embeds.schema[id_col].dataType.simpleString()
+    probes_df = spark.createDataFrame(
+        probe_pairs, f"query_id {id_ddl}, bucket STRING").distinct()
+
+    sig = (fan_out(embeds)
+           .withColumn("sig", srp_signature_exact(F.col(vec_col), planes))
+           .withColumn("bucket", F.substring("sig", 1, prefix_bits)))
+    qdf = (embeds.where(F.col(id_col).isin(qids))
+           .select(F.col(id_col).alias("query_id"),
+                   F.col(vec_col).alias("qvec")))
+    scored = (
+        sig.join(F.broadcast(probes_df), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", F.col(id_col),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", id_col, "cosine"))
+
+
 def lloyd_kmeans(data: np.ndarray, k: int, iters: int = 10,
                  seed: int = 42) -> np.ndarray:
     """Pure-numpy Lloyd k-means, fully determined by (data order, k,
@@ -410,6 +484,59 @@ def cosine_topk_quantized(quantized: DataFrame, query_id: int,
 # ---------------------------------------------------------------------------
 # ANN recall evaluation (round 3)
 # ---------------------------------------------------------------------------
+
+def srp_bucketed_topk_quantized(quantized: DataFrame, query_id: int,
+                                k: int = 10, n_planes: int = 12,
+                                prefix_bits: int = 6,
+                                n_probes: int | None = None,
+                                id_col: str = "vec_id") -> DataFrame:
+    """SRP-bucketed ANN over an int8-quantized table
+    (:func:`quantize_embeddings` output) — the LSH complement to
+    :func:`ivf_topk_quantized`: 4x narrower scans AND bucket-pruned
+    candidates, with no float vectors anywhere in the serving path.
+
+    Signatures are computed over the DEQUANTIZED codes
+    (``code * scale``): each product is one exact IEEE-double multiply
+    of an integer-valued double by the stored scale, so the
+    sequential fold stays bit-identical across Spark, DuckDB, and the
+    driver-side probe computation (integer codes are what make this
+    stable — the reason a quantized SRP bucket is safe to
+    materialize). Scoring is the scale-invariant integer cosine of
+    :func:`cosine_topk_quantized`, re-ranked exactly within the
+    multi-probe bucket set."""
+    from lexmapr_spark.engine import ship_package
+    ship_package(quantized.sparkSession)
+    qrow = (quantized.where(F.col(id_col) == query_id)
+            .select("qvec", "scale").first())
+    if qrow is None:
+        raise ValueError(
+            f"srp_bucketed_topk_quantized: query_id {query_id} not found")
+    scale = float(qrow[1])
+    dq = np.asarray([float(c) * scale for c in qrow[0]],
+                    dtype=np.float64)
+    planes = srp_hyperplanes(len(dq), n_planes)
+    probes = srp_probe_buckets(dq, np.asarray(planes), prefix_bits,
+                               n_probes)
+    deq_col = F.transform(F.col("qvec").cast("array<double>"),
+                          lambda x: x * F.col("scale"))
+    sig = (fan_out(quantized)
+           .withColumn("bucket",
+                       F.substring(srp_signature_exact(deq_col, planes),
+                                   1, prefix_bits)))
+    q = quantized.where(F.col(id_col) == query_id).select(
+        F.col("qvec").alias("q_query"))
+    dvec = F.col("qvec").cast("array<double>")
+    dqq = F.col("q_query").cast("array<double>")
+    cands = (
+        sig.where(F.col("bucket").isin(probes))
+        .where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(_dot(dvec, dqq) / (_norm(dvec) * _norm(dqq)), 6)
+             .alias("cosine_q")))
+    return cands.orderBy(F.desc("cosine_q"), F.asc(id_col)).limit(k)
+
 
 def ann_recall(embeds: DataFrame, method, k: int = 10,
                n_queries: int = 20, id_col: str = "vec_id",

@@ -24,17 +24,28 @@ EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
 def token_count(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                tokenizer=None) -> DataFrame:
     """Whitespace token count + a BPE-ish subword proxy count
-    (alnum runs + individual punctuation marks)."""
+    (alnum runs + individual punctuation marks).
+
+    ``tokenizer``: injectable hook (the same pattern as the
+    injectable POS tagger in ``confidence.py``) — a callable taking
+    the text Column and returning an ``array<string>`` Column, so a
+    real tokenizer can replace the whitespace default without
+    touching the operator. Works with pure-JVM expressions or an
+    Arrow-batched ``pandas_udf`` column; default =
+    :func:`lexmapr_spark.ops.dedup.tokens_col` (byte-identical to the
+    historical behavior, which is what the DuckDB oracle checks)."""
     docs = fan_out(docs)
+    tok = (tokenizer or tokens_col)(F.col(text_col))
     subword = F.size(F.filter(
         F.split(F.regexp_replace(
             F.col(text_col), r"([^\sA-Za-z0-9])", r" $1 "), r"\s+"),
         lambda x: x != F.lit("")))
     return docs.select(
         F.col(id_col),
-        F.size(tokens_col(text_col)).alias("n_tokens"),
+        F.size(tok).alias("n_tokens"),
         subword.alias("n_subword_tokens"),
     )
 

@@ -99,6 +99,38 @@ def test_srp_multiprobe_reaches_k_and_matches_bruteforce_over_probes(spark):
            [(r.vec_id, r.cosine) for r in brute]
 
 
+def test_srp_batch_topk_equals_per_query_loop(spark):
+    """One-job batch ANN serving == the per-query loop, pinned."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 7, 19]
+    batch = similarity.srp_bucketed_topk_batch(emb, qids, k=10).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    for qid in qids:
+        single = [(r.vec_id, r.cosine) for r in
+                  similarity.srp_bucketed_topk(emb, qid, k=10).collect()]
+        key = lambda t: (-t[1], t[0])  # noqa: E731
+        assert sorted(got[qid], key=key) == sorted(single, key=key), qid
+    with pytest.raises(ValueError, match="not found"):
+        similarity.srp_bucketed_topk_batch(emb, [0, 10**9], k=3).collect()
+
+
+def test_srp_quantized_full_probe_equals_quantized_brute(spark):
+    """Quantized SRP with a probe set covering every bucket must equal
+    the brute-force integer cosine exactly (validates the dequantized
+    signature + scoring path); the default prefix returns full k."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qt = similarity.quantize_embeddings(emb)
+    got = similarity.srp_bucketed_topk_quantized(
+        qt, 0, k=10, prefix_bits=1).collect()
+    brute = similarity.cosine_topk_quantized(qt, 0, k=10).collect()
+    assert [(r.vec_id, r.cosine_q) for r in got] == \
+           [(r.vec_id, r.cosine_q) for r in brute]
+    got6 = similarity.srp_bucketed_topk_quantized(qt, 0, k=10).collect()
+    assert len(got6) == 10
+
+
 def test_srp_single_probe_still_works(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
@@ -687,6 +719,37 @@ def test_global_line_dedup_plan_is_partial_aggregate_not_window(spark):
     phys2 = (dedup.global_line_dedup(df, min_chars=2)
              ._jdf.queryExecution().executedPlan().toString())
     assert "Union" in phys2 and "Window" not in phys2
+
+
+def test_injectable_tokenizer_moves_pack_boundaries(spark):
+    """tokenizer= hook (token_count / pack_sequences): a custom
+    tokenizer changes token counts and therefore pack boundaries; the
+    default path stays whitespace (oracle-pinned). Both a pure-JVM
+    Column factory and an Arrow pandas_udf work in the slot."""
+    from lexmapr_spark.ops import packing, textstats
+
+    rows = [(i, ",".join(["t"] * 10)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def comma(c):
+        return F.filter(F.split(c, ","), lambda x: x != F.lit(""))
+
+    default = packing.pack_sequences(df, seq_len=16, n_buckets=2).collect()
+    assert all(r.n_tokens == 1 for r in default)  # whitespace: one blob
+    custom = packing.pack_sequences(df, seq_len=16, n_buckets=2,
+                                    tokenizer=comma).collect()
+    assert all(r.n_tokens == 10 for r in custom)
+    assert (max(r.pack_id for r in custom)
+            > max(r.pack_id for r in default))
+    tc = {r.doc_id: r.n_tokens
+          for r in textstats.token_count(df, tokenizer=comma).collect()}
+    assert tc == {i: 10 for i in range(8)}
+    # Arrow-batched tokenizer in the same slot (the real-BPE shape)
+    pudf = F.pandas_udf(lambda s: s.map(lambda t: t.split(",")),
+                        "array<string>")
+    tc2 = {r.doc_id: r.n_tokens
+           for r in textstats.token_count(df, tokenizer=pudf).collect()}
+    assert tc2 == tc
 
 
 def test_scoped_persist_bounds_cached_snapshots(spark):
