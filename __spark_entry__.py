@@ -314,6 +314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     threshold=0.7, keeper="component")
         .select("doc_id"))
 
+    # the materialized dup graph: (doc, cluster representative)
+    q["dedup_near_dup_clusters"] = lambda spark, sf: (
+        dedup.near_duplicate_clusters(_docs_with_clones(spark, sf),
+                                      threshold=0.7))
+
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_near_duplicates(
         _docs_with_clones(spark, sf), max_hamming=3)
 
@@ -1006,6 +1011,17 @@ def oracle_sql() -> dict[str, str]:
             "AS component FROM reach GROUP BY src) "
             f"SELECT doc_id FROM {_CLONES_SQL} WHERE doc_id NOT IN "
             "(SELECT node FROM comp WHERE node <> component)",
+
+        # the (doc, cluster-min) assignment table itself
+        "dedup_near_dup_clusters":
+            "WITH RECURSIVE pairs0 AS (" + _LSH_PAIRS_SQL_TEMPLATE + "), "
+            "sym AS (SELECT id_a AS src, id_b AS dst FROM pairs0 "
+            "UNION SELECT id_b, id_a FROM pairs0), "
+            "reach AS (SELECT src, dst FROM sym UNION "
+            "SELECT r.src, s.dst FROM reach r JOIN sym s "
+            "ON r.dst = s.src) "
+            "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
+            "FROM reach GROUP BY src",
 
 
 

@@ -88,7 +88,8 @@ def main():
         "text_pii_redaction", "text_repetition", "text_perplexity",
         "conf_scoring", "web_host_filter", "ann_quantized_topk",
         "dedup_global_lines", "pack_sequences_2k", "pack_examples_512",
-        "curation_pipeline_v2",
+        "curation_pipeline_v2", "dedup_near_dup_components",
+        "ann_srp_batch_topk", "ann_quantized_srp_topk",
     ]
     qs = entrymod.queries()
     timings = {}
@@ -213,6 +214,13 @@ def deep():
           lambda: dedup.simhash_near_duplicates(docs, max_hamming=3).count())
     timed("near_dup_filter_kept",
           lambda: dedup.near_duplicate_filter(docs, threshold=0.7).count())
+    # cluster-consistent keeper: pointer-doubling connected components
+    # over the MILLIONS of verified pairs the clone corpus produces
+    # (dense 40-clone cliques -> diameter 1, but edge volume is the
+    # stress; O(log) rounds keeps the shuffle count flat)
+    timed("near_dup_components_kept",
+          lambda: dedup.near_duplicate_filter(
+              docs, threshold=0.7, keeper="component").count())
 
     # C4 line dedup on the clone corpus: lines = tokens, and the 40x
     # cloned base text makes every base token a 40+-copy hot key —

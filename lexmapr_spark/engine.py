@@ -540,6 +540,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     converged = False
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
+    # materialize the edge set once: every round joins against it
+    # twice, and for data-derived graphs its lineage is the whole
+    # upstream pipeline (e.g. LSH banding + Jaccard verification) —
+    # without this the pair discovery would re-execute per round
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select("src").union(sym.select("dst"))
         .distinct()

@@ -214,6 +214,25 @@ def near_duplicate_filter(docs: DataFrame, threshold: float = 0.7,
     return docs.join(drops, id_col, "left_anti")
 
 
+def near_duplicate_clusters(docs: DataFrame, threshold: float = 0.7,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Cluster assignments over the verified near-dup graph:
+    (doc_id, cluster_id) for every document in at least one verified
+    pair, where ``cluster_id`` is the component's min doc id — the
+    materialized-graph view that `keeper="component"` filtering, dup
+    auditing, and per-cluster stats all read from. Connected
+    components run on the pair set only (tiny relative to the
+    corpus), with pointer doubling so chain-shaped clusters cost
+    O(log diameter) rounds."""
+    from lexmapr_spark.engine import connected_components
+    pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col)
+    comps = connected_components(pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    return comps.select(F.col("node").alias(id_col),
+                        F.col("component").alias("cluster_id"))
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (token-level, md5-derived bits).

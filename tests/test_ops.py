@@ -801,6 +801,10 @@ def test_near_duplicate_filter_component_keeper(spark):
                  for r in dedup.near_duplicate_filter(
                      df, 0.7, keeper="component").collect()}
     assert kept_comp == {1}
+    # the materialized assignment table agrees
+    clusters = {r.doc_id: r.cluster_id
+                for r in dedup.near_duplicate_clusters(df, 0.7).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1}
 
 
 # ---------------------------------------------------------------------------

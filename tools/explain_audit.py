@@ -148,6 +148,28 @@ def main():
             "str(set)-membership tests, and score/level rendering are "
             "Catalyst array expressions in ONE projection — zero "
             "Exchange, zero Python.",
+        "dedup_near_dup_components":
+            "Cluster-consistent near-dup keeper (round 4): LSH "
+            "band-bucket pairs -> pointer-doubling connected "
+            "components (O(log diameter) join rounds, each "
+            "localCheckpoint'ed — the plan below shows only the "
+            "final round's joins over the checkpointed labels) -> "
+            "left-anti drop of non-representative cluster members; "
+            "the drop set is ids only, broadcast by AQE when small.",
+        "ann_srp_batch_topk":
+            "Batch ANN serving (round 4): ONE corpus scan regardless "
+            "of batch size — signature projection in codegen, "
+            "BroadcastHashJoin against the (query_id, bucket) probe "
+            "pairs (fan-out per probing query), broadcast query "
+            "vectors, one per-query window top-k. The window "
+            "partitions by query_id (bounded keys, bounded rows per "
+            "key = probed candidates only).",
+        "ann_quantized_srp_topk":
+            "Quantized SRP ANN (round 4): int8 codes scanned (4x "
+            "narrower), dequantized-code signature fold + bucket "
+            "filter + integer cosine all in whole-stage codegen; "
+            "1-row broadcast query + TakeOrderedAndProject. No float "
+            "vectors, no shuffle of the embedding side.",
     }
     for name, note in audit.items():
         sections.append((f"Query: {name}", note,
