@@ -433,27 +433,39 @@ def quantize_embeddings(embeds: DataFrame, id_col: str = "vec_id",
     100 TB embedding table, with exact dequantization ``x ~ q * scale``
     for downstream scoring.
 
-    Pure JVM (``aggregate``/``transform`` inside whole-stage codegen,
-    no shuffle). ``floor(v + 0.5)`` is used instead of ``round`` so
-    ties break identically in Spark, DuckDB, and numpy (HALF_UP
-    toward +inf — engine ``round`` builtins disagree on halves).
-    All-zero vectors quantize to zeros with scale 0.
+    Pure JVM (``aggregate``/``transform``, no shuffle). ``floor(v +
+    0.5)`` is used instead of ``round`` so ties break identically in
+    Spark, DuckDB, and numpy (HALF_UP toward +inf — engine ``round``
+    builtins disagree on halves). All-zero vectors quantize to zeros
+    with scale 0.
+
+    Two-stage projection on purpose: ``scale`` becomes a REAL
+    attribute before the per-element lambda references it. Higher-
+    order functions are evaluated interpreted (outside whole-stage
+    codegen) with no common-subexpression elimination, so embedding
+    the aggregate directly in the lambda body would re-run the
+    O(dim) max-fold once per ELEMENT — O(dim^2) interpreted ops per
+    row (measured ~10x on the composed quantized-SRP query).
+    Catalyst's CollapseProject keeps the stage split because the
+    scale alias is non-cheap and multiply-referenced.
     """
     embeds = fan_out(embeds)
     vec = F.col(vec_col)
     amax = F.aggregate(vec, F.lit(0.0),
                        lambda acc, x: F.greatest(acc, F.abs(x)))
-    scale = amax / F.lit(127.0)
+    staged = embeds.select(F.col(id_col), vec.alias("_vec"),
+                           (amax / F.lit(127.0)).alias("scale"))
+    scale = F.col("scale")
     q = F.when(scale > 0, F.transform(
-        vec, lambda x: F.greatest(
+        F.col("_vec"), lambda x: F.greatest(
             F.lit(-127), F.least(
                 F.lit(127),
                 F.floor(x / scale + F.lit(0.5)).cast("int"))))
-    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
-    return embeds.select(
+    ).otherwise(F.transform(F.col("_vec"), lambda x: F.lit(0)))
+    return staged.select(
         F.col(id_col),
         q.cast("array<tinyint>").alias("qvec"),
-        scale.alias("scale"))
+        scale)
 
 
 def cosine_topk_quantized(quantized: DataFrame, query_id: int,
@@ -523,12 +535,23 @@ def srp_bucketed_topk_quantized(quantized: DataFrame, query_id: int,
            .withColumn("bucket",
                        F.substring(srp_signature_exact(deq_col, planes),
                                    1, prefix_bits)))
+    # probe restriction as a broadcast JOIN, not a where(): a filter
+    # on a computed column gets pushed below the projection with the
+    # whole interpreted signature expression substituted into the
+    # scan-side condition (HOFs get no codegen subexpression
+    # elimination, so the nested dequantize re-evaluates per fold —
+    # measured ~15x slower); the join consumes bucket as a computed
+    # attribute exactly once per row. At scale the stored index makes
+    # bucket a real column and either form prunes.
+    spark = quantized.sparkSession
+    probes_df = spark.createDataFrame([(b,) for b in probes],
+                                      "bucket STRING")
     q = quantized.where(F.col(id_col) == query_id).select(
         F.col("qvec").alias("q_query"))
     dvec = F.col("qvec").cast("array<double>")
     dqq = F.col("q_query").cast("array<double>")
     cands = (
-        sig.where(F.col("bucket").isin(probes))
+        sig.join(F.broadcast(probes_df), "bucket")
         .where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
