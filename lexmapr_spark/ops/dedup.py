@@ -359,7 +359,13 @@ def global_line_dedup(docs: DataFrame, id_col: str = "doc_id",
          .alias("pos", "line"))
     eligible = F.length("line") >= min_chars
     # keeper rows: min (doc, pos) per distinct line — struct min is
-    # lexicographic by field order, identical to ORDER BY doc_id, pos
+    # lexicographic by field order, identical to ORDER BY doc_id, pos.
+    # Measured (same session, 12.7M exploded lines, 32 cores): this
+    # aggregate costs 1.2-1.3 s at BOTH 0.5M and 12.8M distinct keys
+    # (a DECIMAL(38,0)-packed single-column min was tried and is ~25%
+    # slower — the encode/decode arithmetic outweighs any aggregate-
+    # path difference), while the row_number window it replaced costs
+    # 9.0 s on the same input before even hitting its hot-key ceiling.
     kept = (lines.where(eligible)
             .groupBy("line")
             .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("k"))

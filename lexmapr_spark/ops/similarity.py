@@ -370,6 +370,130 @@ def ivf_topk(embeds: DataFrame, query_id: int, k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def ivf_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
+                   n_lists: int = 16, nprobe: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: np.ndarray | None = None,
+                   assigned: DataFrame | None = None) -> DataFrame:
+    """Batch IVF serving: every query's top-k in ONE job (the IVF
+    analogue of :func:`srp_bucketed_topk_batch`).
+
+    Probe lists per query are derived driver-side from the codebook
+    (O(n_queries * n_lists * dim)); the (query_id, ivf_list) pairs
+    broadcast-join against the assigned table — with a stored index
+    the scan prunes to the UNION of probed lists — and one per-query
+    window takes the exact top-k. Returns (query_id, vec_id, cosine),
+    pinned equal to the per-query :func:`ivf_topk` loop."""
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = kmeans_centroids(embeds, k=n_lists, id_col=id_col,
+                                     vec_col=vec_col)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
+    if assigned is None:
+        assigned = ivf_assign(embeds, centroids, id_col, vec_col)
+    qids = list(query_ids)
+    if not qids:
+        raise ValueError("ivf_topk_batch: empty query_ids")
+    qrows = (embeds.where(F.col(id_col).isin(qids))
+             .select(F.col(id_col), F.col(vec_col)).collect())
+    missing = set(qids) - {r[0] for r in qrows}
+    if missing:
+        raise ValueError(
+            f"ivf_topk_batch: query ids not found: {sorted(missing)}")
+    pairs = []
+    for r in qrows:
+        qvec = np.asarray(list(r[1]), dtype=np.float64)
+        for pl in (((centroids - qvec) ** 2).sum(1)).argsort()[:nprobe]:
+            pairs.append((r[0], int(pl)))
+    spark = embeds.sparkSession
+    id_ddl = embeds.schema[id_col].dataType.simpleString()
+    probes_df = spark.createDataFrame(
+        pairs, f"query_id {id_ddl}, ivf_list INT")
+    qdf = (embeds.where(F.col(id_col).isin(qids))
+           .select(F.col(id_col).alias("query_id"),
+                   F.col(vec_col).alias("qvec")))
+    scored = (
+        assigned.join(F.broadcast(probes_df), "ivf_list")
+        .where(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", F.col(id_col),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", id_col, "cosine"))
+
+
+def build_srp_index(embeds: DataFrame, path: str, n_planes: int = 12,
+                    prefix_bits: int = 6, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    mode: str = "overwrite") -> list:
+    """Materialize the SRP production layout the query docstrings
+    reference: vectors + full signature, PARTITIONED BY the prefix
+    bucket — a multi-probe query then reads only ``len(probes)``
+    directories (``PartitionFilters`` pruning, plan-asserted in the
+    test) instead of scanning the corpus and recomputing signatures.
+    Returns the hyperplanes (persist them next to the index; they are
+    derived from (dim, n_planes, seed) so re-deriving is also fine)."""
+    first = embeds.select(vec_col).first()
+    if first is None:
+        raise ValueError("build_srp_index: input DataFrame is empty")
+    planes = srp_hyperplanes(len(first[0]), n_planes)
+    sig = (fan_out(embeds)
+           .withColumn("sig", srp_signature_exact(F.col(vec_col), planes))
+           # "b" prefix: partition VALUES are type-inferred on read,
+           # and a bare bit-string like "010110" would come back as
+           # the integer 10110 (leading zeros lost, probes mismatched)
+           .withColumn("bucket",
+                       F.concat(F.lit("b"),
+                                F.substring("sig", 1, prefix_bits))))
+    sig.write.mode(mode).partitionBy("bucket").parquet(path)
+    return planes
+
+
+def srp_index_topk(index: DataFrame, planes: list, query_id: int,
+                   k: int = 10, prefix_bits: int = 6,
+                   n_probes: int | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Top-k over a stored SRP index (:func:`build_srp_index` read
+    back): probe buckets derive driver-side from the query row, and
+    the bucket predicate is a PARTITION filter — the scan touches
+    only the probed directories. Exact cosine re-rank as always."""
+    qrow = (index.where(F.col(id_col) == query_id)
+            .select(vec_col).first())
+    if qrow is None:
+        raise ValueError(f"srp_index_topk: query_id {query_id} not found")
+    qvec = np.asarray(list(qrow[0]), dtype=np.float64)
+    probes = ["b" + p for p in
+              srp_probe_buckets(qvec, np.asarray(planes), prefix_bits,
+                                n_probes)]
+    q = index.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"))
+    cands = (
+        index.where(F.col("bucket").isin(probes))
+        .where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))), 6
+            ).alias("cosine"),
+        )
+    )
+    return cands.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def write_ivf_index(assigned: DataFrame, path: str,
                     mode: str = "overwrite") -> None:
     """Materialize an IVF index: vectors partitioned by ``ivf_list``.

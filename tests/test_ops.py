@@ -131,6 +131,41 @@ def test_srp_quantized_full_probe_equals_quantized_brute(spark):
     assert len(got6) == 10
 
 
+def test_ivf_topk_batch_equals_per_query_loop(spark):
+    """Batch IVF serving == the per-query loop over a shared index."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = similarity.kmeans_centroids(emb)
+    assigned = similarity.ivf_assign(emb, cents)
+    qids = [0, 7, 19]
+    batch = similarity.ivf_topk_batch(
+        emb, qids, k=10, centroids=cents, assigned=assigned).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    key = lambda t: (-t[1], t[0])  # noqa: E731
+    for qid in qids:
+        single = [(r.vec_id, r.cosine) for r in similarity.ivf_topk(
+            emb, qid, k=10, centroids=cents, assigned=assigned).collect()]
+        assert sorted(got[qid], key=key) == sorted(single, key=key), qid
+
+
+def test_srp_index_partition_pruned_and_equals_on_the_fly(spark, tmp_path):
+    """The stored SRP index: probe queries must be PARTITION-PRUNED
+    reads (PartitionFilters on bucket, never a corpus scan +
+    signature recompute) and return exactly what the on-the-fly
+    multi-probe query returns."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "srp_index")
+    planes = similarity.build_srp_index(emb, path)
+    idx = spark.read.parquet(path)
+    got_df = similarity.srp_index_topk(idx, planes, 0, k=10)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    onfly = similarity.srp_bucketed_topk(emb, 0, k=10).collect()
+    assert [(r.vec_id, r.cosine) for r in got_df.collect()] == \
+           [(r.vec_id, r.cosine) for r in onfly]
+
+
 def test_srp_single_probe_still_works(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
