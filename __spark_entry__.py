@@ -355,6 +355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"), query_id=0, k=10,
         n_lists=16, nprobe=4)
 
+    # batch IVF serving: one job for the whole query batch
+    q["ann_ivf_batch_topk"] = lambda spark, sf: similarity.ivf_topk_batch(
+        _t(spark, sf, "embeddings"), [0, 7, 19], k=10,
+        n_lists=16, nprobe=4)
+
     q["emb_near_duplicates"] = lambda spark, sf: (
         similarity.embedding_near_duplicates(
             _t(spark, sf, "embeddings")
@@ -591,6 +596,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _ivf_oracle_sqls() -> dict[str, str]:
+    """Per-query AND batch IVF oracles from one shared codebook
+    derivation (see :func:`_ivf_oracle_sql`). The batch branches use
+    the exact-fold cosine (not ``list_cosine_similarity``) because the
+    builtin's accumulation order can flip the 6th rounded decimal."""
+    import numpy as np
+
+    base = _ivf_oracle_sql()
+    if base is None:
+        return {}
+    out = {"ann_ivf_topk": base}
+    try:
+        import duckdb
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        con = duckdb.connect()
+        rows = con.sql(
+            f"SELECT embedding FROM read_parquet('{path}') "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2000"
+        ).fetchall()
+        qids = [0, 7, 19]
+        qrows = con.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{path}') "
+            f"WHERE vec_id IN ({','.join(map(str, qids))}) "
+            "ORDER BY vec_id").fetchall()
+        con.close()
+        if not rows or len(qrows) != len(qids):
+            return out
+    except Exception:
+        return out
+    from lexmapr_spark.ops.similarity import lloyd_kmeans
+
+    data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    cents = lloyd_kmeans(data, k=16, iters=10, seed=42)
+    cent_rows = ",".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ",".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents))
+    dim = data.shape[1]
+
+    def fold(a, b):
+        return (f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE))")
+
+    def cos6(a, b):
+        return (f"round({fold(a, b)} / "
+                f"(sqrt({fold(a, a)}) * sqrt({fold(b, b)})), 6)")
+
+    branches = []
+    for qid, vec in qrows:
+        qvec = np.asarray(list(vec), dtype=np.float64)
+        probe_ids = ",".join(
+            str(int(p))
+            for p in (((cents - qvec) ** 2).sum(1)).argsort()[:4])
+        branches.append(
+            f"(SELECT CAST({qid} AS BIGINT) AS query_id, a.vec_id, "
+            f"{cos6('a.embedding', 'q.embedding')} AS cosine "
+            "FROM assigned a, (SELECT embedding FROM embeddings "
+            f"WHERE vec_id = {qid}) q "
+            f"WHERE a.rn = 1 AND a.cid IN ({probe_ids}) "
+            f"AND a.vec_id <> {qid} "
+            "ORDER BY cosine DESC, a.vec_id ASC LIMIT 10)")
+    out["ann_ivf_batch_topk"] = (
+        f"WITH cents(cid, cvec) AS (VALUES {cent_rows}), "
+        "assigned AS (SELECT vec_id, embedding, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY "
+        "list_distance(embedding::DOUBLE[], cvec), cid) AS rn "
+        "FROM embeddings CROSS JOIN cents) "
+        + " UNION ALL ".join(branches))
+    return out
+
 
 def _ivf_oracle_sql() -> str | None:
     """DuckDB oracle for ``ann_ivf_topk`` at the driver's contract
@@ -1216,9 +1292,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS k "
             "FROM passed) WHERE doc_id = k",
     }
-    ivf = _ivf_oracle_sql()
-    if ivf is not None:
-        oracles["ann_ivf_topk"] = ivf
+    oracles.update(_ivf_oracle_sqls())
     oracles.update(_srp_oracle_sqls())
     oracles["conf_scoring"] = _conf_oracle_sql()
     oracles["text_repetition"] = _repetition_oracle_sql()
