@@ -218,6 +218,46 @@ def test_connected_components_long_path_converges_in_log_rounds(spark):
     assert set(comps.values()) == {"n0000"}
 
 
+def test_connected_components_matches_union_find_randomized(spark):
+    """Randomized differential vs a driver-side union-find: same
+    partition into components, representative = min node label."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(2):
+        n = 80
+        edges = list({(f"n{rng.randrange(n):03d}",
+                       f"n{rng.randrange(n):03d}")
+                      for _ in range(60)})
+        edges = [e for e in edges if e[0] != e[1]]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for a, b in edges:
+            groups.setdefault(find(a), set()).update((a, b))
+        expected = {}
+        for members in groups.values():
+            rep = min(members)
+            for m in members:
+                expected[m] = rep
+        comps = {r.node: r.component
+                 for r in engine.connected_components(
+                     spark.createDataFrame(
+                         edges, "src STRING, dst STRING")).collect()}
+        assert comps == expected, f"trial {trial}"
+
+
 def test_canonicalize_rewrites_variant_ids(spark):
     lex = Lexicon()
     lex.non_standard_resource_ids = {"id_b": "foo bar", "id_a": "bar foo"}

@@ -756,6 +756,38 @@ def test_global_line_dedup_plan_is_partial_aggregate_not_window(spark):
     assert "Union" in phys2 and "Window" not in phys2
 
 
+def test_global_line_dedup_matches_python_reference_randomized(spark):
+    """Randomized differential: the distributed keeper-aggregate
+    formulation must equal a single-threaded first-occurrence pass
+    (the C4 rule's literal definition) on corpora with heavy
+    cross-document line collisions, for min_chars in {0, 2}."""
+    import random
+
+    rng = random.Random(42)
+    pool = (["Home", "x", "", "cookie banner", "ab"]
+            + [f"unique line {i}" for i in range(40)])
+    rows = [(doc, "\n".join(rng.choice(pool)
+                            for _ in range(rng.randint(1, 7))))
+            for doc in range(60)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for min_chars in (0, 2):
+        seen = set()
+        expected = {}
+        for doc, text in rows:  # ascending (doc, pos) = C4 order
+            kept = []
+            for line in text.split("\n"):
+                if len(line) >= min_chars:
+                    if line in seen:
+                        continue
+                    seen.add(line)
+                kept.append(line)
+            expected[doc] = "\n".join(kept)
+        got = {r.doc_id: r.deduped_text
+               for r in dedup.global_line_dedup(
+                   df, min_chars=min_chars).collect()}
+        assert got == expected, f"min_chars={min_chars}"
+
+
 def test_injectable_tokenizer_moves_pack_boundaries(spark):
     """tokenizer= hook (token_count / pack_sequences): a custom
     tokenizer changes token counts and therefore pack boundaries; the
