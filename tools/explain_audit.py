@@ -164,6 +164,12 @@ def main():
             "vectors, one per-query window top-k. The window "
             "partitions by query_id (bounded keys, bounded rows per "
             "key = probed candidates only).",
+        "ann_ivf_batch_topk":
+            "Batch IVF serving (round 4): assignment Arrow stage -> "
+            "BroadcastHashJoin against (query_id, ivf_list) probe "
+            "pairs -> broadcast query vectors -> per-query window "
+            "top-k; with a stored index the probe join becomes a "
+            "partition-pruned read of the probed lists' union.",
         "ann_quantized_srp_topk":
             "Quantized SRP ANN (round 4): int8 codes scanned (4x "
             "narrower), dequantized-code signature fold + bucket "
