@@ -819,6 +819,20 @@ def test_injectable_tokenizer_moves_pack_boundaries(spark):
     assert tc2 == tc
 
 
+def test_component_keeper_no_pairs_keeps_everything(spark):
+    """Dup-free corpus: the component keeper must keep every doc and
+    the cluster table must be empty (connected components on an empty
+    edge set converges immediately)."""
+    rows = [(i, f"totally unique text number {i} with tokens "
+                f"w{i * 3} w{i * 7} w{i * 11} w{i * 13}")
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    kept = dedup.near_duplicate_filter(df, 0.7,
+                                       keeper="component").count()
+    assert kept == 12
+    assert dedup.near_duplicate_clusters(df, 0.7).count() == 0
+
+
 def test_scoped_persist_bounds_cached_snapshots(spark):
     """Repeated pack_sequences / perplexity calls in one session must
     not accumulate cached partitions: each call releases the previous
