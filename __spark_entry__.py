@@ -381,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda spark, sf: textstats.fingerprint(
         _t(spark, sf, "documents"))
 
+    # one-row dataset card (doc/byte/token totals, distincts, vocab)
+    q["corpus_stats"] = lambda spark, sf: textstats.corpus_stats(
+        _t(spark, sf, "documents"))
+
     # ---- PII scrub over documents with deterministically planted
     # emails/IPs/phones (the synthetic corpus has none of its own)
     def text_pii_redaction(spark, sf):
@@ -1227,6 +1231,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(list_aggregate(list_sort(list_distinct("
             "list_filter(string_split(text, ' '), x -> x != ''))), "
             "'string_agg', ' ')) AS fingerprint FROM documents",
+
+        # integral sums/avgs are exact in both engines, so even
+        # mean_tokens round-trips at 6 dp
+        "corpus_stats":
+            "SELECT * FROM ("
+            "SELECT count(*) AS n_docs, "
+            "CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, "
+            "CAST(sum(n) AS BIGINT) AS total_tokens, "
+            "round(avg(n), 6) AS mean_tokens, max(n) AS max_tokens, "
+            "count(DISTINCT md5(text)) AS n_distinct_texts FROM ("
+            "SELECT text, len(list_filter(string_split(text, ' '), "
+            "x -> x != '')) AS n FROM documents)) CROSS JOIN ("
+            "SELECT count(DISTINCT t) AS vocab_size FROM ("
+            "SELECT unnest(list_filter(string_split(text, ' '), "
+            "x -> x != '')) AS t FROM documents))",
 
         # lang filter -> quality gate -> fingerprint window-dedup,
         # composed from the three oracled primitives above

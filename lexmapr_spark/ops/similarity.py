@@ -235,9 +235,13 @@ def srp_bucketed_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
     sig = (fan_out(embeds)
            .withColumn("sig", srp_signature_exact(F.col(vec_col), planes))
            .withColumn("bucket", F.substring("sig", 1, prefix_bits)))
-    qdf = (embeds.where(F.col(id_col).isin(qids))
-           .select(F.col(id_col).alias("query_id"),
-                   F.col(vec_col).alias("qvec")))
+    # query vectors from the rows ALREADY collected for probe
+    # derivation (exact float->double widening), so the corpus is
+    # scanned exactly once — a filtered re-read of the source for the
+    # query frame would be a second scan
+    qdf = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in qrows],
+        f"query_id {id_ddl}, qvec ARRAY<DOUBLE>")
     scored = (
         sig.join(F.broadcast(probes_df), "bucket")
         .where(F.col(id_col) != F.col("query_id"))
@@ -411,9 +415,12 @@ def ivf_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
     id_ddl = embeds.schema[id_col].dataType.simpleString()
     probes_df = spark.createDataFrame(
         pairs, f"query_id {id_ddl}, ivf_list INT")
-    qdf = (embeds.where(F.col(id_col).isin(qids))
-           .select(F.col(id_col).alias("query_id"),
-                   F.col(vec_col).alias("qvec")))
+    # query vectors from the already-collected rows (see
+    # srp_bucketed_topk_batch) — the assigned side stays the only
+    # corpus-sized scan in the job
+    qdf = spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in qrows],
+        f"query_id {id_ddl}, qvec ARRAY<DOUBLE>")
     scored = (
         assigned.join(F.broadcast(probes_df), "ivf_list")
         .where(F.col(id_col) != F.col("query_id"))

@@ -50,6 +50,34 @@ def token_count(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row dataset card: doc/byte/token totals, token-length
+    moments, distinct-text count, vocabulary size — the numbers every
+    training-data release reports.
+
+    Scale shape: one pass of scalar aggregates (map-side combined;
+    the distinct-text count is a distinct-agg over the text md5, so
+    the shuffle carries hashes, not documents) cross-joined with the
+    one-row vocabulary count (explode -> partial-aggregated distinct
+    — the word-count shuffle shape). Two corpus scans total, both
+    embarrassingly parallel, no driver-side data.
+    """
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    scalars = fan_out(docs).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length(text_col)).cast("bigint")
+         .alias("total_bytes"),
+        F.sum(n_tok).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("mean_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+        F.countDistinct(F.md5(F.col(text_col)))
+         .alias("n_distinct_texts"))
+    vocab = (fan_out(docs).select(F.explode(toks).alias("t"))
+             .agg(F.countDistinct("t").alias("vocab_size")))
+    return scalars.crossJoin(vocab)
+
+
 def _quality_cols(text_col: str) -> dict:
     """Named quality-feature Column expressions (shared by
     ``quality_score`` and the single-projection ``curate``)."""

@@ -819,6 +819,19 @@ def test_injectable_tokenizer_moves_pack_boundaries(spark):
     assert tc2 == tc
 
 
+def test_corpus_stats_values(spark):
+    rows = [(1, "a bb a"), (2, "a bb a"), (3, "ccc dddd"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    r = textstats.corpus_stats(df).collect()[0]
+    assert r.n_docs == 4
+    assert r.total_tokens == 8
+    assert r.total_bytes == sum(len(t.encode()) for _, t in rows)
+    assert r.mean_tokens == 2.0
+    assert r.max_tokens == 3
+    assert r.n_distinct_texts == 3  # docs 1 and 2 identical
+    assert r.vocab_size == 4        # a, bb, ccc, dddd
+
+
 def test_component_keeper_no_pairs_keeps_everything(spark):
     """Dup-free corpus: the component keeper must keep every doc and
     the cluster table must be empty (connected components on an empty
