@@ -174,7 +174,8 @@ def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
 def near_duplicate_filter(docs: DataFrame, threshold: float = 0.7,
                           id_col: str = "doc_id",
                           text_col: str = "text",
-                          keeper: str = "pairwise") -> DataFrame:
+                          keeper: str = "pairwise",
+                          pairs: DataFrame | None = None) -> DataFrame:
     """The curation consumer's view of near-dup detection: the KEPT
     corpus, not the pair list.
 
@@ -197,8 +198,15 @@ def near_duplicate_filter(docs: DataFrame, threshold: float = 0.7,
     small (the common case — dup rates are a few percent), degrading
     to one id-keyed shuffle of the corpus when it isn't. AQE makes
     that choice at runtime.
+
+    ``pairs``: pass a precomputed (id_a, id_b[, ...]) verified-pair
+    DataFrame (e.g. :func:`jaccard_near_duplicates` output you also
+    feed to :func:`near_duplicate_clusters`, or pairs read back from
+    storage) to skip re-running the LSH pipeline; ``threshold`` is
+    ignored in that case.
     """
-    pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col)
+    if pairs is None:
+        pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col)
     if keeper == "component":
         from lexmapr_spark.engine import connected_components
         comps = connected_components(pairs.select(
@@ -216,7 +224,8 @@ def near_duplicate_filter(docs: DataFrame, threshold: float = 0.7,
 
 def near_duplicate_clusters(docs: DataFrame, threshold: float = 0.7,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            pairs: DataFrame | None = None) -> DataFrame:
     """Cluster assignments over the verified near-dup graph:
     (doc_id, cluster_id) for every document in at least one verified
     pair, where ``cluster_id`` is the component's min doc id — the
@@ -224,9 +233,11 @@ def near_duplicate_clusters(docs: DataFrame, threshold: float = 0.7,
     auditing, and per-cluster stats all read from. Connected
     components run on the pair set only (tiny relative to the
     corpus), with pointer doubling so chain-shaped clusters cost
-    O(log diameter) rounds."""
+    O(log diameter) rounds. ``pairs``: precomputed verified-pair
+    frame, as in :func:`near_duplicate_filter`."""
     from lexmapr_spark.engine import connected_components
-    pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col)
+    if pairs is None:
+        pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col)
     comps = connected_components(pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     return comps.select(F.col("node").alias(id_col),

@@ -899,6 +899,13 @@ def test_near_duplicate_filter_component_keeper(spark):
     clusters = {r.doc_id: r.cluster_id
                 for r in dedup.near_duplicate_clusters(df, 0.7).collect()}
     assert clusters == {1: 1, 2: 1, 3: 1}
+    # precomputed pairs short-circuit the LSH pipeline identically
+    pre = dedup.jaccard_near_duplicates(df, 0.7)
+    assert {r.doc_id for r in dedup.near_duplicate_filter(
+        df, keeper="component", pairs=pre).collect()} == {1}
+    assert {r.doc_id: r.cluster_id
+            for r in dedup.near_duplicate_clusters(
+                df, pairs=pre).collect()} == clusters
 
 
 # ---------------------------------------------------------------------------
