@@ -602,16 +602,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _ivf_oracle_sqls() -> dict[str, str]:
-    """Per-query AND batch IVF oracles from one shared codebook
-    derivation (see :func:`_ivf_oracle_sql`). The batch branches use
-    the exact-fold cosine (not ``list_cosine_similarity``) because the
-    builtin's accumulation order can flip the 6th rounded decimal."""
+    """DuckDB oracles for ``ann_ivf_topk`` (per-query) and
+    ``ann_ivf_batch_topk`` from ONE codebook derivation. The IVF
+    codebook is fully deterministic (md5-of-id-ordered 2000-row
+    sample + seeded Lloyd, ``similarity.kmeans_centroids``), so this
+    rebuilds the identical centroids driver-side from the same
+    parquet, embeds them and the probe-list ids as SQL literals, and
+    reproduces list assignment (row_number over list_distance, ties
+    to the lowest centroid id = numpy argmin) + probe filter + exact
+    cosine re-rank. The batch branches use the exact-fold cosine (not
+    ``list_cosine_similarity``, whose accumulation order can flip the
+    6th rounded decimal). Bound to sf0.01 because the centroid
+    literals are data-dependent — exactly the scale the driver runs
+    oracles at; returns {} (rows-only fallback) if that parquet is
+    unavailable."""
     import numpy as np
 
-    base = _ivf_oracle_sql()
-    if base is None:
-        return {}
-    out = {"ann_ivf_topk": base}
+    qids = [0, 7, 19]
     try:
         import duckdb
         path = "/root/testdata/sf0.01/embeddings.parquet"
@@ -620,16 +627,15 @@ def _ivf_oracle_sqls() -> dict[str, str]:
             f"SELECT embedding FROM read_parquet('{path}') "
             "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2000"
         ).fetchall()
-        qids = [0, 7, 19]
         qrows = con.sql(
             f"SELECT vec_id, embedding FROM read_parquet('{path}') "
             f"WHERE vec_id IN ({','.join(map(str, qids))}) "
             "ORDER BY vec_id").fetchall()
         con.close()
-        if not rows or len(qrows) != len(qids):
-            return out
+        if not rows or not qrows or qrows[0][0] != 0:
+            return {}
     except Exception:
-        return out
+        return {}
     from lexmapr_spark.ops.similarity import lloyd_kmeans
 
     data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
@@ -638,7 +644,19 @@ def _ivf_oracle_sqls() -> dict[str, str]:
         "({}, [{}]::DOUBLE[])".format(
             i, ",".join(repr(float(x)) for x in c))
         for i, c in enumerate(cents))
+    assigned_cte = (
+        f"WITH cents(cid, cvec) AS (VALUES {cent_rows}), "
+        "assigned AS (SELECT vec_id, embedding, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY "
+        "list_distance(embedding::DOUBLE[], cvec), cid) AS rn "
+        "FROM embeddings CROSS JOIN cents)")
     dim = data.shape[1]
+
+    def probe_ids_for(vec):
+        qvec = np.asarray(list(vec), dtype=np.float64)
+        return ",".join(
+            str(int(p))
+            for p in (((cents - qvec) ** 2).sum(1)).argsort()[:4])
 
     def fold(a, b):
         return (f"list_sum(list_transform(generate_series(1, {dim}), "
@@ -648,85 +666,33 @@ def _ivf_oracle_sqls() -> dict[str, str]:
         return (f"round({fold(a, b)} / "
                 f"(sqrt({fold(a, a)}) * sqrt({fold(b, b)})), 6)")
 
-    branches = []
-    for qid, vec in qrows:
-        qvec = np.asarray(list(vec), dtype=np.float64)
-        probe_ids = ",".join(
-            str(int(p))
-            for p in (((cents - qvec) ** 2).sum(1)).argsort()[:4])
-        branches.append(
+    out = {
+        "ann_ivf_topk":
+            assigned_cte + ", "
+            "probed AS (SELECT vec_id, embedding FROM assigned "
+            f"WHERE rn = 1 AND cid IN ({probe_ids_for(qrows[0][1])})), "
+            "q AS (SELECT embedding AS qvec FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT p.vec_id, "
+            "round(list_cosine_similarity(p.embedding, q.qvec), 6) "
+            "AS cosine "
+            "FROM probed p, q WHERE p.vec_id <> 0 "
+            "ORDER BY cosine DESC, p.vec_id ASC LIMIT 10",
+    }
+    if len(qrows) == len(qids):
+        branches = [
             f"(SELECT CAST({qid} AS BIGINT) AS query_id, a.vec_id, "
             f"{cos6('a.embedding', 'q.embedding')} AS cosine "
             "FROM assigned a, (SELECT embedding FROM embeddings "
             f"WHERE vec_id = {qid}) q "
-            f"WHERE a.rn = 1 AND a.cid IN ({probe_ids}) "
+            f"WHERE a.rn = 1 AND a.cid IN ({probe_ids_for(vec)}) "
             f"AND a.vec_id <> {qid} "
-            "ORDER BY cosine DESC, a.vec_id ASC LIMIT 10)")
-    out["ann_ivf_batch_topk"] = (
-        f"WITH cents(cid, cvec) AS (VALUES {cent_rows}), "
-        "assigned AS (SELECT vec_id, embedding, cid, "
-        "row_number() OVER (PARTITION BY vec_id ORDER BY "
-        "list_distance(embedding::DOUBLE[], cvec), cid) AS rn "
-        "FROM embeddings CROSS JOIN cents) "
-        + " UNION ALL ".join(branches))
+            "ORDER BY cosine DESC, a.vec_id ASC LIMIT 10)"
+            for qid, vec in qrows
+        ]
+        out["ann_ivf_batch_topk"] = (
+            assigned_cte + " " + " UNION ALL ".join(branches))
     return out
-
-
-def _ivf_oracle_sql() -> str | None:
-    """DuckDB oracle for ``ann_ivf_topk`` at the driver's contract
-    scale (sf0.01). The IVF codebook is fully deterministic
-    (md5-of-id-ordered 2000-row sample + seeded Lloyd,
-    ``similarity.kmeans_centroids``), so this rebuilds the identical
-    centroids driver-side from the same parquet, embeds them and the
-    nprobe=4 probe-list ids as SQL literals, and reproduces list
-    assignment (row_number over list_distance, ties to the lowest
-    centroid id = numpy argmin) + probe filter + exact cosine re-rank.
-    Bound to sf0.01 because the centroid literals are data-dependent —
-    which is exactly the scale the driver runs oracles at; returns
-    None (rows-only fallback) if that parquet is unavailable."""
-    import numpy as np
-
-    try:
-        import duckdb
-        path = "/root/testdata/sf0.01/embeddings.parquet"
-        con = duckdb.connect()
-        rows = con.sql(
-            f"SELECT embedding FROM read_parquet('{path}') "
-            "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2000"
-        ).fetchall()
-        qrow = con.sql(
-            f"SELECT embedding FROM read_parquet('{path}') WHERE vec_id = 0"
-        ).fetchall()
-        con.close()
-        if not rows or not qrow:
-            return None
-    except Exception:
-        return None
-    from lexmapr_spark.ops.similarity import lloyd_kmeans
-
-    data = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    cents = lloyd_kmeans(data, k=16, iters=10, seed=42)
-    qvec = np.asarray(list(qrow[0][0]), dtype=np.float64)
-    probes = (((cents - qvec) ** 2).sum(1)).argsort()[:4]
-    cent_rows = ",".join(
-        "({}, [{}]::DOUBLE[])".format(
-            i, ",".join(repr(float(x)) for x in c))
-        for i, c in enumerate(cents))
-    probe_ids = ",".join(str(int(p)) for p in probes)
-    return (
-        f"WITH cents(cid, cvec) AS (VALUES {cent_rows}), "
-        "assigned AS (SELECT vec_id, embedding, cid, "
-        "row_number() OVER (PARTITION BY vec_id ORDER BY "
-        "list_distance(embedding::DOUBLE[], cvec), cid) AS rn "
-        "FROM embeddings CROSS JOIN cents), "
-        "probed AS (SELECT vec_id, embedding FROM assigned "
-        f"WHERE rn = 1 AND cid IN ({probe_ids})), "
-        "q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) "
-        "SELECT p.vec_id, "
-        "round(list_cosine_similarity(p.embedding, q.qvec), 6) AS cosine "
-        "FROM probed p, q WHERE p.vec_id <> 0 "
-        "ORDER BY cosine DESC, p.vec_id ASC LIMIT 10"
-    )
 
 
 def _srp_sig_sql(planes, n_bits: int, vec_expr: str = "embedding") -> str:

@@ -934,10 +934,22 @@ def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
         # guarantee. With fpb == 1 this degenerates to one url-sorted
         # part file per bucket.
         fpb = max(1, int(wide_files_per_bucket))
-        wl = (wl.withColumn("_sub", F.pmod(F.xxhash64("url"),
-                                           F.lit(fpb)).cast("int"))
+        # salt the sub-slice hash: the bucket id is ALSO
+        # xxhash64(url) % n_buckets, so an unsalted xxhash64(url) %
+        # fpb is fully correlated with it (identical when fpb ==
+        # n_buckets — every bucket would collapse to one sub-slice)
+        wl = (wl.withColumn("_sub",
+                            F.pmod(F.xxhash64(F.lit("sub"), F.col("url")),
+                                   F.lit(fpb)).cast("int"))
                 .repartition(n_buckets * fpb, "bucket", "_sub")
-                .sortWithinPartitions("bucket", "_sub", "url", "line"))
+                # sort by url directly, NOT by _sub first: two
+                # sub-slices of one bucket can hash-collide into the
+                # same task, and a (_sub, url) sort would leave that
+                # part file url-sorted only per slice — sorting the
+                # task's whole row set by url keeps EVERY part file
+                # internally url-sorted (and deterministic) no matter
+                # how slices collide
+                .sortWithinPartitions("bucket", "url", "line"))
     wl.select("line", "bucket") \
         .write.mode("overwrite") \
         .option("partitionOverwriteMode", "dynamic") \

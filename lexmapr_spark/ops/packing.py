@@ -8,17 +8,22 @@ fix a deterministic document order,
 take the running token total, and cut a pack boundary every
 ``seq_len`` tokens — ``pack_id = floor(cum_before / seq_len)``.
 
-Distribution: a single global ``Window.orderBy`` would funnel the
-whole corpus through ONE partition. Instead this uses the classic
-two-phase prefix sum:
+Distribution: a single global ``Window.orderBy`` over the corpus
+would funnel everything through ONE partition. Instead this uses the
+classic two-phase prefix sum:
 
 1. bucket each doc by the hash of its id (the same 60-bit md5 prefix
    the sampling ops use, so the order is engine-reproducible and
    decorrelated from document length), cumsum WITHIN each bucket via a
    per-bucket window — P parallel sorts, no global funnel;
-2. aggregate one row per bucket (its token total), collect the P
-   totals (bounded: P = shuffle partitions, not corpus size), prefix-
-   sum them driver-side, and broadcast the offsets back.
+2. aggregate one row per bucket (its token total; map-side combined,
+   so this second read of the narrow projection shuffles P rows),
+   prefix-sum the P-row totals with a bounded window (P = bucket
+   count, not corpus size), and broadcast the offsets back. Fully
+   lazy — no driver collect, no persist — so both phases run inside
+   ONE action, and both branches share the DataFrame's file index
+   (pinned when the source was read), giving a consistent snapshot
+   without caching the corpus.
 
 ``global cumsum = bucket offset + within-bucket cumsum`` — exact, and
 identical to what a single-threaded pass over (bucket, order_key)
@@ -82,35 +87,32 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         .where(F.col("n_tokens") > 0)
         .withColumn("bucket",
                     F.pmod(F.col("hkey"), F.lit(n_buckets)).cast("int")))
-    # the projection is read twice (bucket totals NOW, the window pass
-    # LATER). Persisting pins ONE snapshot for both reads — without it
-    # a source that changes between the two (files added to a live
-    # directory) would pair old bucket offsets with new cumsums and
-    # silently corrupt pack ids. DataFrame persist is MEMORY_AND_DISK,
-    # so carrying the corpus text (carry_cols) spills rather than
-    # OOMs. scoped_persist bounds a long-lived session to ONE live
-    # packing snapshot (each call releases the previous one);
-    # ops.util.release_cache("pack_sequences") frees it on demand.
-    from lexmapr_spark.ops.util import scoped_persist
-    base = scoped_persist(base, "pack_sequences")
-
+    # Fully lazy two-phase prefix sum — no persist, no driver collect:
+    # phase 1 is the per-bucket window cumsum; phase 2 re-reads the
+    # narrow projection for the per-bucket totals (map-side combined,
+    # so its shuffle carries P rows) and prefix-sums them with a
+    # window over P rows (bounded: P = n_buckets, so the single-task
+    # global window is a few hundred rows, not the corpus). Laziness
+    # is what makes this snapshot-safe: both branches execute inside
+    # ONE action and share the DataFrame's file index (pinned at read
+    # time), instead of an eager driver collect whose offsets could
+    # pair with a later, re-listed read of a mutated source. The cost
+    # is a second columnar scan of the projection — at 100 TB that
+    # beats caching the corpus text to executor storage.
     w = (Window.partitionBy("bucket")
          .orderBy("hkey", id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     local = base.withColumn(
         "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
 
-    totals = {r.bucket: r.total for r in
-              base.groupBy("bucket")
-                  .agg(F.sum("n_tokens").alias("total")).collect()}
-    offsets, acc = {}, 0
-    for b in range(n_buckets):
-        offsets[b] = acc
-        acc += int(totals.get(b, 0))
-    spark = docs.sparkSession
-    off_df = spark.createDataFrame(
-        [(b, offsets[b]) for b in range(n_buckets)],
-        "bucket INT, bucket_offset BIGINT")
+    totals = base.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("total"))
+    off_w = (Window.orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off_df = totals.select(
+        "bucket",
+        F.coalesce(F.sum("total").over(off_w), F.lit(0))
+         .cast("bigint").alias("bucket_offset"))
 
     packed = (local.join(F.broadcast(off_df), "bucket")
               .withColumn("gcum",

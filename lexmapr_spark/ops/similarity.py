@@ -183,6 +183,45 @@ def srp_bucketed_topk(embeds: DataFrame, query_id: int, k: int = 10,
     return cands.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _batch_query_rows(embeds: DataFrame, query_ids, id_col: str,
+                      vec_col: str, op_name: str):
+    """Shared batch-serving scaffolding: validate + collect the
+    bounded query rows (one driver round-trip for the whole batch)."""
+    qids = list(query_ids)
+    if not qids:
+        raise ValueError(f"{op_name}: empty query_ids")
+    qrows = (embeds.where(F.col(id_col).isin(qids))
+             .select(F.col(id_col), F.col(vec_col)).collect())
+    missing = set(qids) - {r[0] for r in qrows}
+    if missing:
+        raise ValueError(
+            f"{op_name}: query ids not found: {sorted(missing)}")
+    return qids, qrows
+
+
+def _batch_query_frame(spark, qrows, id_ddl: str) -> DataFrame:
+    """Broadcastable (query_id, qvec) frame built from the rows
+    already collected by :func:`_batch_query_rows` (exact
+    float->double widening) — the corpus side stays the only
+    corpus-sized scan in a batch job."""
+    return spark.createDataFrame(
+        [(r[0], [float(x) for x in r[1]]) for r in qrows],
+        f"query_id {id_ddl}, qvec ARRAY<DOUBLE>")
+
+
+def _per_query_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Exact top-k per query over (query_id, id, cosine) candidates:
+    one window partitioned by query_id — bounded keys (the batch),
+    bounded rows per key (that query's probed candidates)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", id_col, "cosine"))
+
+
 def srp_bucketed_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
                             n_planes: int = 12, prefix_bits: int = 6,
                             n_probes: int | None = None,
@@ -204,20 +243,8 @@ def srp_bucketed_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
     scanned exactly once regardless of batch size; at scale with a
     bucket-partitioned signature table the probe join prunes to the
     union of probed partitions."""
-    from pyspark.sql.window import Window
-
-    from lexmapr_spark.engine import ship_package
-    ship_package(embeds.sparkSession)
-    qids = list(query_ids)
-    if not qids:
-        raise ValueError("srp_bucketed_topk_batch: empty query_ids")
-    qrows = (embeds.where(F.col(id_col).isin(qids))
-             .select(F.col(id_col), F.col(vec_col)).collect())
-    missing = set(qids) - {r[0] for r in qrows}
-    if missing:
-        raise ValueError(
-            f"srp_bucketed_topk_batch: query ids not found: "
-            f"{sorted(missing)}")
+    qids, qrows = _batch_query_rows(embeds, query_ids, id_col, vec_col,
+                                    "srp_bucketed_topk_batch")
     dim = len(qrows[0][1])
     planes = srp_hyperplanes(dim, n_planes)
     planes_arr = np.asarray(planes)
@@ -235,13 +262,7 @@ def srp_bucketed_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
     sig = (fan_out(embeds)
            .withColumn("sig", srp_signature_exact(F.col(vec_col), planes))
            .withColumn("bucket", F.substring("sig", 1, prefix_bits)))
-    # query vectors from the rows ALREADY collected for probe
-    # derivation (exact float->double widening), so the corpus is
-    # scanned exactly once — a filtered re-read of the source for the
-    # query frame would be a second scan
-    qdf = spark.createDataFrame(
-        [(r[0], [float(x) for x in r[1]]) for r in qrows],
-        f"query_id {id_ddl}, qvec ARRAY<DOUBLE>")
+    qdf = _batch_query_frame(spark, qrows, id_ddl)
     scored = (
         sig.join(F.broadcast(probes_df), "bucket")
         .where(F.col(id_col) != F.col("query_id"))
@@ -254,11 +275,7 @@ def srp_bucketed_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc(id_col))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k)
-            .select("query_id", id_col, "cosine"))
+    return _per_query_topk(scored, id_col, k)
 
 
 def lloyd_kmeans(data: np.ndarray, k: int, iters: int = 10,
@@ -388,8 +405,6 @@ def ivf_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
     the scan prunes to the UNION of probed lists — and one per-query
     window takes the exact top-k. Returns (query_id, vec_id, cosine),
     pinned equal to the per-query :func:`ivf_topk` loop."""
-    from pyspark.sql.window import Window
-
     if centroids is None:
         centroids = kmeans_centroids(embeds, k=n_lists, id_col=id_col,
                                      vec_col=vec_col)
@@ -397,15 +412,8 @@ def ivf_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
         centroids = np.asarray(centroids, dtype=np.float64)
     if assigned is None:
         assigned = ivf_assign(embeds, centroids, id_col, vec_col)
-    qids = list(query_ids)
-    if not qids:
-        raise ValueError("ivf_topk_batch: empty query_ids")
-    qrows = (embeds.where(F.col(id_col).isin(qids))
-             .select(F.col(id_col), F.col(vec_col)).collect())
-    missing = set(qids) - {r[0] for r in qrows}
-    if missing:
-        raise ValueError(
-            f"ivf_topk_batch: query ids not found: {sorted(missing)}")
+    qids, qrows = _batch_query_rows(embeds, query_ids, id_col, vec_col,
+                                    "ivf_topk_batch")
     pairs = []
     for r in qrows:
         qvec = np.asarray(list(r[1]), dtype=np.float64)
@@ -415,12 +423,7 @@ def ivf_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
     id_ddl = embeds.schema[id_col].dataType.simpleString()
     probes_df = spark.createDataFrame(
         pairs, f"query_id {id_ddl}, ivf_list INT")
-    # query vectors from the already-collected rows (see
-    # srp_bucketed_topk_batch) — the assigned side stays the only
-    # corpus-sized scan in the job
-    qdf = spark.createDataFrame(
-        [(r[0], [float(x) for x in r[1]]) for r in qrows],
-        f"query_id {id_ddl}, qvec ARRAY<DOUBLE>")
+    qdf = _batch_query_frame(spark, qrows, id_ddl)
     scored = (
         assigned.join(F.broadcast(probes_df), "ivf_list")
         .where(F.col(id_col) != F.col("query_id"))
@@ -433,11 +436,7 @@ def ivf_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc(id_col))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k)
-            .select("query_id", id_col, "cosine"))
+    return _per_query_topk(scored, id_col, k)
 
 
 def build_srp_index(embeds: DataFrame, path: str, n_planes: int = 12,
@@ -484,8 +483,12 @@ def srp_index_topk(index: DataFrame, planes: list, query_id: int,
     probes = ["b" + p for p in
               srp_probe_buckets(qvec, np.asarray(planes), prefix_bits,
                                 n_probes)]
-    q = index.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("qvec"))
+    # broadcast the already-fetched query vector (exact float->double
+    # widening) — an id-filtered re-read of the index would scan every
+    # bucket directory a second time (the id predicate is not a
+    # partition filter)
+    q = index.sparkSession.createDataFrame(
+        [([float(x) for x in qrow[0]],)], "qvec ARRAY<DOUBLE>")
     cands = (
         index.where(F.col("bucket").isin(probes))
         .where(F.col(id_col) != query_id)

@@ -253,6 +253,14 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
     with no shuffle of the big side, then a map-side-combinable
     distinct-count per doc. Returns (id, n_contaminated_ngrams) for
     docs with at least one hit; drop (anti-join) or review downstream.
+
+    Probes SHORTER than ``n`` tokens contribute no n-grams and are
+    therefore not screened by this operator (standard n-gram
+    decontamination semantics; an identical-short-text match was the
+    only case the pre-round-4 truncated-gram behavior caught, and it
+    caught nothing else). If your benchmark suite contains sub-``n``
+    probes, screen them separately — e.g. exact text match via
+    :func:`fingerprint` or a smaller ``n``.
     """
     probe_grams = (probes.select(
         F.explode(ngrams_col(text_col, n)).alias("gram")).distinct())

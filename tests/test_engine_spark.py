@@ -470,10 +470,13 @@ def test_run_full_artifacts_wide_multi_file_buckets_deterministic(
     pages = synth_pages(spark, 120, corpus=load_corpus(limit=60))
     out1, out2 = tempfile.mkdtemp(), tempfile.mkdtemp()
     try:
-        engine.run_full_artifacts(pages, lex_bc, out1, n_buckets=2,
-                                  wide_files_per_bucket=3)
+        # 4x4 on purpose: murmur3 collides some (bucket, sub) pairs of
+        # the SAME bucket into one task at this config, so this also
+        # proves per-file url order survives sub-slice collisions
+        engine.run_full_artifacts(pages, lex_bc, out1, n_buckets=4,
+                                  wide_files_per_bucket=4)
         b1 = _wide_bucket_bytes(out1)
-        assert len(b1) == 2
+        assert len(b1) == 4
         # >1 task per bucket actually materialized
         import glob
         n_parts = {d: len(glob.glob(os.path.join(d, "part-*")))
@@ -486,15 +489,15 @@ def test_run_full_artifacts_wide_multi_file_buckets_deterministic(
                 assert ids == sorted(ids)
         # different input partitioning -> byte-identical buckets
         engine.run_full_artifacts(pages.repartition(7), lex_bc, out2,
-                                  n_buckets=2, wide_files_per_bucket=3)
+                                  n_buckets=4, wide_files_per_bucket=4)
         assert _wide_bucket_bytes(out2) == b1
         # resume of ONE bucket (delete its manifest row + data) writes
         # the same bytes the full run produced
         shutil.rmtree(os.path.join(out2, "manifest", "bucket=0"))
         shutil.rmtree(os.path.join(out2, "wide", "bucket=0"))
-        s = engine.run_full_artifacts(pages, lex_bc, out2, n_buckets=2,
-                                      wide_files_per_bucket=3)
-        assert s["buckets_skipped"] == 1
+        s = engine.run_full_artifacts(pages, lex_bc, out2, n_buckets=4,
+                                      wide_files_per_bucket=4)
+        assert s["buckets_skipped"] == 3
         assert _wide_bucket_bytes(out2) == b1
     finally:
         shutil.rmtree(out1, ignore_errors=True)

@@ -847,10 +847,11 @@ def test_component_keeper_no_pairs_keeps_everything(spark):
 
 
 def test_scoped_persist_bounds_cached_snapshots(spark):
-    """Repeated pack_sequences / perplexity calls in one session must
-    not accumulate cached partitions: each call releases the previous
-    call's snapshot (at most ONE live per scope), and release_cache()
-    frees everything."""
+    """Repeated ops in one session must not accumulate cached
+    partitions: pack_sequences is fully lazy (zero persists), the
+    self-built perplexity LM keeps at most ONE live snapshot (each
+    call releases the previous), and release_cache() frees
+    everything."""
     from lexmapr_spark.ops import packing, textstats, util
 
     def n_persisted():
@@ -863,10 +864,10 @@ def test_scoped_persist_bounds_cached_snapshots(spark):
         "doc_id LONG, text STRING")
     for _ in range(3):
         packing.pack_sequences(df, seq_len=64, n_buckets=4).count()
-    assert n_persisted() <= base + 1
+    assert n_persisted() == base  # packing caches nothing at all
     for _ in range(2):
         textstats.perplexity(df).count()
-    assert n_persisted() <= base + 2  # one packing + one LM snapshot
+    assert n_persisted() <= base + 1  # one live LM snapshot
     util.release_cache()
     assert n_persisted() <= base
 
