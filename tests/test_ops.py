@@ -864,7 +864,10 @@ def test_scoped_persist_bounds_cached_snapshots(spark):
         "doc_id LONG, text STRING")
     for _ in range(3):
         packing.pack_sequences(df, seq_len=64, n_buckets=4).count()
-    assert n_persisted() == base  # packing caches nothing at all
+    # <= not ==: unrelated localCheckpoint blocks from earlier tests
+    # can be ContextCleaner-collected mid-test, dropping the count
+    # below the baseline
+    assert n_persisted() <= base  # packing caches nothing at all
     for _ in range(2):
         textstats.perplexity(df).count()
     assert n_persisted() <= base + 1  # one live LM snapshot
