@@ -674,8 +674,7 @@ def _ivf_oracle_sqls() -> dict[str, str]:
             "q AS (SELECT embedding AS qvec FROM embeddings "
             "WHERE vec_id = 0) "
             "SELECT p.vec_id, "
-            "round(list_cosine_similarity(p.embedding, q.qvec), 6) "
-            "AS cosine "
+            f"{cos6('p.embedding', 'q.qvec')} AS cosine "
             "FROM probed p, q WHERE p.vec_id <> 0 "
             "ORDER BY cosine DESC, p.vec_id ASC LIMIT 10",
     }
@@ -797,6 +796,18 @@ def _srp_oracle_sqls() -> dict[str, str]:
                   "SELECT vec_id + 1000000 AS vec_id, embedding "
                   "FROM embeddings)")
     return {
+        # exact-fold cosine everywhere (not list_cosine_similarity):
+        # the engine computes double-product folds, and the builtin's
+        # float accumulation flips the 6th rounded decimal for
+        # boundary vectors
+        "ann_cosine_topk":
+            "SELECT e.vec_id, "
+            f"{_cos6('e.embedding', 'q.qvec')} AS cosine "
+            "FROM embeddings e, (SELECT embedding AS qvec "
+            "FROM embeddings WHERE vec_id = 0) q "
+            "WHERE e.vec_id <> 0 "
+            "ORDER BY cosine DESC, e.vec_id ASC LIMIT 10",
+
         "ann_srp_bucketed_topk":
             f"WITH sig AS (SELECT vec_id, embedding, "
             f"{_srp_sig_sql(planes, 6)} AS bucket FROM embeddings), "
@@ -805,7 +816,7 @@ def _srp_oracle_sqls() -> dict[str, str]:
             "q AS (SELECT embedding AS qvec FROM embeddings "
             "WHERE vec_id = 0) "
             "SELECT c.vec_id, "
-            "round(list_cosine_similarity(c.embedding, q.qvec), 6) "
+            f"{_cos6('c.embedding', 'q.qvec')} "
             "AS cosine FROM cands c, q "
             "ORDER BY cosine DESC, c.vec_id ASC LIMIT 10",
 
@@ -829,13 +840,13 @@ def _srp_oracle_sqls() -> dict[str, str]:
 
         "emb_near_duplicates":
             f"WITH sig AS (SELECT vec_id, embedding, "
-            f"{_srp_sig_sql(planes, 8)} AS bucket FROM {emb_clones}) "
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            "round(list_cosine_similarity(a.embedding, b.embedding), 6) "
+            f"{_srp_sig_sql(planes, 8)} AS bucket FROM {emb_clones}), "
+            "scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            f"{_cos6('a.embedding', 'b.embedding')} "
             "AS cosine FROM sig a JOIN sig b "
-            "ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
-            "WHERE round(list_cosine_similarity(a.embedding, b.embedding),"
-            " 6) >= 0.99",
+            "ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, cosine FROM scored "
+            "WHERE cosine >= 0.99",
     }
 
 
@@ -1138,11 +1149,8 @@ def oracle_sql() -> dict[str, str]:
             "1000)) AS frame_ts_ms "
             "FROM documents WHERE doc_id % 3 = 2",
 
-        "ann_cosine_topk":
-            "SELECT e.vec_id, round(list_cosine_similarity(e.embedding, "
-            "q.qvec), 6) AS cosine FROM embeddings e, "
-            "(SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q "
-            "WHERE e.vec_id <> 0 ORDER BY cosine DESC, e.vec_id ASC LIMIT 10",
+        # ann_cosine_topk's oracle lives in _srp_oracle_sqls (it needs
+        # the embedding dim for the exact-fold cosine)
 
         "text_token_count":
             "SELECT doc_id, "

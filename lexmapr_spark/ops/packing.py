@@ -45,7 +45,8 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
                    n_buckets: int | None = None, id_col: str = "doc_id",
                    text_col: str = "text",
                    carry_cols: tuple = (),
-                   tokenizer=None) -> DataFrame:
+                   tokenizer=None,
+                   snapshot: bool = False) -> DataFrame:
     """(id, n_tokens, pack_id, pack_offset) — ``pack_offset`` is where
     the document starts inside its pack's token stream. A document
     whose tokens straddle a boundary belongs to the pack where it
@@ -62,6 +63,16 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     whitespace proxy; default = whitespace
     (:func:`lexmapr_spark.ops.dedup.tokens_col`), byte-identical to
     the historical behavior the DuckDB oracle checks.
+
+    ``snapshot``: the two internal reads of the projection (window
+    cumsum + bucket totals) execute inside one action and share a
+    file-based source's pinned file listing, so the default is
+    consistent WITHOUT caching. For sources with no pinned snapshot —
+    a JDBC/catalog table receiving writes mid-action, or a
+    NONDETERMINISTIC injected ``tokenizer`` — pass ``snapshot=True``
+    to pin one persisted copy for both reads
+    (released on the next snapshotted call or via
+    ``ops.util.release_cache("pack_sequences")``).
 
     ``n_buckets`` defaults to ``spark.sql.shuffle.partitions``: the
     per-bucket window sort (which carries the full text when
@@ -87,6 +98,9 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         .where(F.col("n_tokens") > 0)
         .withColumn("bucket",
                     F.pmod(F.col("hkey"), F.lit(n_buckets)).cast("int")))
+    if snapshot:
+        from lexmapr_spark.ops.util import scoped_persist
+        base = scoped_persist(base, "pack_sequences")
     # Fully lazy two-phase prefix sum — no persist, no driver collect:
     # phase 1 is the per-bucket window cumsum; phase 2 re-reads the
     # narrow projection for the per-bucket totals (map-side combined,

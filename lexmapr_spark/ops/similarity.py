@@ -17,12 +17,22 @@ from lexmapr_spark.ops.util import fan_out
 
 
 def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+    """Sequential IEEE-DOUBLE left fold. The explicit casts matter:
+    float32 inputs would otherwise multiply in single precision, which
+    flips the 6th rounded decimal for boundary cosines and is NOT
+    reproducible by the DuckDB exact-fold oracle (verified: vecs 20
+    and 72 vs query 0 differ at 6 dp between float and double
+    products). Double products of exactly-widened float32 values are
+    deterministic across Spark, DuckDB, and a driver-side loop."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(F.aggregate(a.cast("array<double>"), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
 
 
 def cosine_topk(embeds: DataFrame, query_id: int, k: int = 10,
@@ -196,7 +206,7 @@ def _batch_query_rows(embeds: DataFrame, query_ids, id_col: str,
     if missing:
         raise ValueError(
             f"{op_name}: query ids not found: {sorted(missing)}")
-    return qids, qrows
+    return qrows
 
 
 def _batch_query_frame(spark, qrows, id_ddl: str) -> DataFrame:
@@ -243,8 +253,8 @@ def srp_bucketed_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
     scanned exactly once regardless of batch size; at scale with a
     bucket-partitioned signature table the probe join prunes to the
     union of probed partitions."""
-    qids, qrows = _batch_query_rows(embeds, query_ids, id_col, vec_col,
-                                    "srp_bucketed_topk_batch")
+    qrows = _batch_query_rows(embeds, query_ids, id_col, vec_col,
+                              "srp_bucketed_topk_batch")
     dim = len(qrows[0][1])
     planes = srp_hyperplanes(dim, n_planes)
     planes_arr = np.asarray(planes)
@@ -412,8 +422,8 @@ def ivf_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
         centroids = np.asarray(centroids, dtype=np.float64)
     if assigned is None:
         assigned = ivf_assign(embeds, centroids, id_col, vec_col)
-    qids, qrows = _batch_query_rows(embeds, query_ids, id_col, vec_col,
-                                    "ivf_topk_batch")
+    qrows = _batch_query_rows(embeds, query_ids, id_col, vec_col,
+                              "ivf_topk_batch")
     pairs = []
     for r in qrows:
         qvec = np.asarray(list(r[1]), dtype=np.float64)

@@ -7,15 +7,17 @@ from pyspark.sql import DataFrame
 # ---------------------------------------------------------------------------
 # Scoped snapshot caches
 # ---------------------------------------------------------------------------
-# Operators that must read one consistent snapshot of their input twice
-# (pack_sequences: bucket totals now + window pass later; perplexity:
-# the self-built LM) persist that snapshot. A long-lived session
-# calling such an op repeatedly would otherwise accumulate cached
-# partitions without bound, because the op returns a lazy DataFrame
-# and has no "after the terminal action" hook to unpersist at. The
-# registry bounds that: each op registers its snapshot under a scope
-# key, the NEXT call in the same scope releases the previous snapshot,
-# and release_cache() frees everything on demand.
+# Operators that must read one consistent snapshot of their input
+# more than once persist that snapshot (perplexity's self-built LM is
+# read by the scoring join and the OOV row; pack_sequences only when
+# called with snapshot=True for unpinnable/nondeterministic sources).
+# A long-lived session calling such an op repeatedly would otherwise
+# accumulate cached partitions without bound, because the op returns a
+# lazy DataFrame and has no "after the terminal action" hook to
+# unpersist at. The registry bounds that: each op registers its
+# snapshot under a scope key, the NEXT call in the same scope releases
+# the previous snapshot, and release_cache() frees everything on
+# demand.
 
 _LAST_CACHE: dict[str, DataFrame] = {}
 
