@@ -419,6 +419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents").select("doc_id", "source"),
         group_col="source", n=10)
 
+    # data mixing: per-source keep-rates as one pushed filter
+    q["sample_mixture"] = lambda spark, sf: sampling.mixture_sample(
+        _t(spark, sf, "documents").select("doc_id", "source"),
+        rates={"src0": 1.0, "src1": 0.25}, default_rate=0.05)
+
     # ---- multimodal plumbing (payloads synthesized deterministically)
     def multimodal_features(spark, sf):
         media = multimodal.synth_media(spark, 300)
@@ -1192,6 +1197,13 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY source ORDER BY "
             "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, "
             "doc_id) AS rn FROM documents) WHERE rn <= 10",
+
+        "sample_mixture":
+            "SELECT doc_id, source FROM documents WHERE "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+            " < CASE WHEN source = 'src0' THEN "
+            f"{int(1.0 * (1 << 60))} WHEN source = 'src1' THEN "
+            f"{int(0.25 * (1 << 60))} ELSE {int(0.05 * (1 << 60))} END",
 
         "text_quality": _quality_oracle_sql(),
 

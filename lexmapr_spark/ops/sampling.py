@@ -78,3 +78,41 @@ def stratified_cap(df: DataFrame, group_col: str, n: int,
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n)
             .drop("__rn"))
+
+
+def mixture_sample(df: DataFrame, rates: dict, group_col: str = "source",
+                   key_col: str = "doc_id",
+                   default_rate: float = 0.0) -> DataFrame:
+    """Per-group keep-rates — the pretraining data-MIXING primitive
+    (temperature-scaled source reweighting a la the published LLM
+    data recipes: sample Wikipedia at 1.0, Common Crawl at 0.15, ...).
+
+    ``rates`` maps group value -> keep fraction in [0, 1]; groups not
+    listed keep ``default_rate``. Selection is the same deterministic
+    60-bit hash threshold as :func:`hash_sample`, so the mix is
+    reproducible across runs/engines/partitionings, and each group's
+    sample GROWS MONOTONICALLY with its rate (raising one source's
+    weight only adds rows — ablation ladders stay nested).
+
+    Scale shape: the rate table is inlined as a CASE expression
+    (mixes list tens of sources, not millions), so the whole op is
+    ONE narrow filter in whole-stage codegen — no join, no shuffle,
+    pushed into the scan like any other predicate. For a
+    million-group rate table, broadcast-join a rates DataFrame
+    instead (same semantics; one BroadcastHashJoin).
+    """
+    for g, r in rates.items():
+        if not 0.0 <= float(r) <= 1.0:
+            raise ValueError(
+                f"mixture_sample: rate for {g!r} must be in [0, 1], "
+                f"got {r}")
+    if not 0.0 <= float(default_rate) <= 1.0:
+        raise ValueError(
+            f"mixture_sample: default_rate must be in [0, 1], "
+            f"got {default_rate}")
+    thresh = F.lit(int(float(default_rate) * _HASH_SPACE))
+    for g, r in sorted(rates.items()):
+        thresh = F.when(F.col(group_col) == F.lit(g),
+                        F.lit(int(float(r) * _HASH_SPACE))) \
+                  .otherwise(thresh)
+    return df.where(_hash60(F.col(key_col)) < thresh)

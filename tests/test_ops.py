@@ -425,6 +425,33 @@ def test_hash_sample_is_narrow_filter(spark):
     assert "Exchange" not in plan
 
 
+def test_mixture_sample_rates_nested_and_no_shuffle(spark):
+    """Per-group keep-rates: each group's selection equals a plain
+    hash_sample of that group at its rate (so raising a rate only ADDS
+    rows), the default rate covers unlisted groups, and the whole op
+    is a pure pushed filter (no Exchange)."""
+    from lexmapr_spark.ops import sampling
+
+    rows = [(i, f"src{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    rates = {"src0": 0.8, "src1": 0.2}
+    out = sampling.mixture_sample(df, rates, default_rate=0.05)
+    got = {r.doc_id for r in out.collect()}
+    for g, rate in (("src0", 0.8), ("src1", 0.2), ("src2", 0.05)):
+        grp = df.where(F.col("source") == g)
+        expect = {r.doc_id for r in
+                  sampling.hash_sample(grp, rate).collect()}
+        assert {d for d in got if f"src{d % 3}" == g} == expect, g
+    # monotone nesting: raising src1's rate only adds rows
+    more = {r.doc_id for r in sampling.mixture_sample(
+        df, {"src0": 0.8, "src1": 0.5}, default_rate=0.05).collect()}
+    assert got <= more
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="rate"):
+        sampling.mixture_sample(df, {"src0": 1.5})
+
+
 def test_stratified_cap_quota_and_determinism(spark):
     from lexmapr_spark.ops import sampling
 
