@@ -90,6 +90,8 @@ def main():
         "dedup_global_lines", "pack_sequences_2k", "pack_examples_512",
         "curation_pipeline_v2", "dedup_near_dup_components",
         "ann_srp_batch_topk", "ann_quantized_srp_topk",
+        "ann_ivf_batch_topk", "corpus_stats", "sample_mixture",
+        "dedup_near_dup_clusters",
     ]
     qs = entrymod.queries()
     timings = {}
