@@ -599,7 +599,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf)
         return wrapper
 
-    return {name: _shipped(fn) for name, fn in q.items()}
+    # The contract driver records correctness rows for the FIRST 50
+    # dict entries only, so dict order decides which queries get a
+    # driver-verified row this round. Front-load the queries with the
+    # least driver history (the 13 that sat past slot 50 in rounds
+    # 1-4 — six of them never had a driver row) plus this round's new
+    # queries; rotate the long-stable hash-green basics (agg_*/set_*/
+    # p*/j1/sort/window/sessionize/json — green in every round since
+    # r1) to the back, where falling past slot 50 loses nothing.
+    priority = [
+        "curation_pipeline_v2", "text_repetition", "text_perplexity",
+        "web_host_filter", "conf_scoring", "kg_confidence_histogram",
+        "multimodal_features", "multimodal_frame_plan",
+        "multimodal_features_docs", "multimodal_frame_plan_docs",
+        "pack_sequences_2k", "pack_examples_512", "dedup_global_lines",
+    ]
+    rotate_back = [
+        "s2_multicol_coalesce", "p1_p2_lower_punct",
+        "p5_numeric_token_filter", "p6_preprocess", "p11_stopword_filter",
+        "j1_broadcast_token_match", "agg_event_histogram",
+        "agg_tpch_pricing", "join_orders_customer",
+        "agg_distinct_customers", "agg_rollup_pricing",
+        "agg_value_quantiles", "set_customers_with_orders",
+        "set_multi_lineitem_orders", "window_user_event_seq",
+        "sessionize_events_batch", "json_extract_props",
+        "set_customers_without_orders", "sort_topk_orders",
+    ]
+    order = (priority
+             + [k for k in q if k not in priority and k not in rotate_back]
+             + rotate_back)
+    assert set(order) == set(q) and len(order) == len(q)
+    return {name: _shipped(q[name]) for name in order}
 
 
 # ---------------------------------------------------------------------------

@@ -57,17 +57,47 @@ def hash_sample(df: DataFrame, fraction: float,
     return df.where(_hash60(F.col(key_col)) < F.lit(threshold))
 
 
+def _local_cap(df: DataFrame, group_col: str, n: int,
+               key_col: str) -> DataFrame:
+    """Phase 1 of :func:`stratified_cap`: keep at most ``n`` rows per
+    (input partition, group) — rank over ``(spark_partition_id(),
+    group)`` in the same hash order the global phase uses. Each window
+    partition holds only rows that originated in ONE upstream scan
+    partition, so its size is bounded by the scan split size no matter
+    how hot the group is, and the phase's output is at most
+    ``n × num_input_partitions`` rows per group."""
+    from pyspark.sql.window import Window
+
+    local = Window.partitionBy("__pid", group_col).orderBy(
+        _hash60(F.col(key_col)), F.col(key_col))
+    return (df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrn", F.row_number().over(local))
+            .where(F.col("__lrn") <= n)
+            .drop("__pid", "__lrn"))
+
+
 def stratified_cap(df: DataFrame, group_col: str, n: int,
                    key_col: str = "doc_id") -> DataFrame:
     """Per-group quota: at most ``n`` rows per ``group_col`` value,
     chosen in md5-of-key order (deterministic, scan-order-independent).
 
     The anti-spam curation primitive: cap pages per domain / docs per
-    source so head groups can't dominate a training mix. One shuffle
-    (the window partition by group); ties are impossible because the
-    hash order falls back to the key itself. For heavily skewed groups
-    the window stays safe at scale: each task streams one group's rows
-    in sort order and emits only the first ``n``.
+    source so head groups can't dominate a training mix. Ties are
+    impossible because the hash order falls back to the key itself.
+
+    Skew is the reason this op exists, so the skewed case is the one
+    that must scale: a single global ``row_number() OVER (PARTITION BY
+    group)`` would ship a head domain's 10^9 pages into ONE task's
+    spill-sort (AQE cannot split a window partition). Instead the cap
+    runs in two phases: a local rank over ``(spark_partition_id(),
+    group)`` keeps at most ``n`` rows per input partition per group —
+    bounded per window task by the scan split size by construction —
+    then the global window ranks the surviving ≤ ``n × P`` rows per
+    group. Semantics are identical: the global top-``n`` in hash order
+    is necessarily a subset of the union of the per-partition
+    top-``n``s (any row outside its own partition's top-``n`` has
+    ``n`` hash-smaller rows in its group already), so the result — and
+    the DuckDB single-window oracle — is unchanged.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -75,7 +105,8 @@ def stratified_cap(df: DataFrame, group_col: str, n: int,
 
     w = Window.partitionBy(group_col).orderBy(
         _hash60(F.col(key_col)), F.col(key_col))
-    return (df.withColumn("__rn", F.row_number().over(w))
+    return (_local_cap(df, group_col, n, key_col)
+            .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n)
             .drop("__rn"))
 

@@ -176,16 +176,28 @@ def curate(docs: DataFrame, min_quality: float = 0.3, lang: str = "en",
     doc_id would shuffle the corpus once per op; here lang / quality /
     fingerprint (and the optional ``dup_word_frac``) are sibling
     expressions in a single scan-side projection, every filter cuts
-    the data BEFORE the fingerprint-window shuffle, and the stateless
+    the data BEFORE the fingerprint-keyed shuffle, and the stateless
     part stays in whole-stage codegen (the repetition column adds one
     Arrow stage, still shuffle-free). Decontamination
     (``probes`` given) broadcast-probes the benchmark n-grams against
     the already-gated survivors and anti-joins the (small) hit-id set
     back — strategy left to AQE. With the optional stages off, the
     plan is the pinned 0-join / 1-Exchange shape.
-    """
-    from pyspark.sql.window import Window
 
+    The dedup keeper is ``min(struct(id, ...)) GROUP BY fingerprint``
+    — the same map-side-combinable aggregate as
+    :func:`lexmapr_spark.ops.dedup.global_line_dedup`: a boilerplate
+    page mirrored 10^8 times across a crawl has ONE fingerprint, and
+    partial aggregation collapses every upstream partition's copies to
+    one candidate row BEFORE the exchange, so the hottest key's
+    reducer sees at most one row per partition. (The naive
+    ``min(id) OVER (PARTITION BY fingerprint)`` window funnels all
+    10^8 copies into a single task, and AQE cannot split a window
+    partition.) The aggregate's output rows ARE the survivors — id
+    is the struct's first field and unique, so the lexicographic
+    struct-min is exactly the lowest-id row with its own lang/quality
+    values; no join-back needed.
+    """
     docs = fan_out(docs)
     cols = [
         F.col(id_col),
@@ -217,9 +229,12 @@ def curate(docs: DataFrame, min_quality: float = 0.3, lang: str = "en",
                 .select(id_col).distinct())
         passed = passed.join(hits, id_col, "left_anti").drop(text_col)
 
-    keeper = F.min(id_col).over(Window.partitionBy("fingerprint"))
-    return (passed.withColumn("_keeper", keeper)
-            .where(F.col("_keeper") == F.col(id_col))
+    keep_cols = [c for c in out_cols if c != "fingerprint"]
+    return (passed.groupBy("fingerprint")
+            .agg(F.min(F.struct(*[F.col(c) for c in keep_cols]))
+                  .alias("_k"))
+            .select(*[F.col(f"_k.{c}").alias(c) for c in keep_cols],
+                    "fingerprint")
             .select(*out_cols))
 
 

@@ -368,8 +368,9 @@ def test_ivf_index_partition_pruned_read(spark, tmp_path):
 def test_curate_one_projection_one_shuffle(spark):
     """curate must compute lang/quality/fingerprint as sibling
     expressions in one scan-side projection (no self-joins) with the
-    fingerprint window as the ONLY shuffle, and keep the lowest id
-    per fingerprint."""
+    fingerprint keeper aggregate as the ONLY shuffle — and that keeper
+    must be a map-side-combinable partial aggregate, NOT a window
+    (a hot fingerprint would funnel every copy into one window task)."""
     rows = [
         (1, "the cat and the dog went to the market in town and it is fine"),
         (2, "the cat and the dog went to the market in town and it is fine"),
@@ -384,7 +385,14 @@ def test_curate_one_projection_one_shuffle(spark):
     plan = textstats.curate(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("join") == 0
     phys = textstats.curate(df)._jdf.queryExecution().executedPlan().toString()
-    assert phys.count("Exchange") == 1  # only the fingerprint window
+    assert phys.count("Exchange") == 1  # only the fingerprint agg
+    assert "Window" not in phys
+    # partial aggregation runs BEFORE the fingerprint exchange: the
+    # first Aggregate node in execution order (bottom of the string's
+    # operator tree = last occurrence) must be below the Exchange
+    pre, _, post = phys.partition("Exchange")
+    assert "Aggregate" in post  # partial agg upstream of the shuffle
+    assert "Aggregate" in pre   # final agg downstream
 
 
 def test_near_duplicate_filter_keeps_lowest_id(spark):
@@ -470,6 +478,46 @@ def test_stratified_cap_quota_and_determinism(spark):
     assert sampling.stratified_cap(tiny, "source", n=10).count() == 3
     with pytest.raises(ValueError):
         sampling.stratified_cap(df, "source", n=0)
+
+
+def test_stratified_cap_skew_safe_two_phase(spark):
+    """One group holding ~all rows must NOT funnel into a single
+    global window task: the local phase caps each (input partition,
+    group) at n, so the global window's input is <= n x P rows per
+    group; the two-phase result equals a single-window reference."""
+    from lexmapr_spark.ops import sampling
+    from pyspark.sql.window import Window
+
+    rows = [(i, "hot" if i % 200 else "cold") for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING") \
+        .repartition(8)
+    n = 10
+
+    local = sampling._local_cap(df, "source", n, "doc_id")
+    n_parts = df.rdd.getNumPartitions()
+    per_group = {r.source: r.cnt for r in
+                 local.groupBy("source").agg(
+                     F.count("*").alias("cnt")).collect()}
+    assert per_group["hot"] <= n * n_parts  # bounded before the window
+    assert per_group["hot"] < 7960          # and actually cut the hot group
+
+    w = Window.partitionBy("source").orderBy(
+        sampling._hash60(F.col("doc_id")), F.col("doc_id"))
+    ref = (df.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") <= n).drop("__rn"))
+    got = sampling.stratified_cap(df, "source", n=n)
+    assert sorted((r.doc_id, r.source) for r in got.collect()) == \
+           sorted((r.doc_id, r.source) for r in ref.collect())
+    # plan shape: two Window nodes (local + global), no more — count
+    # operator lines in the final plan only (AQE echoes the initial
+    # plan below it, and "windowspecdefinition" strings would inflate
+    # a raw substring count)
+    phys = got._jdf.queryExecution().executedPlan().toString()
+    final = phys.split("== Initial Plan ==")[0]
+    n_window_nodes = sum(
+        1 for line in final.splitlines()
+        if line.lstrip("+- *(0123456789) ").startswith("Window ["))
+    assert n_window_nodes == 2
 
 
 def test_ngram_contamination_detects_planted_overlap(spark):
