@@ -472,6 +472,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.frame_sample_plan(media, every_ms=1000)
     q["multimodal_frame_plan_docs"] = multimodal_frame_plan_docs
 
+    # REAL codec path (round 5): pure-numpy BMP / WAV-PCM16 / P6-stream
+    # decoders run inside the Arrow stage; synth_media_real's payloads
+    # are closed-form in the row index, so the decoded features are
+    # pinned by a pure-SQL oracle (see synth_media_real's docstring)
+    def multimodal_real_decode(spark, sf):
+        media = multimodal.synth_media_real(spark, 300)
+        feats = multimodal.extract_features(media, decoder="real",
+                                            feature_dtype="double")
+        return feats.select(
+            "media_id", "kind", "n_bytes",
+            F.concat_ws(",", F.transform(
+                "features", lambda x: F.format_string("%.6f", x))
+            ).alias("features"))
+    q["multimodal_real_decode"] = multimodal_real_decode
+
     # ---- sequence packing (two-phase distributed prefix sum ==
     # the single-threaded cumsum the oracle computes directly)
     def pack_sequences_2k(spark, sf):
@@ -612,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_filter", "conf_scoring", "kg_confidence_histogram",
         "multimodal_features", "multimodal_frame_plan",
         "multimodal_features_docs", "multimodal_frame_plan_docs",
+        "multimodal_real_decode",
         "pack_sequences_2k", "pack_examples_512", "dedup_global_lines",
     ]
     rotate_back = [
@@ -1183,6 +1199,29 @@ def oracle_sql() -> dict[str, str]:
             "unnest(generate_series(0, (1000 + (doc_id * 37) % 9000)::INT, "
             "1000)) AS frame_ts_ms "
             "FROM documents WHERE doc_id % 3 = 2",
+
+        # real-codec decode: synth_media_real payloads are closed-form
+        # in i, so the DECODED features are too — a gray BMP (value
+        # (i*7)%256) has a one-hot luma histogram at bin v//16 (integer
+        # BT.601 luma of R=G=B=v is exactly v); a constant-amplitude
+        # k*512 WAV has per-segment RMS exactly k/64 (6-decimal-exact);
+        # a 2-frame gray P6 stream averages two one-hot histograms.
+        # n_bytes are the fixed encoded sizes (BMP 54+48, WAV 44+320,
+        # 2 x 59-byte PPM).
+        "multimodal_real_decode":
+            "SELECT i AS media_id, "
+            "list_extract(['image','audio','video'], (i % 3 + 1)::INT) "
+            "AS kind, "
+            "list_extract([102, 364, 118], (i % 3 + 1)::INT) AS n_bytes, "
+            "array_to_string(list_transform(range(0, 16), j -> "
+            "printf('%.6f', CASE i % 3 "
+            " WHEN 0 THEN CASE WHEN j = ((i*7) % 256) // 16 "
+            "   THEN 1.0 ELSE 0.0 END "
+            " WHEN 1 THEN ((i*13) % 64) / 64.0 "
+            " ELSE (CASE WHEN j = ((i*5) % 256) // 16 THEN 0.5 "
+            "   ELSE 0.0 END) + (CASE WHEN j = ((i*11) % 256) // 16 "
+            "   THEN 0.5 ELSE 0.0 END) END)), ',') AS features "
+            "FROM range(300) t(i)",
 
         # ann_cosine_topk's oracle lives in _srp_oracle_sqls (it needs
         # the embedding dim for the exact-fold cosine)

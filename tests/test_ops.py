@@ -252,10 +252,79 @@ def test_multimodal_feature_plumbing(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))  # deterministic
 
 
-def test_multimodal_real_decoder_is_gated(spark):
+def test_multimodal_real_decoder_rejects_fake_payloads(spark):
+    """The real codecs must refuse opaque non-media bytes (the fake
+    synth payloads) rather than silently hash them."""
     media = multimodal.synth_media(spark, 3)
-    with pytest.raises(Exception):  # NotImplementedError inside workers
+    with pytest.raises(Exception):  # ValueError inside workers
         multimodal.extract_features(media, decoder="real").collect()
+
+
+def test_multimodal_codec_roundtrips():
+    """Pure-numpy codecs, driver-side: BMP round-trip must survive
+    stride padding / BGR / bottom-up AND top-down layouts; WAV must
+    mix stereo to mono; PPM streams must tolerate comments."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)  # stride pad
+    assert np.array_equal(multimodal.decode_bmp(
+        multimodal.encode_bmp(img)), img)
+    # top-down BMP: flip the height sign and the row order by hand
+    import struct
+    bu = bytearray(multimodal.encode_bmp(img[::-1]))
+    h = struct.unpack_from("<i", bu, 22)[0]
+    struct.pack_into("<i", bu, 22, -h)
+    assert np.array_equal(multimodal.decode_bmp(bytes(bu)), img)
+
+    frames = [rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+              for _ in range(3)]
+    blob = b"".join(multimodal.encode_ppm(f) for f in frames)
+    got = multimodal.decode_ppm_stream(blob)
+    assert len(got) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+    commented = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert multimodal.decode_ppm_stream(commented)[0].shape == (1, 2, 3)
+
+    mono = rng.integers(-32768, 32768, 320, dtype=np.int16)
+    s, rate = multimodal.decode_wav_pcm16(
+        multimodal.encode_wav_pcm16(mono, 8000))
+    assert rate == 8000 and np.array_equal(s, mono.astype(np.float64))
+    stereo = rng.integers(-32768, 32768, (100, 2), dtype=np.int16)
+    m, _ = multimodal.decode_wav_pcm16(
+        multimodal.encode_wav_pcm16(stereo.ravel(), channels=2))
+    assert np.allclose(m, stereo.astype(np.float64).mean(axis=1))
+
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"NOPE")
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_pcm16(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        multimodal._real_decode_features(b"anything", "hologram")
+
+
+def test_multimodal_real_decode_features_closed_form(spark):
+    """The oracled contract semantics, end-to-end through the Arrow
+    stage: gray BMP -> one-hot luma histogram; constant WAV -> flat
+    k/64 RMS vector; 2-frame gray stream -> two half-weight bins."""
+    media = multimodal.synth_media_real(spark, 12)
+    feats = {r.media_id: r for r in
+             multimodal.extract_features(media, decoder="real",
+                                         feature_dtype="double")
+             .collect()}
+    assert len(feats) == 12
+    for i in range(12):
+        f = feats[i].features
+        if i % 3 == 0:
+            exp = [0.0] * 16
+            exp[((i * 7) % 256) // 16] = 1.0
+        elif i % 3 == 1:
+            exp = [((i * 13) % 64) / 64.0] * 16
+        else:
+            exp = [0.0] * 16
+            exp[((i * 5) % 256) // 16] += 0.5
+            exp[((i * 11) % 256) // 16] += 0.5
+        assert f == exp, (i, f, exp)
 
 
 def test_frame_sample_plan(spark):
