@@ -360,6 +360,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"), [0, 7, 19], k=10,
         n_lists=16, nprobe=4)
 
+    # AMORTIZED stored-index serving (round 5): the production shape —
+    # codebook + partitioned index built ONCE to disk (keyed by sf
+    # dir; the build is deterministic so reuse across runs is exact),
+    # then batch serving reads back centroids + index and the scan
+    # prunes to the probed ivf_list directories (PartitionFilters,
+    # plan-asserted in tests). Same oracle as ann_ivf_batch_topk:
+    # identical semantics, only the codebook/index residency differs.
+    def ann_ivf_stored_batch_topk(spark, sf):
+        import os
+        tag = os.path.basename(os.path.normpath(sf))
+        root = f"/tmp/lexmapr_ivf_store_{tag}"
+        emb = _t(spark, sf, "embeddings")
+        if not os.path.exists(os.path.join(root, "index", "_SUCCESS")):
+            cents = similarity.kmeans_centroids(emb, k=16)
+            similarity.write_ivf_index(
+                similarity.ivf_assign(emb, cents), f"{root}/index")
+            similarity.write_ivf_centroids(spark, cents,
+                                           f"{root}/centroids")
+        stored = similarity.read_ivf_index(spark, f"{root}/index")
+        cents = similarity.read_ivf_centroids(spark, f"{root}/centroids")
+        return similarity.ivf_topk_batch(emb, [0, 7, 19], k=10,
+                                         n_lists=16, nprobe=4,
+                                         centroids=cents,
+                                         assigned=stored)
+    q["ann_ivf_stored_batch_topk"] = ann_ivf_stored_batch_topk
+
     q["emb_near_duplicates"] = lambda spark, sf: (
         similarity.embedding_near_duplicates(
             _t(spark, sf, "embeddings")
@@ -742,6 +768,10 @@ def _ivf_oracle_sqls() -> dict[str, str]:
         ]
         out["ann_ivf_batch_topk"] = (
             assigned_cte + " " + " UNION ALL ".join(branches))
+        # the stored-index variant serves from parquet-persisted
+        # centroids + assignments; doubles round-trip parquet exactly,
+        # so its results are pinned by the SAME batch SQL
+        out["ann_ivf_stored_batch_topk"] = out["ann_ivf_batch_topk"]
     return out
 
 

@@ -515,7 +515,8 @@ def alias_edges(spark: SparkSession, lex: Lexicon) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20,
-                         strict: bool = True) -> DataFrame:
+                         strict: bool = True,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Min-label propagation with pointer doubling to a fixpoint:
     (node, component).
 
@@ -536,7 +537,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     the doubling join always finds its target. ``strict`` (default)
     raises instead of silently returning split components if the cap
     is somehow hit.
+
+    Durability: by default each round truncates lineage with
+    ``localCheckpoint`` — executor-local blocks, fast, but NOT
+    fault-tolerant: on a 100 TB dup graph, losing one executor late in
+    the loop loses blocks that no lineage can rebuild and kills the
+    job. Pass ``checkpoint_dir`` (HDFS/S3/... path) for the production
+    form: the symmetrized edge set and each round's labels are written
+    to reliable storage as parquet and read back, so the loop survives
+    executor loss and each round's convergence check scans the WRITTEN
+    round (two small parquet scans — no lineage re-execution, no extra
+    materialization action beyond the write itself). Older round files
+    are deleted as the loop advances; the final round's parquet backs
+    the returned DataFrame, so callers can keep consuming it after the
+    session recycles executors.
     """
+    spark = edges.sparkSession
     converged = False
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
@@ -544,13 +560,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     # twice, and for data-derived graphs its lineage is the whole
     # upstream pipeline (e.g. LSH banding + Jaccard verification) —
     # without this the pair discovery would re-execute per round
-    sym = sym.localCheckpoint(eager=True)
+    if checkpoint_dir is not None:
+        sym.write.mode("overwrite").parquet(f"{checkpoint_dir}/edges")
+        sym = spark.read.parquet(f"{checkpoint_dir}/edges")
+    else:
+        sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select("src").union(sym.select("dst"))
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("component"))
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # candidate: min over own label and neighbors' labels
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -578,7 +598,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                         ).alias("component"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/round={rnd}"
+            new_labels.write.mode("overwrite").parquet(path)
+            new_labels = spark.read.parquet(path)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        # convergence check over materialized rounds only: with a
+        # checkpoint_dir both sides are parquet scans of what was just
+        # written — nothing upstream re-executes
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -586,6 +614,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
             .limit(1).count()
         )
         labels = new_labels
+        if checkpoint_dir is not None and rnd > 0:
+            _delete_path(spark, f"{checkpoint_dir}/round={rnd - 1}")
         if changed == 0:
             converged = True
             break

@@ -434,6 +434,13 @@ def ivf_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
     probes_df = spark.createDataFrame(
         pairs, f"query_id {id_ddl}, ivf_list INT")
     qdf = _batch_query_frame(spark, qrows, id_ddl)
+    # static partition prune: the union of probed lists is known
+    # driver-side, so with a stored (partitionBy ivf_list) index this
+    # becomes PartitionFilters at planning time — the scan never opens
+    # the other n_lists - |probes| directories; on an in-memory
+    # assigned frame it is just a cheap pre-filter before the join
+    probe_lists = sorted({pl for _, pl in pairs})
+    assigned = assigned.where(F.col("ivf_list").isin(probe_lists))
     scored = (
         assigned.join(F.broadcast(probes_df), "ivf_list")
         .where(F.col(id_col) != F.col("query_id"))
@@ -529,6 +536,22 @@ def write_ivf_index(assigned: DataFrame, path: str,
 
 def read_ivf_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_ivf_centroids(spark, centroids, path: str,
+                        mode: str = "overwrite") -> None:
+    """Persist the codebook next to the index (a few KB of parquet —
+    doubles are stored exactly, so a read-back codebook reproduces the
+    probe-list choices bit-for-bit)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+    spark.createDataFrame(rows, "ivf_list INT, centroid ARRAY<DOUBLE>") \
+        .coalesce(1).write.mode(mode).parquet(path)
+
+
+def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("ivf_list").collect()
+    return np.asarray([list(r.centroid) for r in rows], dtype=np.float64)
 
 
 def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,

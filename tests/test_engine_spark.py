@@ -258,6 +258,38 @@ def test_connected_components_matches_union_find_randomized(spark):
         assert comps == expected, f"trial {trial}"
 
 
+def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir= is the fault-tolerant production path: each
+    round's labels land in reliable storage as parquet instead of
+    executor-local blocks. Labels must equal the default path's, only
+    the FINAL round's parquet may remain (older rounds are reclaimed as
+    the loop advances), and the returned DataFrame must be readable
+    straight off the written files (fresh read, no live lineage)."""
+    import os
+
+    n = 40  # path graph -> multiple rounds
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+        "src STRING, dst STRING")
+    ckpt = str(tmp_path / "cc_ckpt")
+    durable = engine.connected_components(edges, checkpoint_dir=ckpt)
+    got = {r.node: r.component for r in durable.collect()}
+    ref = {r.node: r.component
+           for r in engine.connected_components(edges).collect()}
+    assert got == ref and set(got.values()) == {"n000"}
+
+    round_dirs = sorted(d for d in os.listdir(ckpt)
+                        if d.startswith("round="))
+    assert len(round_dirs) == 1  # only the last round survives
+    assert os.path.isdir(os.path.join(ckpt, "edges"))
+    # the returned frame is parquet-backed: a brand-new reader over the
+    # surviving round reproduces it exactly (what a resume would do)
+    reread = {r.node: r.component
+              for r in spark.read.parquet(
+                  os.path.join(ckpt, round_dirs[0])).collect()}
+    assert reread == got
+
+
 def test_canonicalize_rewrites_variant_ids(spark):
     lex = Lexicon()
     lex.non_standard_resource_ids = {"id_b": "foo bar", "id_a": "bar foo"}

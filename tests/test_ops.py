@@ -434,6 +434,41 @@ def test_ivf_index_partition_pruned_read(spark, tmp_path):
     assert "ivf_list" in pf  # scan prunes to the probed directories
 
 
+def test_ivf_batch_stored_index_partition_pruned(spark, tmp_path):
+    """Amortized batch serving (the production shape): centroids and
+    assignments read back from parquet must reproduce the in-memory
+    batch results exactly, and ivf_topk_batch's own plan must carry
+    the probe-set PartitionFilter on the stored index scan (not just a
+    caller-added filter)."""
+    import numpy as np
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((300, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(300)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = similarity.kmeans_centroids(emb, k=8)
+    assigned = similarity.ivf_assign(emb, cents)
+    root = str(tmp_path / "store")
+    similarity.write_ivf_index(assigned, f"{root}/index")
+    similarity.write_ivf_centroids(spark, cents, f"{root}/centroids")
+    stored = similarity.read_ivf_index(spark, f"{root}/index")
+    rcents = similarity.read_ivf_centroids(spark, f"{root}/centroids")
+    assert np.array_equal(rcents, np.asarray(cents, dtype=np.float64))
+
+    fresh = similarity.ivf_topk_batch(emb, [0, 5, 9], k=5, n_lists=8,
+                                      nprobe=3, centroids=cents,
+                                      assigned=assigned)
+    amort = similarity.ivf_topk_batch(emb, [0, 5, 9], k=5, n_lists=8,
+                                      nprobe=3, centroids=rcents,
+                                      assigned=stored)
+    assert sorted(tuple(r) for r in amort.collect()) == \
+           sorted(tuple(r) for r in fresh.collect())
+    plan = amort._jdf.queryExecution().executedPlan().toString()
+    pfs = [seg.split("]")[0]
+           for seg in plan.split("PartitionFilters: [")[1:]]
+    assert any("ivf_list" in s for s in pfs)
+
+
 def test_curate_one_projection_one_shuffle(spark):
     """curate must compute lang/quality/fingerprint as sibling
     expressions in one scan-side projection (no self-joins) with the
