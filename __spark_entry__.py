@@ -538,6 +538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.global_line_dedup(lined)
     q["dedup_global_lines"] = dedup_global_lines
 
+    # ---- chunked ExactSubstr dedup (round 5): corpus-wide repeated
+    # token runs cut at chunk granularity; clones guarantee repeats
+    def dedup_exact_substring(spark, sf):
+        return dedup.exact_substring_dedup(
+            _docs_with_clones(spark, sf), gram_tokens=8)
+    q["dedup_exact_substring"] = dedup_exact_substring
+
     # ---- full curation pipeline v2: + repetition gate + benchmark
     # decontamination on top of lang/quality/fingerprint-dedup
     def curation_pipeline_v2(spark, sf):
@@ -1455,6 +1462,25 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY doc_id, pos) AS rn FROM ln) WHERE rn = 1), "
         "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) "
         "ORDER BY pos) AS deduped_text FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(rebuilt.deduped_text, '') "
+        "AS deduped_text FROM d LEFT JOIN rebuilt USING (doc_id)")
+    oracles["dedup_exact_substring"] = (
+        f"WITH d AS (SELECT doc_id, text FROM {_CLONES_SQL}), "
+        "tk AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x != '') AS t FROM d), "
+        "ch AS (SELECT doc_id, unnest(generate_series(0, len(t)//8 - 1)) "
+        "AS c, t FROM tk WHERE len(t) >= 8), "
+        "g AS (SELECT doc_id, c, array_to_string("
+        "list_slice(t, c*8 + 1, c*8 + 8), ' ') AS gram FROM ch), "
+        "kept AS (SELECT doc_id, c, gram FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY gram ORDER BY doc_id, c) AS rn FROM g) "
+        "WHERE rn = 1), "
+        "tails AS (SELECT doc_id, len(t)//8 AS c, array_to_string("
+        "list_slice(t, (len(t)//8)*8 + 1, len(t)), ' ') AS gram "
+        "FROM tk WHERE len(t) % 8 != 0 AND len(t) > 0), "
+        "rebuilt AS (SELECT doc_id, string_agg(gram, ' ' ORDER BY c) "
+        "AS deduped_text FROM (SELECT * FROM kept "
+        "UNION ALL SELECT * FROM tails) GROUP BY doc_id) "
         "SELECT d.doc_id, coalesce(rebuilt.deduped_text, '') "
         "AS deduped_text FROM d LEFT JOIN rebuilt USING (doc_id)")
     oracles["web_host_filter"] = (

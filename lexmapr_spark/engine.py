@@ -840,7 +840,12 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
     buckets, one-task-per-bucket would mean a ~3 TB single-task
     sort). Default: ``spark.sql.shuffle.partitions / n_buckets``
     (min 1) — per-task volume then tracks the session's configured
-    parallelism instead of the bucket count. With the value 1 each
+    parallelism instead of the bucket count. The resolved value is
+    persisted in every manifest row (``wide_fpb``) and REUSED on
+    resume, so a per-bucket resume under a different session config
+    still writes the original run's part-file split — 'identical
+    across full runs and per-bucket resumes' holds regardless of the
+    resuming session's conf. With the value 1 each
     bucket is one part file in url order (the strongest ordering
     guarantee); with k > 1 each part file is internally url-sorted
     and bucket bytes remain deterministic, but the concatenation is
@@ -877,6 +882,19 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
     if not todo:
         return stats
 
+    if wide_files_per_bucket is None and done:
+        # a per-bucket RESUME must reuse the original run's sub-slice
+        # count: the (bucket, sub) split decides part-file boundaries
+        # and concatenation order, so deriving a fresh default from
+        # THIS session's conf would rewrite resumed buckets with a
+        # different byte layout than the completed ones
+        try:
+            prev = spark.read.parquet(manifest_dir) \
+                .select("wide_fpb").first()
+            if prev is not None and prev[0] is not None:
+                wide_files_per_bucket = int(prev[0])
+        except Exception:
+            pass  # pre-round-5 manifest without the column
     if wide_files_per_bucket is None:
         wide_files_per_bucket = max(
             1, _session_parallelism(spark) // max(n_buckets, 1))
@@ -1017,8 +1035,12 @@ def _artifacts_job(spark, pages, lex_bc, buckets, n_buckets, comps,
             _delete_path(spark, os.path.join(wide_dir, f"bucket={b}"))
         if n_triples == 0:
             _delete_path(spark, os.path.join(triples_dir, f"bucket={b}"))
+        # wide_fpb rides every manifest row so a resume in a session
+        # with different parallelism reproduces the original run's
+        # part-file split instead of silently re-deriving its own
         spark.createDataFrame(
-            [(n_pages, n_triples)], "pages BIGINT, triples BIGINT",
+            [(n_pages, n_triples, int(wide_files_per_bucket))],
+            "pages BIGINT, triples BIGINT, wide_fpb INT",
         ).write.mode("overwrite").parquet(
             os.path.join(manifest_dir, f"bucket={b}"))
         stats["pages"] += n_pages

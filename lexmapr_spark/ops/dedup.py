@@ -336,6 +336,74 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
 # C4-style global line dedup (round 3)
 # ---------------------------------------------------------------------------
 
+def exact_substring_dedup(docs: DataFrame, gram_tokens: int = 50,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Chunked approximation of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4.1;
+    the RefinedWeb §3.3 policy): long token runs that repeat VERBATIM
+    anywhere in the corpus survive only at their first occurrence —
+    including runs that cross line boundaries, which
+    :func:`global_line_dedup` cannot see.
+
+    The exact algorithm is a corpus-wide suffix array — inherently
+    sequential and memory-resident, the wrong shape for 100 TB. The
+    standard distributed approximation chunks each document into
+    NON-OVERLAPPING ``gram_tokens``-token grams (stride = gram size,
+    so the explode is 1x the corpus, not 50x as stride-1 shingles
+    would be) and dedups the gram text corpus-wide: a repeated run of
+    >= 2x gram_tokens tokens is guaranteed to contain at least one
+    repeated aligned chunk and gets cut; shorter repeats may survive
+    (they are line-dedup / MinHash territory). Keeper selection reuses
+    the :func:`global_line_dedup` machinery — ``min(struct(doc, chunk))
+    GROUP BY gram`` is map-side-combinable, so a boilerplate passage
+    repeated 10^8 times collapses to one candidate per upstream
+    partition BEFORE the shuffle (no hot-key window anywhere).
+    Sub-gram tails (and whole docs shorter than one gram) bypass the
+    gram shuffle entirely and are always kept. Returns
+    (id, deduped_text) with surviving chunks re-joined in order.
+    """
+    g = int(gram_tokens)
+    if g < 1:
+        raise ValueError(f"gram_tokens must be >= 1, got {g}")
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("t"))
+    # full aligned chunks; CASE guard because sequence(0, -1) counts
+    # DOWN rather than producing an empty array
+    chunk_arr = (
+        f"CASE WHEN size(t) < {g} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(0, size(t) div {g} - 1), "
+        f"c -> concat_ws(' ', slice(t, c * {g} + 1, {g}))) END")
+    chunks = base.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunk_arr)).alias("c", "gram"))
+    kept = (chunks.groupBy("gram")
+            .agg(F.min(F.struct(F.col(id_col), F.col("c"))).alias("k"))
+            .select(F.col(f"k.{id_col}").alias(id_col),
+                    F.col("k.c").alias("c"), "gram"))
+    tail = (base
+            .where((F.size("t") % g != 0) & (F.size("t") > 0))
+            .select(
+                F.col(id_col),
+                F.expr(f"size(t) div {g}").alias("c"),
+                F.expr(f"concat_ws(' ', slice(t, (size(t) div {g}) "
+                       f"* {g} + 1, {g}))").alias("gram")))
+    rebuilt = (kept.unionByName(tail)
+               .groupBy(id_col)
+               .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("c"), F.col("gram")))),
+                        lambda s: s.getField("gram")),
+                    " ").alias("deduped_text")))
+    return (docs.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("deduped_text", F.lit(""))
+                     .alias("deduped_text")))
+
+
 def global_line_dedup(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", line_sep: str = "\n",
                       min_chars: int = 0) -> DataFrame:

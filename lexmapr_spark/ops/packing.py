@@ -87,8 +87,17 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
 
     docs = fan_out(docs)
     if n_buckets is None:
+        import logging
+
         from lexmapr_spark.engine import _session_parallelism
         n_buckets = max(1, _session_parallelism(docs.sparkSession))
+        # the resolved default is session-config-dependent and pack
+        # ids depend on it — surface it so two runs that silently used
+        # different parallelism are diagnosable from the logs
+        logging.getLogger("lexmapr_spark.packing").info(
+            "pack_sequences: n_buckets defaulted to %d from session "
+            "parallelism; pass n_buckets explicitly to reproduce this "
+            "layout under a different config", n_buckets)
     base = (docs.select(
         F.col(id_col),
         F.size((tokenizer or tokens_col)(F.col(text_col)))

@@ -256,7 +256,8 @@ def ngrams_col(text_col: str, n: int):
 
 def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        warn_short_probes: bool = True) -> DataFrame:
     """Benchmark-contamination detector: per document, how many
     distinct ``n``-grams it shares with the probe corpus (eval/test
     texts that must not leak into training data).
@@ -275,8 +276,25 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
     only case the pre-round-4 truncated-gram behavior caught, and it
     caught nothing else). If your benchmark suite contains sub-``n``
     probes, screen them separately — e.g. exact text match via
-    :func:`fingerprint` or a smaller ``n``.
+    :func:`fingerprint` or a smaller ``n``. ``warn_short_probes``
+    (default on) counts them — the probe side is benchmark-suite-
+    sized, so the extra probe-only job is trivial — and emits a
+    warning naming the gap; pass ``False`` in hot loops once audited.
     """
+    if warn_short_probes:
+        import warnings
+
+        n_short = probes.where(
+            F.size(F.expr(f"filter(split({text_col}, ' '), "
+                          "x -> x != '')")) < n).count()
+        if n_short:
+            warnings.warn(
+                f"ngram_contamination: {n_short} probe text(s) have "
+                f"fewer than n={n} tokens and contribute NO n-grams — "
+                "they are not screened by this operator; cover them "
+                "with an exact-match pass (fingerprint) or a smaller "
+                "n. Pass warn_short_probes=False to silence.",
+                stacklevel=2)
     probe_grams = (probes.select(
         F.explode(ngrams_col(text_col, n)).alias("gram")).distinct())
     doc_grams = fan_out(docs).select(
@@ -481,9 +499,13 @@ def perplexity(docs: DataFrame, lm: DataFrame | None = None,
     if lm is None:
         # scoped: each perplexity call releases the previous
         # self-built LM snapshot (ops.util.release_cache frees it
-        # eagerly), so long-lived sessions hold at most one
+        # eagerly), so long-lived sessions hold at most one; eviction
+        # is silent here because a recomputed LM is deterministic from
+        # the (token, count) aggregate — there is no snapshot-
+        # consistency risk, unlike pack_sequences(snapshot=True)
         from lexmapr_spark.ops.util import scoped_persist
-        lm = scoped_persist(unigram_lm(docs), "perplexity_lm")
+        lm = scoped_persist(unigram_lm(docs), "perplexity_lm",
+                            warn_on_evict=False)
     # OOV logprob as a lazy 1-row broadcast — no driver-side action,
     # so the whole op stays one job
     oov_df = lm.groupBy().agg(

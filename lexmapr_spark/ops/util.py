@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import threading
+import warnings
+
 from pyspark.sql import DataFrame
 
 # ---------------------------------------------------------------------------
@@ -20,37 +23,56 @@ from pyspark.sql import DataFrame
 # demand.
 
 _LAST_CACHE: dict[str, DataFrame] = {}
+_CACHE_LOCK = threading.RLock()
 
 
-def scoped_persist(df: DataFrame, scope: str) -> DataFrame:
+def scoped_persist(df: DataFrame, scope: str,
+                   warn_on_evict: bool = True) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK) as ``scope``'s live snapshot,
     releasing the previous snapshot registered under the same scope.
 
     At most ONE snapshot per scope is ever cached, so repeated calls
-    in a long-lived session hold bounded executor storage. Caveat: the
-    release forces any still-unconsumed result of the PREVIOUS call in
-    the same scope to recompute from source on consumption — identical
-    results unless the source mutated in between; interleave calls
-    against a mutating source with :func:`release_cache` discipline
-    instead."""
-    release_cache(scope)
-    cached = df.persist()
-    _LAST_CACHE[scope] = cached
-    return cached
+    in a long-lived session hold bounded executor storage. The
+    registry is guarded by a lock, so concurrent sessions/threads
+    can't corrupt it — though two threads sharing one SCOPE still
+    evict each other's snapshots (use distinct scopes per pipeline).
+    Caveat: the release forces any still-unconsumed result of the
+    PREVIOUS call in the same scope to recompute from source on
+    consumption — identical results unless the source mutated or the
+    plan is nondeterministic in between, which is exactly the
+    situation ``snapshot=True`` callers care about, so the eviction
+    is WARNED (suppress with ``warn_on_evict=False`` once the earlier
+    result is known consumed); interleave calls against a mutating
+    source with :func:`release_cache` discipline instead."""
+    with _CACHE_LOCK:
+        if warn_on_evict and scope in _LAST_CACHE:
+            warnings.warn(
+                f"scoped_persist: evicting the previous '{scope}' "
+                "snapshot — any still-unconsumed DataFrame from the "
+                "earlier call will recompute from source (a mutating "
+                "or nondeterministic source then yields DIFFERENT "
+                "rows). Consume or release_cache() earlier results "
+                "first, or pass warn_on_evict=False to acknowledge.",
+                stacklevel=2)
+        release_cache(scope)
+        cached = df.persist()
+        _LAST_CACHE[scope] = cached
+        return cached
 
 
 def release_cache(scope: str | None = None) -> None:
     """Unpersist the snapshot cached under ``scope`` (or every scope
     when None). Safe to call at any time; consumers of already-
     returned DataFrames simply recompute from source."""
-    keys = [scope] if scope is not None else list(_LAST_CACHE)
-    for k in keys:
-        df = _LAST_CACHE.pop(k, None)
-        if df is not None:
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                pass  # session already stopped; nothing to release
+    with _CACHE_LOCK:
+        keys = [scope] if scope is not None else list(_LAST_CACHE)
+        for k in keys:
+            df = _LAST_CACHE.pop(k, None)
+            if df is not None:
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass  # session already stopped; nothing to release
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = 0) -> DataFrame:

@@ -536,6 +536,33 @@ def test_run_full_artifacts_wide_multi_file_buckets_deterministic(
         shutil.rmtree(out2, ignore_errors=True)
 
 
+def test_run_full_artifacts_resume_reuses_manifest_fpb(spark, lex_bc):
+    """A per-bucket resume in a session with DIFFERENT parallelism
+    must not re-derive the wide_files_per_bucket default: the manifest
+    records the original run's resolved value and the resume reuses
+    it, keeping bucket bytes identical across configs."""
+    pages = synth_pages(spark, 80, corpus=load_corpus(limit=40))
+    out = tempfile.mkdtemp()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        engine.run_full_artifacts(pages, lex_bc, out, n_buckets=4)
+        b1 = _wide_bucket_bytes(out)
+        fpb = spark.read.parquet(os.path.join(out, "manifest")) \
+            .select("wide_fpb").first()[0]
+        assert fpb == 4  # 16 shuffle partitions / 4 buckets
+        shutil.rmtree(os.path.join(out, "manifest", "bucket=1"))
+        shutil.rmtree(os.path.join(out, "wide", "bucket=1"))
+        # resume under a conf whose fresh default would be 8/4 = 2
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        s = engine.run_full_artifacts(pages, lex_bc, out, n_buckets=4)
+        assert s["buckets_skipped"] == 3
+        assert _wide_bucket_bytes(out) == b1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_run_full_artifacts_header_written_before_chunks(spark, lex_bc):
     """The wide header is input-independent and must land BEFORE bucket
     processing (and again on resume), so a crash after the last

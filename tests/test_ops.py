@@ -894,6 +894,37 @@ def test_curate_v2_repetition_and_decontamination(spark):
     assert out[1].dup_word_frac <= 0.6
 
 
+def test_exact_substring_dedup_cuts_cross_line_repeats(spark):
+    """The case line dedup structurally misses: a long verbatim run
+    that CROSSES a line boundary. Both docs' lines are all distinct
+    (line dedup keeps everything), but the repeated aligned 8-token
+    chunk is cut from the later doc; unique chunks and sub-gram tails
+    survive; short docs pass through whole."""
+    passage = " ".join(f"p{i}" for i in range(16)).replace("p7 p8", "p7\np8")
+    rows = [
+        (1, "x1 " + passage + " y1"),
+        (2, "x2 " + passage + " y2"),
+        (3, "tiny doc"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r.deduped_text for r in
+           dedup.exact_substring_dedup(df, gram_tokens=8).collect()}
+    assert out[1] == "x1 " + passage + " y1"  # first occurrence intact
+    # doc 2: aligned chunk [p7\np8..p15] was seen in doc 1 -> cut;
+    # its first chunk (x2 p0..p6) is unique -> kept; tail y2 kept
+    assert out[2] == "x2 " + " ".join(f"p{i}" for i in range(7)) + " y2"
+    assert out[3] == "tiny doc" and out[4] == ""
+    # line dedup keeps every byte of both docs (all lines distinct)
+    lines = {r.doc_id: r.deduped_text for r in
+             dedup.global_line_dedup(df).collect()}
+    assert lines[2] == "x2 " + passage + " y2"
+    # same keeper machinery: no Window in the plan
+    phys = (dedup.exact_substring_dedup(df, gram_tokens=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in phys
+
+
 def test_global_line_dedup(spark):
     rows = [
         (1, "alpha\nbeta\ngamma"),
@@ -1052,6 +1083,48 @@ def test_scoped_persist_bounds_cached_snapshots(spark):
     assert n_persisted() <= base + 1  # one live LM snapshot
     util.release_cache()
     assert n_persisted() <= base
+
+
+def test_scoped_persist_warns_on_eviction(spark):
+    """Evicting a scope's live snapshot silently could reintroduce the
+    inconsistency snapshot=True exists to prevent — it must warn (and
+    be silenceable once the earlier result is known consumed)."""
+    import warnings
+
+    from lexmapr_spark.ops import util
+
+    df = spark.range(3)
+    util.release_cache("t_scope")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # first persist: no warning
+        util.scoped_persist(df, "t_scope")
+    with pytest.warns(UserWarning, match="evicting"):
+        util.scoped_persist(spark.range(4), "t_scope")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # acknowledged: silent
+        util.scoped_persist(spark.range(5), "t_scope",
+                            warn_on_evict=False)
+    util.release_cache("t_scope")
+
+
+def test_ngram_contamination_warns_on_short_probes(spark):
+    """Sub-n probes contribute no n-grams and are unscreened — the op
+    must surface that instead of silently narrowing coverage."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id LONG, text STRING")
+    short_probe = spark.createDataFrame(
+        [(9, "just four tokens here")], "doc_id LONG, text STRING")
+    with pytest.warns(UserWarning, match="fewer than n=8"):
+        textstats.ngram_contamination(docs, short_probe, n=8).collect()
+    import warnings
+
+    long_probe = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id LONG, text STRING")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # all probes >= n: silent
+        textstats.ngram_contamination(docs, long_probe, n=8).collect()
 
 
 def test_near_duplicate_filter_component_keeper(spark):
