@@ -75,25 +75,11 @@ def main():
     long_wall = time.time() - t0
     long_pages.unpersist()
 
-    # ---- per-query timings on the harness tables
-    bench_queries = [
-        "kg_match_histogram", "p1_p2_lower_punct", "p11_stopword_filter",
-        "j1_broadcast_token_match", "agg_tpch_pricing",
-        "join_orders_customer", "sort_topk_orders", "dedup_exact",
-        "dedup_minhash_signatures", "dedup_simhash", "ann_cosine_topk",
-        "ann_srp_bucketed_topk", "text_token_count", "text_quality",
-        "text_langid", "text_fingerprint", "multimodal_features",
-        "curation_pipeline", "multimodal_features_docs",
-        "sample_hash_10pct", "sample_domain_cap", "text_contamination",
-        "text_pii_redaction", "text_repetition", "text_perplexity",
-        "conf_scoring", "web_host_filter", "ann_quantized_topk",
-        "dedup_global_lines", "pack_sequences_2k", "pack_examples_512",
-        "curation_pipeline_v2", "dedup_near_dup_components",
-        "ann_srp_batch_topk", "ann_quantized_srp_topk",
-        "ann_ivf_batch_topk", "corpus_stats", "sample_mixture",
-        "dedup_near_dup_clusters",
-    ]
+    # ---- per-query timings: EVERY contract query, in queries() dict
+    # order (one bench artifact covers the whole contract at steady
+    # state — no silently unbenched tail)
     qs = entrymod.queries()
+    bench_queries = list(qs)
     timings = {}
     timings_cold = {}
     for name in bench_queries:
