@@ -545,6 +545,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs_with_clones(spark, sf), gram_tokens=8)
     q["dedup_exact_substring"] = dedup_exact_substring
 
+    # ---- cross-run incremental dedup (round 5): new crawl batch vs a
+    # stored MinHash index of the prior batch — exact md5 screen +
+    # band-bucketed signature-estimated-Jaccard screen, prior text
+    # never rescanned. Even docs reappear verbatim (exact screen),
+    # docs = 1 mod 4 reappear with one appended token (near screen),
+    # docs = 3 mod 4 are replaced by genuinely novel pages (survive).
+    def dedup_incremental(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        new = (d.where(F.col("doc_id") % 2 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+               .unionByName(
+                   d.where(F.col("doc_id") % 4 == 1)
+                   .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                           F.concat(F.col("text"),
+                                    F.lit(" xq7")).alias("text")))
+               .unionByName(
+                   d.where(F.col("doc_id") % 4 == 3)
+                   .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                           F.concat(
+                               F.lit("novel page "),
+                               (F.col("doc_id") + 3000000).cast("string"),
+                               F.lit(" entirely fresh tokens qz17 unseen"))
+                           .alias("text"))))
+        surv = dedup.dedup_against_index(
+            new, dedup.minhash_index(d), threshold=0.5)
+        return surv.select("doc_id", F.md5("text").alias("text_md5"))
+    q["dedup_incremental"] = dedup_incremental
+
     # ---- full curation pipeline v2: + repetition gate + benchmark
     # decontamination on top of lang/quality/fingerprint-dedup
     def curation_pipeline_v2(spark, sf):
@@ -662,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_docs", "multimodal_frame_plan_docs",
         "multimodal_real_decode",
         "pack_sequences_2k", "pack_examples_512", "dedup_global_lines",
+        "dedup_incremental",
     ]
     rotate_back = [
         "s2_multicol_coalesce", "p1_p2_lower_punct",
@@ -1483,6 +1512,53 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT * FROM tails) GROUP BY doc_id) "
         "SELECT d.doc_id, coalesce(rebuilt.deduped_text, '') "
         "AS deduped_text FROM d LEFT JOIN rebuilt USING (doc_id)")
+    # cross-run incremental dedup: mirrors dedup.dedup_against_index —
+    # exact md5 screen + band-join + signature-estimated Jaccard
+    # (fraction of equal minhash components) >= 0.5. Safe to use plain
+    # unnest (vs Spark's explode_outer) because the documents table
+    # has no empty/sub-shingle texts at any SF (asserted offline).
+    _shingle_unnest = (
+        "unnest(list_filter(list_transform(generate_series(1, "
+        "greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], "
+        "toks[i+1], toks[i+2])), s -> s != '')) AS tok")
+    _est_eq = "(" + " + ".join(
+        f"CASE WHEN n.mh{j} = o.mh{j} THEN 1 ELSE 0 END"
+        for j in range(8)) + ") / 8.0"
+    _band_unnest = ("unnest([concat('0:', band0), concat('1:', band1), "
+                    "concat('2:', band2), concat('3:', band3)]) "
+                    "AS band_key")
+    oracles["dedup_incremental"] = (
+        "WITH oldd AS (SELECT doc_id, text FROM documents), "
+        "newd AS (SELECT doc_id + 1000000 AS doc_id, text "
+        "FROM documents WHERE doc_id % 2 = 0 "
+        "UNION ALL SELECT doc_id + 2000000 AS doc_id, "
+        "text || ' xq7' AS text FROM documents WHERE doc_id % 4 = 1 "
+        "UNION ALL SELECT doc_id + 3000000 AS doc_id, "
+        "'novel page ' || CAST(doc_id + 3000000 AS VARCHAR) || "
+        "' entirely fresh tokens qz17 unseen' AS text "
+        "FROM documents WHERE doc_id % 4 = 3), "
+        "osh AS (SELECT doc_id, md5(text) AS text_md5, "
+        f"{_shingle_unnest} FROM (SELECT doc_id, text, "
+        "list_filter(string_split(text, ' '), x -> x != '') AS toks "
+        "FROM oldd)), "
+        f"oidx AS (SELECT doc_id, text_md5, {minhash_mins} FROM osh "
+        "GROUP BY doc_id, text_md5), "
+        "nsh AS (SELECT doc_id, md5(text) AS text_md5, "
+        f"{_shingle_unnest} FROM (SELECT doc_id, text, "
+        "list_filter(string_split(text, ' '), x -> x != '') AS toks "
+        "FROM newd)), "
+        f"nidx AS (SELECT doc_id, text_md5, {minhash_mins} FROM nsh "
+        "GROUP BY doc_id, text_md5), "
+        f"ostack AS (SELECT *, {_band_unnest} FROM "
+        f"(SELECT *, {band_keys} FROM oidx)), "
+        f"nstack AS (SELECT *, {_band_unnest} FROM "
+        f"(SELECT *, {band_keys} FROM nidx)), "
+        "dropped AS (SELECT doc_id FROM nidx WHERE text_md5 IN "
+        "(SELECT text_md5 FROM oidx) "
+        "UNION SELECT n.doc_id FROM nstack n JOIN ostack o "
+        f"USING (band_key) WHERE {_est_eq} >= 0.5) "
+        "SELECT doc_id, md5(text) AS text_md5 FROM newd "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM dropped)")
     oracles["web_host_filter"] = (
         "WITH d AS (SELECT doc_id, 'https://' || "
         "CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END || source || "

@@ -465,3 +465,100 @@ def global_line_dedup(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col,
                     F.coalesce("deduped_text", F.lit(""))
                      .alias("deduped_text")))
+
+
+def minhash_index(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  n_hashes: int = N_MINHASHES) -> DataFrame:
+    """Compact per-doc dedup-index rows: ``(id, text_md5, mh0..mhN-1)``.
+
+    The cross-run dedup primitive a crawl pipeline needs: after each
+    batch is curated, persist THESE rows (not the text) and dedup the
+    next crawl against them with :func:`dedup_against_index`. The
+    index is ~100 bytes/doc regardless of document size — a 100 TB
+    corpus indexes into ~100 GB of parquet, and serving never rescans
+    prior batches' raw text.
+
+    One pass, no join: the per-doc md5 rides through the shingle
+    explode as a second grouping key (same cardinality as the id, so
+    the aggregate stays map-side combinable). Docs with no shingles
+    (empty text) keep a row via ``explode_outer`` with NULL minhashes;
+    their exact hash still screens identical empties.
+    """
+    docs = fan_out(docs)
+    toks = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"),
+        F.explode_outer(shingles_col(text_col)).alias("tok"))
+    aggs = [
+        F.min(F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 15),
+            16, 10).cast("long")).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    return toks.groupBy(id_col, "text_md5").agg(*aggs)
+
+
+def dedup_against_index(new_docs: DataFrame, index: DataFrame,
+                        threshold: float = 0.5, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        n_hashes: int = N_MINHASHES,
+                        rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Cross-run dedup: rows of ``new_docs`` not already represented
+    in a prior-batch :func:`minhash_index` (exactly or nearly).
+
+    Two screens, both index-only (prior text is never read):
+
+    1. **exact** — anti-join on ``md5(text)``; a shuffle of 16-byte
+       keys only.
+    2. **near** — LSH band keys derived from the stored signatures on
+       both sides (a pure projection — the index stores N longs, not
+       the 8x-larger stacked band table), joined bucket-locally; a
+       candidate drops when its signature-estimated Jaccard (the
+       fraction of equal minhash components, the standard unbiased
+       estimator) is ``>= threshold``. With the default 8 hashes the
+       estimate has 1/8 resolution — at index scale raise
+       ``n_hashes`` on BOTH sides for finer cuts.
+
+    Scale shape: no window, no all-pairs join — new docs only meet
+    index rows sharing a band bucket, the drop set is ids-only, and
+    the final keep is a left-anti join on the id. Intra-batch dups
+    are out of scope by design (both copies survive if neither is
+    indexed): run :func:`near_duplicate_filter` on the batch first,
+    then this op, then append ``minhash_index(survivors)`` to the
+    stored index — at which point the next batch sees them.
+    """
+    n_bands = n_hashes // rows_per_band
+    new_idx = minhash_index(new_docs, id_col, text_col, n_hashes)
+
+    def stacked_bands(idx: DataFrame, out_id: str) -> DataFrame:
+        band_cols = [
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ])).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
+        sig = F.struct(*[F.col(f"mh{j}") for j in range(n_hashes)])
+        return (idx.select(F.col(id_col).alias(out_id),
+                           sig.alias(f"sig_{out_id}"), *band_cols)
+                .select(out_id, f"sig_{out_id}",
+                        F.explode(F.array(*[
+                            F.concat_ws(":", F.lit(str(b)),
+                                        F.col(f"band{b}"))
+                            for b in range(n_bands)
+                        ])).alias("band_key")))
+
+    exact_hits = (new_idx.join(index.select("text_md5"), "text_md5",
+                               "left_semi")
+                  .select(F.col(id_col)))
+    est = sum(
+        F.when(F.col(f"sig_new.mh{j}") == F.col(f"sig_old.mh{j}"), 1)
+         .otherwise(0)
+        for j in range(n_hashes)) / F.lit(float(n_hashes))
+    near_hits = (
+        stacked_bands(new_idx, "new").alias("n")
+        .join(stacked_bands(index, "old").alias("o"), "band_key")
+        .where(est >= F.lit(threshold))
+        .select(F.col("new").alias(id_col)))
+    drop = exact_hits.unionByName(near_hits).distinct()
+    return new_docs.join(drop, id_col, "left_anti")

@@ -1348,3 +1348,52 @@ def test_quantized_ivf_index_pruned_and_accurate(spark, tmp_path):
 
     rec = similarity.ann_recall(embeds, method, k=10, n_queries=5)
     assert rec["recall"] >= 0.8, rec
+
+
+def test_incremental_dedup_screens_and_parquet_round_trip(spark, tmp_path):
+    """Cross-run dedup: the stored minhash_index drops exact and
+    near reappearances of prior-batch docs without rescanning prior
+    text, and novel docs survive — through a real parquet round-trip
+    of the index (the cross-run persistence path)."""
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning before dawn arrives ")
+    old = spark.createDataFrame(
+        [(1, base * 3),
+         (2, "an unrelated page about spark shuffle partitions and "
+             "parquet row groups in distributed query engines")],
+        "doc_id LONG, text STRING")
+    path = str(tmp_path / "dedup_index")
+    dedup.minhash_index(old).write.parquet(path)
+    index = spark.read.parquet(path)
+
+    new = spark.createDataFrame(
+        [(10, base * 3),                       # exact dup of 1
+         (11, base * 3 + "xq7"),               # near dup of 1
+         (12, "novel content mentioning neither foxes nor shuffles "
+              "just entirely fresh vocabulary qz17")],
+        "doc_id LONG, text STRING")
+    surv = dedup.dedup_against_index(new, index, threshold=0.5)
+    assert sorted(r.doc_id for r in surv.collect()) == [12]
+    # survivors keep their full original row, not just the id
+    assert surv.columns == ["doc_id", "text"]
+
+    # append-the-survivors flow: once indexed, re-submitting the same
+    # batch drops everything
+    index2 = index.unionByName(
+        dedup.minhash_index(surv))
+    assert dedup.dedup_against_index(new, index2,
+                                     threshold=0.5).count() == 0
+
+
+def test_incremental_dedup_no_window_and_ids_only_drop_set(spark):
+    """Scale-shape assert: the incremental dedup plan contains no
+    Window node (hot boilerplate md5s/bands must collapse via joins
+    and map-side-combinable aggregates, never a per-key window)."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta") for i in
+         range(20)], "doc_id LONG, text STRING")
+    index = dedup.minhash_index(docs.where(F.col("doc_id") < 10))
+    out = dedup.dedup_against_index(docs.where(F.col("doc_id") >= 10),
+                                    index)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
