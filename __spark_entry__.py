@@ -613,6 +613,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("doc_id", "host")
     q["web_host_filter"] = web_host_filter
 
+    # ---- per-host curation dashboard (round 5): volume, dup rate,
+    # quality/lang pass counts per synthesized host — one groupBy of
+    # map-side-combinable aggregates, ratios from integral counts
+    def web_host_rollup(spark, sf):
+        from lexmapr_spark.ops import web
+        d = _t(spark, sf, "documents").select(
+            "doc_id", "text",
+            F.concat(F.lit("https://"),
+                     F.when(F.col("doc_id") % 5 == 0, "ads.")
+                      .otherwise(""),
+                     F.col("source"), F.lit(".example.com/p/"),
+                     F.col("doc_id")).alias("url"))
+        return web.host_rollup(d)
+    q["web_host_rollup"] = web_host_rollup
+
     # ---- C7 confidence scoring (lexmapr_spark/confidence.py)
     # Oracle-checked core: synthetic (tokens, statuses) derived from
     # documents via SQL-expressible transforms, scored with the JVM
@@ -690,7 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_docs", "multimodal_frame_plan_docs",
         "multimodal_real_decode",
         "pack_sequences_2k", "pack_examples_512", "dedup_global_lines",
-        "dedup_incremental",
+        "dedup_incremental", "web_host_rollup",
     ]
     rotate_back = [
         "s2_multicol_coalesce", "p1_p2_lower_punct",
@@ -1572,6 +1587,36 @@ def oracle_sql() -> dict[str, str]:
         "list_transform(generate_series(1, len(labels)), "
         "i -> array_to_string(list_slice(labels, i, len(labels)), '.')), "
         "['src1.example.com', 'ads.src0.example.com'])) = 0")
+    # per-host rollup over the same synthesized urls; quality/langid
+    # reuse the oracled per-row formulas, ratios are single divisions
+    # of integral counts (cross-engine exact — no float accumulation)
+    oracles["web_host_rollup"] = (
+        "WITH d AS (SELECT doc_id, text, 'https://' || "
+        "CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END || source || "
+        "'.example.com/p/' || doc_id AS url FROM documents), "
+        "h2 AS (SELECT doc_id, text, lower(regexp_extract(url, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) "
+        "AS host FROM d), "
+        f"qual AS ({_quality_oracle_sql()}), "
+        f"lid AS (SELECT doc_id, {langid_case} AS lang_pred FROM ("
+        "SELECT doc_id, "
+        + ",".join(f"{expr} AS {lang}" for lang, expr in lang_hits.items())
+        + " FROM documents) h), "
+        "feat AS (SELECT host, strlen(text) AS nb, "
+        "len(list_filter(string_split(text, ' '), x -> x != '')) AS nt, "
+        "md5(text) AS th, "
+        "CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS qok, "
+        "CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END AS lok "
+        "FROM h2 JOIN qual q USING (doc_id) JOIN lid l USING (doc_id)) "
+        "SELECT host, count(*) AS n_docs, "
+        "CAST(sum(nb) AS BIGINT) AS total_bytes, "
+        "CAST(sum(nt) AS BIGINT) AS total_tokens, "
+        "round(avg(nt), 6) AS mean_tokens, "
+        "count(DISTINCT th) AS n_distinct_texts, "
+        "CAST(sum(qok) AS BIGINT) AS n_quality_pass, "
+        "CAST(sum(lok) AS BIGINT) AS n_lang_match, "
+        "round(1.0 - count(DISTINCT th) / CAST(count(*) AS DOUBLE), 6) "
+        "AS dup_rate FROM feat GROUP BY host")
     return oracles
 
 

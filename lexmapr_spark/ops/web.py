@@ -86,3 +86,45 @@ def filter_blocked_hosts(docs: DataFrame, blocklist,
             .join(F.broadcast(blocked), "suffix")
             .select(url_col).distinct())
     return docs.join(hits, url_col, "left_anti")
+
+
+def host_rollup(docs: DataFrame, url_col: str = "url",
+                text_col: str = "text", quality_threshold: float = 0.5,
+                lang: str = "en") -> DataFrame:
+    """Per-host curation dashboard: the table an operator reads before
+    deciding which domains to cap, block, or re-crawl — doc counts,
+    byte/token volume, duplicate-text rate, and how much of the host
+    passes the standard quality / language gates.
+
+    Scale shape: ONE projection (host + per-row integral features,
+    all JVM expressions) followed by ONE ``groupBy(host)`` of
+    map-side-combinable aggregates — a head host with 10^8 pages
+    partial-aggregates before its exchange (no window anywhere). The
+    per-host ratios are single divisions of integral aggregates —
+    counts, not float accumulations — so every output cell reproduces
+    bit-for-bit in any engine (the quality/lang gates reuse
+    ``textstats``' per-row expressions, which are oracle-pinned).
+    """
+    from lexmapr_spark.ops.dedup import tokens_col
+    from lexmapr_spark.ops.textstats import _lang_pred_col, _quality_cols
+
+    docs = fan_out(docs)
+    quality = F.round(_quality_cols(text_col)["quality"], 6)
+    feat = docs.select(
+        host_col(url_col).alias("host"),
+        F.octet_length(F.col(text_col)).alias("nb"),
+        F.size(tokens_col(text_col)).alias("nt"),
+        F.md5(F.col(text_col)).alias("th"),
+        (quality >= F.lit(quality_threshold)).cast("int").alias("qok"),
+        (_lang_pred_col(text_col) == F.lit(lang)).cast("int").alias("lok"))
+    agg = feat.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("total_bytes"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("nt"), 6).alias("mean_tokens"),
+        F.countDistinct("th").alias("n_distinct_texts"),
+        F.sum("qok").cast("bigint").alias("n_quality_pass"),
+        F.sum("lok").cast("bigint").alias("n_lang_match"))
+    return agg.withColumn(
+        "dup_rate",
+        F.round(1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 6))

@@ -336,3 +336,106 @@ def stream_perplexity_pages(pages_stream, lm, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_index_deduped_pages(pages_stream, index, out_dir: str,
+                               checkpoint_dir: str,
+                               threshold: float = 0.5,
+                               available_now: bool = True):
+    """Cross-run dedup as a continuous ingest gate: drop arriving
+    pages already represented — exactly or nearly — in a STATIC
+    stored :func:`lexmapr_spark.ops.dedup.minhash_index` (e.g. last
+    month's indexed crawl read back from parquet).
+
+    Same screens as the batch twin
+    (:func:`~lexmapr_spark.ops.dedup.dedup_against_index`), re-shaped
+    for unbounded input so everything is STATELESS:
+
+    - signatures come from per-row ``array_min``/``transform`` HOFs
+      over the shingle array (bit-identical minima to the batch op's
+      explode + ``min`` aggregate, since both minimize the same md5
+      set per document) — no streaming aggregation, no watermark;
+    - the exact screen is one stream-static LEFT ANTI join on
+      ``md5(text)``;
+    - the near screen is one stream-static LEFT ANTI join per LSH
+      band (band-key equality + signature-estimated Jaccard >=
+      ``threshold`` in the join condition) — a page survives only if
+      NO band bucket holds a close-enough indexed signature, which is
+      exactly the batch op's "any band hit drops" without the
+      stream-side self-anti-join that streaming cannot express.
+
+    The checkpoint therefore stays offsets-only. At index scale,
+    store the index bucketed/sorted by band key so each micro-batch's
+    joins prune instead of rescanning; intra-stream re-fetch dedup is
+    :func:`stream_deduped_pages`' watermark-bounded job, composable
+    upstream of this gate.
+    """
+    from lexmapr_spark.ops.dedup import (
+        N_MINHASHES,
+        ROWS_PER_BAND,
+        shingles_col,
+    )
+
+    n_hashes, rpb = N_MINHASHES, ROWS_PER_BAND
+    n_bands = n_hashes // rpb
+    sh = shingles_col("text")
+
+    def _mh(j: int):
+        # factory closure, NOT `lambda t, j=j`: a two-parameter lambda
+        # makes pyspark's transform() bind the second arg to the
+        # ELEMENT INDEX column (silently shadowing the default), which
+        # corrupts the hash prefix for every element
+        prefix = F.lit(f"{j}:")
+        return F.array_min(F.transform(sh, lambda t: F.conv(
+            F.substring(F.md5(F.concat(prefix, t)), 1, 15),
+            16, 10).cast("long"))).alias(f"mh{j}")
+
+    mh_cols = [_mh(j) for j in range(n_hashes)]
+    enriched = pages_stream.select(
+        "url", "warc_ts", "text", "lang",
+        F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"), *mh_cols)
+    band_cols = [
+        F.concat_ws(":", F.lit(str(b)), F.md5(F.concat_ws("|", *[
+            F.col(f"mh{b * rpb + r}") for r in range(rpb)
+        ]))).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    enriched = enriched.select("*", *band_cols)
+
+    out = enriched.join(index.select("text_md5"), "text_md5", "left_anti")
+    stacked = None
+    for b in range(n_bands):
+        if stacked is None:
+            ib = [F.col(f"mh{j}").alias(f"imh{j}") for j in range(n_hashes)]
+            bands = [
+                F.concat_ws(":", F.lit(str(k)),
+                            F.md5(F.concat_ws("|", *[
+                                F.col(f"mh{k * rpb + r}")
+                                for r in range(rpb)
+                            ]))).alias(f"iband{k}")
+                for k in range(n_bands)
+            ]
+            stck = index.select(*ib, *bands)
+            stacked = stck.select(
+                *[f"imh{j}" for j in range(n_hashes)],
+                F.explode(F.array(*[F.col(f"iband{k}")
+                                    for k in range(n_bands)]))
+                .alias("band_key")).distinct()
+        est = sum(
+            F.when(F.col(f"mh{j}") == F.col(f"imh{j}"), 1).otherwise(0)
+            for j in range(n_hashes)) / F.lit(float(n_hashes))
+        out = out.join(
+            stacked,
+            (F.col(f"band{b}") == F.col("band_key"))
+            & (est >= F.lit(threshold)),
+            "left_anti")
+    result = out.select("url", "warc_ts", "text", "lang")
+    writer = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

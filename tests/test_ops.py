@@ -1397,3 +1397,25 @@ def test_incremental_dedup_no_window_and_ids_only_drop_set(spark):
                                     index)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_host_rollup_counts_and_dup_rate(spark):
+    from lexmapr_spark.ops import web
+    rows = [
+        (1, "https://a.example.com/x", "the quick brown fox is here"),
+        (2, "https://a.example.com/y", "the quick brown fox is here"),
+        (3, "https://a.example.com/z", "a different page entirely"),
+        (4, "https://b.example.com/q", "only page on this host"),
+        (5, "not a url", "schemeless row lands in the '' host"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING, text STRING")
+    out = {r.host: r for r in web.host_rollup(df).collect()}
+    assert set(out) == {"a.example.com", "b.example.com", ""}
+    a = out["a.example.com"]
+    assert a.n_docs == 3 and a.n_distinct_texts == 2
+    assert abs(a.dup_rate - (1 - 2 / 3)) < 1e-6
+    assert a.total_tokens == 6 + 6 + 4
+    assert out["b.example.com"].dup_rate == 0.0
+    # no Window in the plan; one hash aggregate pair per rollup
+    plan = web.host_rollup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -333,3 +333,56 @@ def test_stream_perplexity_matches_batch_twin(spark):
         assert "u3" not in kept and "u1" in kept
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_index_deduped_pages_matches_batch_twin(spark):
+    """The streaming cross-run dedup gate (stream-static anti joins
+    against a stored minhash index) keeps exactly the urls the batch
+    twin keeps, and its checkpoint is offsets-only (stateless)."""
+    import datetime
+
+    from lexmapr_spark.ops import dedup
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "pages")
+    idx_dir = os.path.join(base, "index")
+    out = os.path.join(base, "kept")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        boiler = ("breaking news about distributed query engines and "
+                  "their shuffle strategies in production today ")
+        old = spark.createDataFrame(
+            [(1, boiler * 3),
+             (2, "archived article on ontologies and lexicons")],
+            "doc_id LONG, text STRING")
+        dedup.minhash_index(old).write.parquet(idx_dir)
+        index = spark.read.parquet(idx_dir)
+
+        t0 = datetime.datetime(2026, 1, 2, 9, 0, 0)
+        rows = [
+            ("u-exact", t0, None, boiler * 3, "en"),        # exact dup
+            ("u-near", t0, None, boiler * 3 + "zk9", "en"),  # near dup
+            ("u-new", t0, None,
+             "completely fresh reporting with novel vocabulary qp3",
+             "en"),
+        ]
+        spark.createDataFrame(rows, streaming.PAGES_SCHEMA) \
+            .write.parquet(landing)
+        q = streaming.stream_index_deduped_pages(
+            streaming.stream_pages(spark, landing), index, out, ckpt)
+        q.awaitTermination(120)
+        got = sorted(r.url for r in spark.read.parquet(out).collect())
+        assert got == ["u-new"]
+
+        # pinned equal to the batch twin on the same rows
+        batch = dedup.dedup_against_index(
+            spark.read.parquet(landing).select(
+                F.col("url").alias("doc_id"), "text"),
+            index, threshold=0.5)
+        assert sorted(r.doc_id for r in batch.collect()) == got
+
+        # stateless: checkpoint has offsets but no state store dirs
+        assert os.path.isdir(os.path.join(ckpt, "offsets"))
+        assert not os.path.isdir(os.path.join(ckpt, "state"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
