@@ -230,6 +230,14 @@ def curate(docs: DataFrame, min_quality: float = 0.3, lang: str = "en",
         passed = passed.join(hits, id_col, "left_anti").drop(text_col)
 
     keep_cols = [c for c in out_cols if c != "fingerprint"]
+    # Note on the aggregate class: min over a STRUCT always plans as
+    # SortAggregate (struct buffers aren't fixed-width mutable, even
+    # with all-numeric fields — verified by plan). That's fine here:
+    # SortAggregate still performs the map-side PARTIAL step, which is
+    # the property that kills the hot-key funnel, and the r4 line-
+    # dedup A/B measured struct-min at ~7x faster than the window it
+    # replaced and ~25% faster than a DECIMAL-packed single-column
+    # min that would have hash-aggregated.
     return (passed.groupBy("fingerprint")
             .agg(F.min(F.struct(*[F.col(c) for c in keep_cols]))
                   .alias("_k"))

@@ -78,8 +78,14 @@ def main():
             "runs of the exploded shingle table under memory pressure.",
         "curation_pipeline":
             "lang/quality/fingerprint as sibling expressions in ONE "
-            "scan-side projection (no self-joins), filters applied "
-            "BEFORE the only Exchange (the fingerprint dedup window).",
+            "scan-side projection (no self-joins), gates applied "
+            "BEFORE the fingerprint Exchange; fingerprint dedup is a "
+            "PARTIAL min(struct(id, lang, quality)) keeper aggregate "
+            "(round 5 — same hot-key-safe shape as dedup_global_"
+            "lines; a mirrored boilerplate page collapses to one "
+            "candidate per upstream partition before the shuffle, "
+            "and the aggregate rows ARE the survivors). No Window "
+            "node (plan-asserted).",
         "multimodal_features_docs":
             "Column-pruned scan feeding one Arrow stage; no shuffle "
             "anywhere (pure per-row decode fan-out).",
@@ -170,6 +176,33 @@ def main():
             "pairs -> broadcast query vectors -> per-query window "
             "top-k; with a stored index the probe join becomes a "
             "partition-pruned read of the probed lists' union.",
+        "sample_domain_cap":
+            "Skew-safe stratified cap (round 5): TWO-PHASE windows — "
+            "a local rank over (spark_partition_id, group) bounds "
+            "each task's work by construction (a 10^9-page head "
+            "domain never lands in one task), then the global "
+            "hash-order window runs over at most n x P pre-capped "
+            "survivors per group.",
+        "dedup_exact_substring":
+            "Chunked ExactSubstr dedup (round 5): non-overlapping "
+            "gram chunks (explode = 1x corpus, not 50x), keeper = "
+            "PARTIAL min(struct(doc, chunk)) GROUP BY gram (hot "
+            "boilerplate passages collapse map-side), sub-gram tails "
+            "union around the gram shuffle, one positional regroup. "
+            "No Window node.",
+        "dedup_incremental":
+            "Cross-run dedup vs a stored MinHash index (round 5): "
+            "exact screen = LEFT SEMI on md5 (16-byte keys only), "
+            "near screen = band-key bucket join of signature "
+            "projections (the index never rescans prior text), drop "
+            "set is ids-only, final keep = LEFT ANTI on the id. No "
+            "Window, nothing all-pairs.",
+        "web_host_rollup":
+            "Per-host dashboard (round 5): ONE projection (host "
+            "regexp + integral per-row features in codegen) -> ONE "
+            "groupBy(host) of map-side-combinable aggregates — a "
+            "head host partial-aggregates before its exchange; "
+            "ratios are single divisions of integral counts.",
         "ann_quantized_srp_topk":
             "Quantized SRP ANN (round 4): int8 codes scanned (4x "
             "narrower), dequantized-code signature fold + bucket "
