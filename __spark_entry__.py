@@ -368,11 +368,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # plan-asserted in tests). Same oracle as ann_ivf_batch_topk:
     # identical semantics, only the codebook/index residency differs.
     def ann_ivf_stored_batch_topk(spark, sf):
+        import hashlib
         import os
-        tag = os.path.basename(os.path.normpath(sf))
+        # cache key = content fingerprint of the source parquet (path
+        # + file sizes + mtimes), not the sf dir basename: two dataset
+        # roots sharing a basename, or data regenerated in place, must
+        # not be served another build's index
+        edir = os.path.join(sf, "embeddings.parquet")
+        files = (sorted(
+            os.path.join(edir, f) for f in os.listdir(edir))
+            if os.path.isdir(edir) else [edir])
+        stamp = "|".join(
+            f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.0f}"
+            for p in files if os.path.exists(p))
+        tag = hashlib.md5(
+            (os.path.normpath(sf) + "\n" + stamp).encode()).hexdigest()[:12]
         root = f"/tmp/lexmapr_ivf_store_{tag}"
         emb = _t(spark, sf, "embeddings")
-        if not os.path.exists(os.path.join(root, "index", "_SUCCESS")):
+        # gate on BOTH _SUCCESS markers: centroids are written after
+        # the index, so a crash between the two writes leaves a cache
+        # this check rejects (both writers are mode=overwrite, so the
+        # rebuild simply replaces the partial artifacts)
+        if not (os.path.exists(os.path.join(root, "index", "_SUCCESS"))
+                and os.path.exists(
+                    os.path.join(root, "centroids", "_SUCCESS"))):
             cents = similarity.kmeans_centroids(emb, k=16)
             similarity.write_ivf_index(
                 similarity.ivf_assign(emb, cents), f"{root}/index")
@@ -1523,10 +1542,14 @@ def oracle_sql() -> dict[str, str]:
         "list_slice(t, (len(t)//8)*8 + 1, len(t)), ' ') AS gram "
         "FROM tk WHERE len(t) % 8 != 0 AND len(t) > 0), "
         "rebuilt AS (SELECT doc_id, string_agg(gram, ' ' ORDER BY c) "
-        "AS deduped_text FROM (SELECT * FROM kept "
-        "UNION ALL SELECT * FROM tails) GROUP BY doc_id) "
-        "SELECT d.doc_id, coalesce(rebuilt.deduped_text, '') "
-        "AS deduped_text FROM d LEFT JOIN rebuilt USING (doc_id)")
+        "AS deduped_text, count(*) AS kc FROM (SELECT * FROM kept "
+        "UNION ALL SELECT * FROM tails) GROUP BY doc_id), "
+        "cnt AS (SELECT doc_id, len(t)//8 + CASE WHEN len(t) % 8 != 0 "
+        "THEN 1 ELSE 0 END AS n FROM tk) "
+        "SELECT d.doc_id, CASE WHEN coalesce(rebuilt.kc, 0) = cnt.n "
+        "THEN d.text ELSE coalesce(rebuilt.deduped_text, '') END "
+        "AS deduped_text FROM d JOIN cnt USING (doc_id) "
+        "LEFT JOIN rebuilt USING (doc_id)")
     # cross-run incremental dedup: mirrors dedup.dedup_against_index —
     # exact md5 screen + band-join + signature-estimated Jaccard
     # (fraction of equal minhash components) >= 0.5. Safe to use plain

@@ -889,8 +889,15 @@ def run_full_artifacts(pages: DataFrame, lex_bc, out_dir: str,
         # THIS session's conf would rewrite resumed buckets with a
         # different byte layout than the completed ones
         try:
-            prev = spark.read.parquet(manifest_dir) \
-                .select("wide_fpb").first()
+            # mergeSchema: a manifest mixing pre-round-5 buckets (no
+            # wide_fpb column) with later resumed buckets would
+            # otherwise take its schema from one arbitrary footer —
+            # and .first() from one arbitrary row. Aggregate over all
+            # non-null values instead (they are all equal when
+            # present; max is just a deterministic picker).
+            prev = (spark.read.option("mergeSchema", "true")
+                    .parquet(manifest_dir)
+                    .agg(F.max("wide_fpb")).first())
             if prev is not None and prev[0] is not None:
                 wide_files_per_bucket = int(prev[0])
         except Exception:

@@ -22,6 +22,35 @@ ROWS_PER_BAND = 2
 N_BANDS = N_MINHASHES // ROWS_PER_BAND
 
 
+def minhash_token_hash(tok: Column, j: int) -> Column:
+    """The per-(token, hash-family) hash every MinHash path uses:
+    fold 15 hex digits of ``md5("j:" + tok)`` into a 60-bit long.
+
+    Single source of truth — :func:`minhash_signatures`,
+    :func:`minhash_index`, and the streaming gate
+    (``streaming.stream_index_deduped_pages``) must produce
+    byte-identical signatures or stored indexes silently stop
+    matching; sharing the expression pins them together."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), tok)), 1, 15),
+        16, 10).cast("long")
+
+
+def band_key_exprs(mh, n_hashes: int = N_MINHASHES,
+                   rows_per_band: int = ROWS_PER_BAND) -> list:
+    """LSH band-key columns ``"b:" + md5(mh(i) | mh(i+1) | ...)`` —
+    ``mh`` is a callable ``j -> Column`` giving the j-th signature
+    component. Shared by the batch index ops and the streaming gate
+    (same silent-mismatch hazard as :func:`minhash_token_hash`)."""
+    n_bands = n_hashes // rows_per_band
+    return [
+        F.concat_ws(":", F.lit(str(b)), F.md5(F.concat_ws("|", *[
+            mh(b * rows_per_band + r) for r in range(rows_per_band)
+        ])))
+        for b in range(n_bands)
+    ]
+
+
 def tokens_col(text: str | Column = "text") -> Column:
     """Whitespace tokens with empties removed (cross-engine stable)."""
     col = F.col(text) if isinstance(text, str) else text
@@ -102,9 +131,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(F.col(id_col),
                        F.explode(shingles_col(text_col)).alias("tok"))
     aggs = [
-        F.min(F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 15),
-            16, 10).cast("long")).alias(f"mh{j}")
+        F.min(minhash_token_hash(F.col("tok"), j)).alias(f"mh{j}")
         for j in range(n_hashes)
     ]
     return toks.groupBy(id_col).agg(*aggs)
@@ -118,19 +145,11 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     Self-join happens *within* band buckets only — the LSH trick that
     makes near-dup detection linear-ish instead of O(n^2).
     """
-    band_cols = [
-        F.md5(F.concat_ws("|", *[
-            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-        ])).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
-    banded = signatures.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    stacked = signatures.select(
         F.col(id_col),
-        F.explode(F.array(*[
-            F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
-            for b in range(n_bands)
-        ])).alias("band_key"),
+        F.explode(F.array(*band_key_exprs(
+            lambda j: F.col(f"mh{j}"),
+            n_bands * rows_per_band, rows_per_band))).alias("band_key"),
     )
     a = stacked.alias("a")
     b = stacked.alias("b")
@@ -361,13 +380,19 @@ def exact_substring_dedup(docs: DataFrame, gram_tokens: int = 50,
     partition BEFORE the shuffle (no hot-key window anywhere).
     Sub-gram tails (and whole docs shorter than one gram) bypass the
     gram shuffle entirely and are always kept. Returns
-    (id, deduped_text) with surviving chunks re-joined in order.
+    (id, deduped_text): documents that lose no chunk come back with
+    their ORIGINAL text byte-for-byte (a dedup pass must not mutate
+    untouched documents); documents that do lose chunks are rebuilt
+    from the surviving chunks in order, single-space-joined — cut
+    points already destroy local whitespace, so runs of whitespace
+    in a CUT document collapse to single spaces (documented, matched
+    by the DuckDB oracle).
     """
     g = int(gram_tokens)
     if g < 1:
         raise ValueError(f"gram_tokens must be >= 1, got {g}")
     base = docs.select(
-        F.col(id_col),
+        F.col(id_col), F.col(text_col).alias("_orig"),
         F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("t"))
     # full aligned chunks; CASE guard because sequence(0, -1) counts
     # DOWN rather than producing an empty array
@@ -396,11 +421,19 @@ def exact_substring_dedup(docs: DataFrame, gram_tokens: int = 50,
                         F.array_sort(F.collect_list(
                             F.struct(F.col("c"), F.col("gram")))),
                         lambda s: s.getField("gram")),
-                    " ").alias("deduped_text")))
-    return (docs.select(id_col)
+                    " ").alias("deduped_text"),
+                    F.count(F.lit(1)).alias("_kept")))
+    # untouched-doc fast path: if every chunk (full grams + tail)
+    # survived, emit the original bytes — tokenize/rejoin must not
+    # rewrite whitespace of documents the dedup never cut
+    n_chunks = (F.expr(f"size(t) div {g}")
+                + F.when(F.expr(f"size(t) % {g} != 0"), 1).otherwise(0))
+    return (base.select(id_col, "_orig", n_chunks.alias("_n"))
             .join(rebuilt, id_col, "left")
             .select(id_col,
-                    F.coalesce("deduped_text", F.lit(""))
+                    F.when(F.coalesce("_kept", F.lit(0)) == F.col("_n"),
+                           F.col("_orig"))
+                     .otherwise(F.coalesce("deduped_text", F.lit("")))
                      .alias("deduped_text")))
 
 
@@ -490,9 +523,7 @@ def minhash_index(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"),
         F.explode_outer(shingles_col(text_col)).alias("tok"))
     aggs = [
-        F.min(F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 15),
-            16, 10).cast("long")).alias(f"mh{j}")
+        F.min(minhash_token_hash(F.col("tok"), j)).alias(f"mh{j}")
         for j in range(n_hashes)
     ]
     return toks.groupBy(id_col, "text_md5").agg(*aggs)
@@ -531,22 +562,19 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     new_idx = minhash_index(new_docs, id_col, text_col, n_hashes)
 
     def stacked_bands(idx: DataFrame, out_id: str) -> DataFrame:
-        band_cols = [
-            F.md5(F.concat_ws("|", *[
-                F.col(f"mh{b * rows_per_band + r}")
-                for r in range(rows_per_band)
-            ])).alias(f"band{b}")
-            for b in range(n_bands)
-        ]
+        # drop NULL-signature rows (empty / sub-shingle texts) BEFORE
+        # banding: concat_ws skips NULLs, so every such row on both
+        # sides would otherwise share the single md5("") bucket per
+        # band — an n_new x n_old hot bucket whose pairs can never
+        # drop anything (est is always 0 for a NULL component). Their
+        # exact md5 screen still catches identical empties.
         sig = F.struct(*[F.col(f"mh{j}") for j in range(n_hashes)])
-        return (idx.select(F.col(id_col).alias(out_id),
-                           sig.alias(f"sig_{out_id}"), *band_cols)
-                .select(out_id, f"sig_{out_id}",
-                        F.explode(F.array(*[
-                            F.concat_ws(":", F.lit(str(b)),
-                                        F.col(f"band{b}"))
-                            for b in range(n_bands)
-                        ])).alias("band_key")))
+        return (idx.where(F.col("mh0").isNotNull())
+                .select(F.col(id_col).alias(out_id),
+                        sig.alias(f"sig_{out_id}"),
+                        F.explode(F.array(*band_key_exprs(
+                            lambda j: F.col(f"mh{j}"),
+                            n_hashes, rows_per_band))).alias("band_key")))
 
     exact_hits = (new_idx.join(index.select("text_md5"), "text_md5",
                                "left_semi")

@@ -231,6 +231,13 @@ def decode_wav_pcm16(payload: bytes) -> tuple:
     while pos + 8 <= n:
         cid = payload[pos:pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > n:
+            # declared chunk size runs past the payload: a truncated
+            # transfer. Slicing would silently decode a shortened
+            # sample array (wrong features, no error) — reject instead.
+            raise ValueError(
+                f"WAV chunk {cid!r} declares {size} bytes but only "
+                f"{n - pos - 8} remain (truncated payload)")
         if cid == b"fmt ":
             fmt = payload[pos + 8:pos + 8 + size]
         elif cid == b"data":
@@ -238,6 +245,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple:
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(data) % 2 != 0:
+        raise ValueError("WAV PCM-16 data chunk has odd byte length")
     audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_format != 1 or bits != 16:

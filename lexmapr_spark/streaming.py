@@ -373,6 +373,8 @@ def stream_index_deduped_pages(pages_stream, index, out_dir: str,
     from lexmapr_spark.ops.dedup import (
         N_MINHASHES,
         ROWS_PER_BAND,
+        band_key_exprs,
+        minhash_token_hash,
         shingles_col,
     )
 
@@ -384,46 +386,48 @@ def stream_index_deduped_pages(pages_stream, index, out_dir: str,
         # factory closure, NOT `lambda t, j=j`: a two-parameter lambda
         # makes pyspark's transform() bind the second arg to the
         # ELEMENT INDEX column (silently shadowing the default), which
-        # corrupts the hash prefix for every element
-        prefix = F.lit(f"{j}:")
-        return F.array_min(F.transform(sh, lambda t: F.conv(
-            F.substring(F.md5(F.concat(prefix, t)), 1, 15),
-            16, 10).cast("long"))).alias(f"mh{j}")
+        # corrupts the hash prefix for every element. The per-token
+        # hash itself is dedup.minhash_token_hash — the SAME
+        # expression minhash_index stores, so signatures stay
+        # byte-identical to the index by construction.
+        return F.array_min(
+            F.transform(sh, lambda t: minhash_token_hash(t, j))
+        ).alias(f"mh{j}")
 
     mh_cols = [_mh(j) for j in range(n_hashes)]
+    # md5(text) WITHOUT coalesce — the batch twin (dedup_against_index
+    # via minhash_index) hashes raw text, so a NULL-text page gets a
+    # NULL key and survives the exact screen on both paths identically
     enriched = pages_stream.select(
         "url", "warc_ts", "text", "lang",
-        F.md5(F.coalesce("text", F.lit(""))).alias("text_md5"), *mh_cols)
+        F.md5(F.col("text")).alias("text_md5"), *mh_cols)
     band_cols = [
-        F.concat_ws(":", F.lit(str(b)), F.md5(F.concat_ws("|", *[
-            F.col(f"mh{b * rpb + r}") for r in range(rpb)
-        ]))).alias(f"band{b}")
-        for b in range(n_bands)
+        c.alias(f"band{b}") for b, c in enumerate(band_key_exprs(
+            lambda j: F.col(f"mh{j}"), n_hashes, rpb))
     ]
     enriched = enriched.select("*", *band_cols)
 
     out = enriched.join(index.select("text_md5"), "text_md5", "left_anti")
-    stacked = None
+    # the static banded index is built ONCE and persisted: four
+    # stream-static anti-joins (one per band) reference it every
+    # micro-batch, so without the cache the index scan + explode +
+    # distinct would re-run 4x per batch for the stream's lifetime.
+    # The cache lives as long as the query; callers owning the session
+    # may spark.catalog.clearCache() after stopping it. NULL-signature
+    # index rows are dropped before banding (same hot-bucket hazard as
+    # the batch op: every empty doc shares the md5("") band key).
+    stacked = (index
+               .where(F.col("mh0").isNotNull())
+               .select(*[F.col(f"mh{j}").alias(f"imh{j}")
+                         for j in range(n_hashes)],
+                       F.explode(F.array(*band_key_exprs(
+                           lambda j: F.col(f"mh{j}"), n_hashes, rpb)))
+                       .alias("band_key"))
+               .distinct().persist())
+    est = sum(
+        F.when(F.col(f"mh{j}") == F.col(f"imh{j}"), 1).otherwise(0)
+        for j in range(n_hashes)) / F.lit(float(n_hashes))
     for b in range(n_bands):
-        if stacked is None:
-            ib = [F.col(f"mh{j}").alias(f"imh{j}") for j in range(n_hashes)]
-            bands = [
-                F.concat_ws(":", F.lit(str(k)),
-                            F.md5(F.concat_ws("|", *[
-                                F.col(f"mh{k * rpb + r}")
-                                for r in range(rpb)
-                            ]))).alias(f"iband{k}")
-                for k in range(n_bands)
-            ]
-            stck = index.select(*ib, *bands)
-            stacked = stck.select(
-                *[f"imh{j}" for j in range(n_hashes)],
-                F.explode(F.array(*[F.col(f"iband{k}")
-                                    for k in range(n_bands)]))
-                .alias("band_key")).distinct()
-        est = sum(
-            F.when(F.col(f"mh{j}") == F.col(f"imh{j}"), 1).otherwise(0)
-            for j in range(n_hashes)) / F.lit(float(n_hashes))
         out = out.join(
             stacked,
             (F.col(f"band{b}") == F.col("band_key"))

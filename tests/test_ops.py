@@ -1385,6 +1385,67 @@ def test_incremental_dedup_screens_and_parquet_round_trip(spark, tmp_path):
                                      threshold=0.5).count() == 0
 
 
+def test_incremental_dedup_null_signature_docs_no_shared_bucket(spark):
+    """Empty / sub-shingle texts carry NULL minhash components;
+    concat_ws skips NULLs, so unfiltered they would ALL share the
+    md5("") band key on both sides — an n_new x n_old hot bucket
+    whose pairs can never drop anything (est is 0 for NULL). The
+    banding must exclude them; the exact md5 screen still catches
+    byte-identical empties."""
+    old = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "a page about parquet row groups and "
+                               "shuffle partitions in query engines")],
+        "doc_id LONG, text STRING")
+    index = dedup.minhash_index(old)
+    new = spark.createDataFrame(
+        [(10, ""),       # exact dup of indexed empty -> dropped
+         (11, None),     # NULL text: md5 NULL matches nothing -> kept
+         (12, "fresh writing with new vocabulary zkq42 throughout")],
+        "doc_id LONG, text STRING")
+    surv = dedup.dedup_against_index(new, index, threshold=0.5)
+    assert sorted(r.doc_id for r in surv.collect()) == [11, 12]
+
+
+def test_exact_substring_dedup_preserves_bytes_of_uncut_docs(spark):
+    """A dedup pass must not mutate documents it never cut: runs of
+    whitespace (code, preformatted text) survive byte-exact in docs
+    that lose no chunk — only docs with an actual cut are rebuilt
+    (single-space-joined, documented)."""
+    passage = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, "alpha  beta\tgamma   delta"),   # unique, odd whitespace
+        (2, "  "),                           # whitespace-only
+        (3, passage + "  trailer one"),      # first occurrence, 2 sp
+        (4, passage + " trailer two"),       # repeated chunk -> cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r.deduped_text for r in
+           dedup.exact_substring_dedup(df, gram_tokens=8).collect()}
+    assert out[1] == "alpha  beta\tgamma   delta"   # byte-identical
+    assert out[2] == "  "                           # byte-identical
+    assert out[3] == passage + "  trailer one"      # keeper, intact
+    assert out[4] == "trailer two"                  # cut -> rebuilt
+
+
+def test_wav_truncated_and_odd_payloads_rejected():
+    """A data chunk whose declared size exceeds the remaining payload
+    (mid-transfer truncation) must raise, not silently decode fewer
+    samples; an odd-length PCM-16 data chunk must raise the codec's
+    ValueError, not an opaque numpy buffer error."""
+    from lexmapr_spark.ops import multimodal
+    good = multimodal.encode_wav_pcm16([1, 2, 3], 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav_pcm16(good[:-2])
+    # odd data chunk: declared size 3, 3 bytes actually present
+    import struct as _s
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd = (b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + 4) + b"WAVE"
+           + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+           + b"data" + _s.pack("<I", 3) + b"abc\x00")
+    with pytest.raises(ValueError, match="odd"):
+        multimodal.decode_wav_pcm16(odd)
+
+
 def test_incremental_dedup_no_window_and_ids_only_drop_set(spark):
     """Scale-shape assert: the incremental dedup plan contains no
     Window node (hot boilerplate md5s/bands must collapse via joins

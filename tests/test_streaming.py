@@ -353,7 +353,8 @@ def test_stream_index_deduped_pages_matches_batch_twin(spark):
                   "their shuffle strategies in production today ")
         old = spark.createDataFrame(
             [(1, boiler * 3),
-             (2, "archived article on ontologies and lexicons")],
+             (2, "archived article on ontologies and lexicons"),
+             (3, "")],   # indexed empty doc: NULL minhash signature
             "doc_id LONG, text STRING")
         dedup.minhash_index(old).write.parquet(idx_dir)
         index = spark.read.parquet(idx_dir)
@@ -365,6 +366,15 @@ def test_stream_index_deduped_pages_matches_batch_twin(spark):
             ("u-new", t0, None,
              "completely fresh reporting with novel vocabulary qp3",
              "en"),
+            # empty text: exact dup of indexed doc 3 via md5("") — the
+            # NEAR screen must not see it (NULL signatures are banned
+            # from banding: every empty doc would share one md5("")
+            # bucket, a hot bucket whose pairs can never drop)
+            ("u-empty", t0, None, "", "en"),
+            # NULL text: md5(NULL) is NULL on BOTH paths, so it never
+            # matches the indexed empty doc — the gate must keep it
+            # (md5(coalesce(text, '')) would wrongly drop it here)
+            ("u-null", t0, None, None, "en"),
         ]
         spark.createDataFrame(rows, streaming.PAGES_SCHEMA) \
             .write.parquet(landing)
@@ -372,7 +382,7 @@ def test_stream_index_deduped_pages_matches_batch_twin(spark):
             streaming.stream_pages(spark, landing), index, out, ckpt)
         q.awaitTermination(120)
         got = sorted(r.url for r in spark.read.parquet(out).collect())
-        assert got == ["u-new"]
+        assert got == ["u-new", "u-null"]
 
         # pinned equal to the batch twin on the same rows
         batch = dedup.dedup_against_index(
