@@ -361,29 +361,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_lists=16, nprobe=4)
 
     # AMORTIZED stored-index serving (round 5): the production shape —
-    # codebook + partitioned index built ONCE to disk (keyed by sf
-    # dir; the build is deterministic so reuse across runs is exact),
-    # then batch serving reads back centroids + index and the scan
-    # prunes to the probed ivf_list directories (PartitionFilters,
+    # codebook + partitioned index built ONCE to disk (cache keyed by
+    # a content fingerprint of the source parquet, so regenerated or
+    # relocated data never reuses another build; the build itself is
+    # deterministic so a fingerprint hit is an exact reuse), then
+    # batch serving reads back centroids + index and the scan prunes
+    # to the probed ivf_list directories (PartitionFilters,
     # plan-asserted in tests). Same oracle as ann_ivf_batch_topk:
     # identical semantics, only the codebook/index residency differs.
     def ann_ivf_stored_batch_topk(spark, sf):
+        import glob
         import hashlib
         import os
+        import shutil
         # cache key = content fingerprint of the source parquet (path
-        # + file sizes + mtimes), not the sf dir basename: two dataset
-        # roots sharing a basename, or data regenerated in place, must
-        # not be served another build's index
+        # + file sizes + ns-precision mtimes), not the sf dir basename
+        # alone: two dataset roots sharing a basename, or data
+        # regenerated in place (even sub-second, hence st_mtime_ns),
+        # must not be served another build's index
         edir = os.path.join(sf, "embeddings.parquet")
         files = (sorted(
             os.path.join(edir, f) for f in os.listdir(edir))
             if os.path.isdir(edir) else [edir])
-        stamp = "|".join(
-            f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p):.0f}"
-            for p in files if os.path.exists(p))
+        parts = []
+        for p in files:
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue  # concurrent regeneration: fingerprint what
+                # remains; a mid-build rewrite changes the fingerprint
+                # on the NEXT call and the stale store is evicted then
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
         tag = hashlib.md5(
-            (os.path.normpath(sf) + "\n" + stamp).encode()).hexdigest()[:12]
-        root = f"/tmp/lexmapr_ivf_store_{tag}"
+            (os.path.normpath(sf) + "\n"
+             + "|".join(parts)).encode()).hexdigest()[:12]
+        base = os.path.basename(os.path.normpath(sf))
+        root = f"/tmp/lexmapr_ivf_store_{base}_{tag}"
+        # evict superseded stores for the SAME sf basename (stale
+        # fingerprints from regenerated data) so repeated bench cycles
+        # hold one store per dataset, not an unbounded /tmp trail
+        for old in glob.glob(f"/tmp/lexmapr_ivf_store_{base}_*"):
+            if old != root:
+                shutil.rmtree(old, ignore_errors=True)
         emb = _t(spark, sf, "embeddings")
         # gate on BOTH _SUCCESS markers: centroids are written after
         # the index, so a crash between the two writes leaves a cache

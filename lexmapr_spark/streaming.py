@@ -407,23 +407,31 @@ def stream_index_deduped_pages(pages_stream, index, out_dir: str,
     ]
     enriched = enriched.select("*", *band_cols)
 
-    out = enriched.join(index.select("text_md5"), "text_md5", "left_anti")
-    # the static banded index is built ONCE and persisted: four
-    # stream-static anti-joins (one per band) reference it every
-    # micro-batch, so without the cache the index scan + explode +
-    # distinct would re-run 4x per batch for the stream's lifetime.
-    # The cache lives as long as the query; callers owning the session
-    # may spark.catalog.clearCache() after stopping it. NULL-signature
+    from lexmapr_spark.ops.util import scoped_persist
+
+    # both static index projections are persisted: the md5 screen and
+    # the four per-band anti-joins reference them every micro-batch,
+    # so uncached the index parquet would be rescanned 5x per batch
+    # for the stream's lifetime. scoped_persist bounds a long-lived
+    # driver to ONE live snapshot per scope — the next gate invocation
+    # releases the previous one (release_cache("stream_index_gate*")
+    # frees them immediately after the query stops). NULL-signature
     # index rows are dropped before banding (same hot-bucket hazard as
     # the batch op: every empty doc shares the md5("") band key).
-    stacked = (index
-               .where(F.col("mh0").isNotNull())
-               .select(*[F.col(f"mh{j}").alias(f"imh{j}")
-                         for j in range(n_hashes)],
-                       F.explode(F.array(*band_key_exprs(
-                           lambda j: F.col(f"mh{j}"), n_hashes, rpb)))
-                       .alias("band_key"))
-               .distinct().persist())
+    md5_side = scoped_persist(index.select("text_md5").distinct(),
+                              "stream_index_gate_md5",
+                              warn_on_evict=False)
+    out = enriched.join(md5_side, "text_md5", "left_anti")
+    stacked = scoped_persist(
+        index
+        .where(F.col("mh0").isNotNull())
+        .select(*[F.col(f"mh{j}").alias(f"imh{j}")
+                  for j in range(n_hashes)],
+                F.explode(F.array(*band_key_exprs(
+                    lambda j: F.col(f"mh{j}"), n_hashes, rpb)))
+                .alias("band_key"))
+        .distinct(),
+        "stream_index_gate_bands", warn_on_evict=False)
     est = sum(
         F.when(F.col(f"mh{j}") == F.col(f"imh{j}"), 1).otherwise(0)
         for j in range(n_hashes)) / F.lit(float(n_hashes))
