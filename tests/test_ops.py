@@ -998,6 +998,140 @@ def test_global_line_dedup_matches_python_reference_randomized(spark):
         assert got == expected, f"min_chars={min_chars}"
 
 
+def test_exact_substring_dedup_matches_python_reference_randomized(spark):
+    """Randomized differential: the distributed chunk-keeper
+    formulation must equal a single-threaded reference implementing
+    the op's literal spec — aligned g-token grams, global keeper =
+    min (doc, chunk), tails always kept, uncut docs byte-preserved —
+    on corpora with heavy cross-document chunk collisions."""
+    import random
+
+    g = 4
+    rng = random.Random(7)
+    phrases = [" ".join(f"w{p}{i}" for i in range(4)) for p in range(6)]
+    rows = []
+    for doc in range(50):
+        n = rng.randint(0, 5)
+        body = " ".join(rng.choice(phrases) for _ in range(n))
+        if rng.random() < 0.3:     # ragged tails + odd whitespace
+            body += " tail" + str(rng.randint(0, 3))
+        if rng.random() < 0.2:
+            body = body.replace(" ", "  ", 1)
+        rows.append((doc, body))
+
+    def toks(t):
+        return [x for x in t.split(" ") if x != ""]
+
+    occs = {}
+    for doc, text in rows:
+        t = toks(text)
+        for c in range(len(t) // g):
+            gram = " ".join(t[c * g:(c + 1) * g])
+            occs.setdefault(gram, []).append((doc, c))
+    keeper = {gram: min(v) for gram, v in occs.items()}
+    expected = {}
+    for doc, text in rows:
+        t = toks(text)
+        kept = []
+        for c in range(len(t) // g):
+            gram = " ".join(t[c * g:(c + 1) * g])
+            if keeper[gram] == (doc, c):
+                kept.append((c, gram))
+        n_chunks = len(t) // g
+        if len(t) % g != 0:
+            kept.append((len(t) // g, " ".join(t[(len(t) // g) * g:])))
+            n_chunks += 1
+        expected[doc] = (text if len(kept) == n_chunks
+                         else " ".join(gr for _, gr in sorted(kept)))
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.deduped_text for r in
+           dedup.exact_substring_dedup(df, gram_tokens=g).collect()}
+    assert got == expected
+
+
+def test_dedup_against_index_matches_python_reference_randomized(spark):
+    """Randomized differential for the cross-run screens: a
+    single-threaded reference computes the same shingles, 60-bit
+    md5-fold minhashes, band keys, and estimated-Jaccard drops —
+    including NULL-signature and NULL-text rows — and must agree
+    with the distributed op on which new docs survive."""
+    import hashlib
+    import random
+
+    from lexmapr_spark.ops.dedup import N_MINHASHES, ROWS_PER_BAND
+
+    rng = random.Random(11)
+    vocab = [f"v{i}" for i in range(12)]
+
+    def synth(doc_id):
+        roll = rng.random()
+        if roll < 0.1:
+            return (doc_id, "")
+        if roll < 0.15:
+            return (doc_id, None)
+        n = rng.randint(1, 14)
+        return (doc_id, " ".join(rng.choice(vocab) for _ in range(n)))
+
+    old_rows = [synth(i) for i in range(40)]
+    new_rows = [synth(100 + i) for i in range(40)]
+    # force exact + near collisions across the runs
+    new_rows += [(200, old_rows[0][1]), (201, (old_rows[1][1] or "x"))]
+
+    def shingle_set(text):
+        t = [x for x in text.split(" ") if x != ""] if text else []
+        if not t:
+            return set()
+        out = set()
+        for i in range(max(len(t) - 2, 1)):
+            s = " ".join(t[i:i + 3])
+            if s != "":
+                out.add(s)
+        return out
+
+    def sig(text):
+        ss = shingle_set(text) if text is not None else set()
+        if not ss:
+            return None
+        return [min(int(hashlib.md5(f"{j}:{s}".encode())
+                        .hexdigest()[:15], 16) for s in ss)
+                for j in range(N_MINHASHES)]
+
+    def bands(s):
+        return [hashlib.md5("|".join(
+            str(x) for x in s[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+        ).encode()).hexdigest() for b in range(N_MINHASHES
+                                               // ROWS_PER_BAND)]
+
+    idx_md5 = {hashlib.md5(t.encode()).hexdigest()
+               for _, t in old_rows if t is not None}
+    old_sigs = [(d, sig(t)) for d, t in old_rows]
+    expected = []
+    for d, t in new_rows:
+        if t is not None and hashlib.md5(t.encode()).hexdigest() in idx_md5:
+            continue
+        s = sig(t)
+        dropped = False
+        if s is not None:
+            bs = bands(s)
+            for _, os_ in old_sigs:
+                if os_ is None:
+                    continue
+                shared = any(a == b for a, b in zip(bs, bands(os_)))
+                est = sum(a == b for a, b in zip(s, os_)) / N_MINHASHES
+                if shared and est >= 0.5:
+                    dropped = True
+                    break
+        if not dropped:
+            expected.append(d)
+
+    old_df = spark.createDataFrame(old_rows, "doc_id LONG, text STRING")
+    new_df = spark.createDataFrame(new_rows, "doc_id LONG, text STRING")
+    surv = dedup.dedup_against_index(
+        new_df, dedup.minhash_index(old_df), threshold=0.5)
+    assert sorted(r.doc_id for r in surv.collect()) == sorted(expected)
+
+
 def test_injectable_tokenizer_moves_pack_boundaries(spark):
     """tokenizer= hook (token_count / pack_sequences): a custom
     tokenizer changes token counts and therefore pack boundaries; the
