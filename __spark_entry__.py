@@ -666,6 +666,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return web.host_rollup(d)
     q["web_host_rollup"] = web_host_rollup
 
+    # ---- URL canonicalization (round 5): dedup keys for crawl URLs —
+    # fragment/default-port/tracking-param removal + case-folded
+    # scheme/authority, all codegen string ops (no UDF, no shuffle);
+    # messy synthesized URLs exercise every rule incl. a dangling
+    # '&gclid' glued to a query-less path (kept verbatim: no '?')
+    def web_url_normalize(spark, sf):
+        from lexmapr_spark.ops import web
+        did = F.col("doc_id").cast("string")
+        messy = F.concat(
+            F.when(F.col("doc_id") % 3 == 0, "HTTP://")
+             .otherwise("https://"),
+            F.when(F.col("doc_id") % 4 == 0, F.upper("source"))
+             .otherwise(F.col("source")),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0, ":80")
+             .when(F.col("doc_id") % 7 == 0, ":8080").otherwise(""),
+            F.lit("/p/"), did,
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("?utm_source=feed&id="), did))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, "&gclid=abc").otherwise(""),
+            F.when(F.col("doc_id") % 6 == 0, "#frag").otherwise(""))
+        return (_t(spark, sf, "documents")
+                .select("doc_id", messy.alias("url"))
+                .select("doc_id", "url",
+                        web.normalize_url_col("url")
+                        .alias("canonical_url")))
+    q["web_url_normalize"] = web_url_normalize
+
     # ---- C7 confidence scoring (lexmapr_spark/confidence.py)
     # Oracle-checked core: synthetic (tokens, statuses) derived from
     # documents via SQL-expressible transforms, scored with the JVM
@@ -1659,6 +1688,42 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(lok) AS BIGINT) AS n_lang_match, "
         "round(1.0 - count(DISTINCT th) / CAST(count(*) AS DOUBLE), 6) "
         "AS dup_rate FROM feat GROUP BY host")
+    # URL canonicalization: the identical rule chain (fragment strip,
+    # authority case-fold, default-port drop, ordered tracking-param
+    # filter) over the same synthesized messy URLs
+    oracles["web_url_normalize"] = (
+        "WITH d AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END "
+        "|| CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END "
+        "|| '.Example.COM' "
+        "|| CASE WHEN doc_id % 3 = 0 THEN ':80' "
+        "WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END "
+        "|| '/p/' || doc_id::VARCHAR "
+        "|| CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || "
+        "doc_id::VARCHAR ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN '&gclid=abc' ELSE '' END "
+        "|| CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url "
+        "FROM documents), "
+        "s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') "
+        "AS u1 FROM d), "
+        "s2 AS (SELECT *, regexp_extract(u1, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS prefix FROM s1), "
+        "s3 AS (SELECT *, substr(u1, len(prefix)+1) AS rest, "
+        "lower(prefix) AS lp FROM s2), "
+        "s4 AS (SELECT *, CASE WHEN lp LIKE 'http://%' AND lp LIKE "
+        "'%:80' THEN substr(lp, 1, len(lp)-3) "
+        "WHEN lp LIKE 'https://%' AND lp LIKE '%:443' "
+        "THEN substr(lp, 1, len(lp)-4) ELSE lp END AS lp2 FROM s3), "
+        "s5 AS (SELECT *, strpos(rest, '?') AS qp FROM s4), "
+        "s6 AS (SELECT *, CASE WHEN qp > 0 THEN substr(rest, 1, qp-1) "
+        "ELSE rest END AS pth, CASE WHEN qp > 0 THEN "
+        "substr(rest, qp+1) ELSE '' END AS q FROM s5), "
+        "s7 AS (SELECT *, array_to_string(list_filter("
+        "string_split(q, '&'), x -> x != '' AND NOT regexp_matches(x, "
+        "'^(utm_|gclid($|=)|fbclid($|=)|msclkid($|=))')), '&') AS fq "
+        "FROM s6) "
+        "SELECT doc_id, url, lp2 || pth || CASE WHEN fq <> '' THEN "
+        "'?' || fq ELSE '' END AS canonical_url FROM s7")
     return oracles
 
 

@@ -128,3 +128,60 @@ def host_rollup(docs: DataFrame, url_col: str = "url",
     return agg.withColumn(
         "dup_rate",
         F.round(1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 6))
+
+
+# tracking query parameters stripped by normalize_url_col (prefix
+# match for utm_*, exact-or-assigned match for the click ids)
+_TRACKING_PARAM_RE = r"^(utm_|gclid($|=)|fbclid($|=)|msclkid($|=))"
+
+
+def normalize_url_col(url: Column | str) -> Column:
+    """Canonical form of a URL for dedup keys / rollup grouping:
+
+    - fragment removed (``#...``);
+    - scheme + authority lowercased (NOTE: the WHOLE authority,
+      including any userinfo — RFC 3986 says usernames are
+      case-sensitive, but for crawl-dedup keys case-folding the rare
+      userinfo is the standard choice and is documented here);
+    - default ports dropped (``http://...:80`` / ``https://...:443``;
+      any other port is preserved);
+    - tracking params (``utm_*``, ``gclid``, ``fbclid``, ``msclkid``)
+      removed from the query string, other params preserved IN ORDER
+      (no re-sorting: ``?b=1&a=2`` is semantically order-stable for
+      dedup as long as both copies came from the same emitter — and
+      re-sorting would conflate genuinely different URLs on servers
+      that care about order); a query left empty loses its ``?``.
+
+    Everything stays in whole-stage codegen (regexp / substring /
+    array HOFs — no UDF, no shuffle); strings without a
+    ``scheme://authority`` prefix pass through the same path/query
+    rules unchanged except fragment/tracking stripping, so the column
+    is total over dirty crawl data (NULL in -> NULL out). Every rule
+    is expressed with operations DuckDB mirrors byte-for-byte
+    (regexp_extract / substr / list_filter), keeping the op
+    oracle-checkable.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    u1 = F.regexp_replace(u, "#.*", "")
+    prefix = F.regexp_extract(
+        u1, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    rest = u1.substr(F.length(prefix) + F.lit(1), F.length(u1))
+    low = F.lower(prefix)
+    low = (F.when(low.startswith("http://") & low.endswith(":80"),
+                  low.substr(F.lit(1), F.length(low) - F.lit(3)))
+           .when(low.startswith("https://") & low.endswith(":443"),
+                 low.substr(F.lit(1), F.length(low) - F.lit(4)))
+           .otherwise(low))
+    qpos = F.instr(rest, "?")
+    path = F.when(qpos > 0,
+                  rest.substr(F.lit(1), qpos - F.lit(1))).otherwise(rest)
+    qstr = F.when(qpos > 0,
+                  rest.substr(qpos + F.lit(1), F.length(rest))) \
+            .otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(qstr, "&"),
+        lambda x: (x != F.lit("")) & ~x.rlike(_TRACKING_PARAM_RE))
+    fq = F.array_join(kept, "&")
+    return F.concat(
+        low, path,
+        F.when(fq != "", F.concat(F.lit("?"), fq)).otherwise(F.lit("")))

@@ -1594,6 +1594,34 @@ def test_incremental_dedup_no_window_and_ids_only_drop_set(spark):
     assert "Window" not in plan
 
 
+def test_normalize_url_col_rules(spark):
+    """Canonical-URL rules: fragment strip, scheme/authority
+    case-fold, default-port drop (only http:80 / https:443), ordered
+    tracking-param removal, dangling '?' removal; non-URLs and NULLs
+    pass through totally."""
+    from lexmapr_spark.ops import web
+    cases = {
+        "HTTP://Ex.COM:80/A/b?utm_source=x&q=1#top":
+            "http://ex.com/A/b?q=1",       # path case preserved
+        "https://ex.com:443/": "https://ex.com/",
+        "http://ex.com:443/x": "http://ex.com:443/x",  # mismatched
+        "https://ex.com:8443/x": "https://ex.com:8443/x",
+        "https://ex.com/p?utm_a=1&utm_b=2": "https://ex.com/p",
+        "https://ex.com/p?": "https://ex.com/p",
+        "https://ex.com/p?gclid=z&keep=1&fbclid":
+            "https://ex.com/p?keep=1",
+        "https://ex.com/p?b=1&a=2": "https://ex.com/p?b=1&a=2",
+        "not a url": "not a url",
+        "https://User:Pw@Ex.com/x": "https://user:pw@ex.com/x",
+        None: None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url STRING")
+    got = {r.url: r.c for r in
+           df.select("url", web.normalize_url_col("url").alias("c"))
+             .collect()}
+    assert got == cases
+
+
 def test_host_rollup_counts_and_dup_rate(spark):
     from lexmapr_spark.ops import web
     rows = [
