@@ -224,6 +224,33 @@ def deep():
           .where(F.length("deduped_text") >= 0).count())
     lined.unpersist()
 
+    # chunked ExactSubstr at depth: every 8-token aligned chunk of a
+    # cloned base text repeats 40x corpus-wide — the keeper aggregate
+    # must collapse those hot grams map-side, same regime as line
+    # dedup (uncut docs take the byte-preserving fast path)
+    timed("exact_substring_dedup",
+          lambda: dedup.exact_substring_dedup(docs, gram_tokens=8)
+          .where(F.length("deduped_text") >= 0).count())
+
+    # cross-run incremental dedup at depth: index even doc_ids, screen
+    # odd ones — every odd clone is a near-dup of its even sibling
+    # (same base text, different clone tokens), so the band joins run
+    # at full collision density while prior text is never rescanned
+    idx = dedup.minhash_index(
+        docs.where(F.col("doc_id") % 2 == 0)).persist()
+    idx.count()   # index build cost excluded: serving-time number
+    newb = docs.where(F.col("doc_id") % 2 == 1)
+    n_new = newb.count()
+    res = {}
+    for attempt in ("cold_sec", "wall_sec"):
+        t0 = time.time()
+        res["rows"] = dedup.dedup_against_index(
+            newb, idx, threshold=0.5).count()
+        res[attempt] = round(time.time() - t0, 3)
+    res["rows_per_sec_in"] = round(n_new / res["wall_sec"], 1)
+    out["dedup_against_index_kept"] = res
+    idx.unpersist()
+
     # sequence packing at depth: the two-phase prefix sum over the
     # full clone corpus
     from lexmapr_spark.ops import packing
