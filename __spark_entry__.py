@@ -688,11 +688,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .otherwise(F.lit("")),
             F.when(F.col("doc_id") % 5 == 0, "&gclid=abc").otherwise(""),
             F.when(F.col("doc_id") % 6 == 0, "#frag").otherwise(""))
-        return (_t(spark, sf, "documents")
-                .select("doc_id", messy.alias("url"))
-                .select("doc_id", "url",
-                        web.normalize_url_col("url")
-                        .alias("canonical_url")))
+        return web.normalize_urls(
+            _t(spark, sf, "documents")
+            .select("doc_id", messy.alias("url"))) \
+            .select("doc_id", "url", "canonical_url")
     q["web_url_normalize"] = web_url_normalize
 
     # ---- C7 confidence scoring (lexmapr_spark/confidence.py)

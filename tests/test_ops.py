@@ -1620,6 +1620,16 @@ def test_normalize_url_col_rules(spark):
            df.select("url", web.normalize_url_col("url").alias("c"))
              .collect()}
     assert got == cases
+    # the staged production form is pinned identical, and its plan
+    # runs each shared regexp ONCE (the inline Column factory repeats
+    # them tens of times inside the un-codegen'd HOF projection —
+    # the round-4 interpreted-CSE blowup class)
+    staged = web.normalize_urls(df)
+    assert ({r.url: r.canonical_url for r in staged.collect()}
+            == cases)
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 1
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
 
 def test_host_rollup_counts_and_dup_rate(spark):

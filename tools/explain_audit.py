@@ -76,6 +76,15 @@ def main():
             "in vectorized HashAggregate — min(string) would silently "
             "fall back to SortAggregate and spill per-partition sorted "
             "runs of the exploded shingle table under memory pressure.",
+        "web_url_normalize":
+            "STAGED projections (normalize_urls): each shared "
+            "subexpression (fragment-stripped url, authority prefix, "
+            "rest/path/query) is a non-cheap multi-referenced alias, "
+            "so CollapseProject keeps the stages split and each "
+            "regexp runs ONCE per row — the inline Column form would "
+            "repeat them ~30x inside the un-codegen'd HOF projection "
+            "(round-4 interpreted-CSE blowup class). NO Exchange, no "
+            "UDF, no BatchEvalPython anywhere.",
         "curation_pipeline":
             "lang/quality/fingerprint as sibling expressions in ONE "
             "scan-side projection (no self-joins), gates applied "
