@@ -424,13 +424,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          assigned=stored)
     q["ann_ivf_stored_batch_topk"] = ann_ivf_stored_batch_topk
 
+    # bits_per_band left to auto-derivation (corpus = 1000 clones ->
+    # derive_srp_bits(1000, 8) = 7); the oracle derives the identical
+    # value from the same count so the band layout is pinned end-to-end
     q["emb_near_duplicates"] = lambda spark, sf: (
         similarity.embedding_near_duplicates(
             _t(spark, sf, "embeddings")
             .unionByName(_t(spark, sf, "embeddings")
                          .select((F.col("vec_id") + 1000000).alias("vec_id"),
                                  "embedding", "label")),
-            threshold=0.99))
+            threshold=0.99, n_bands=4))
 
     # ---- text analysis
     q["text_token_count"] = lambda spark, sf: textstats.token_count(
@@ -928,18 +931,26 @@ def _srp_oracle_sqls() -> dict[str, str]:
             f"SELECT vec_id, embedding FROM read_parquet('{path}') "
             f"WHERE vec_id IN ({','.join(map(str, batch_qids))}) "
             "ORDER BY vec_id").fetchall()
+        n_emb = con.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
         con.close()
         if not qrow or len(batch_rows) != len(batch_qids):
             return {}
     except Exception:
         return {}
     from lexmapr_spark.ops.similarity import (
+        derive_srp_bits,
         srp_hyperplanes,
         srp_probe_buckets,
     )
 
     qvec = np.asarray(list(qrow[0][0]), dtype=np.float64)
     planes = srp_hyperplanes(len(qvec), 12)
+    # banded near-dup layout: same derivation as the engine's
+    # embedding_near_duplicates auto path over the 2x clone corpus
+    nd_n_bands = 4
+    nd_bits = derive_srp_bits(2 * n_emb, 8)
+    nd_planes = srp_hyperplanes(len(qvec), nd_n_bands * nd_bits)
     probes = srp_probe_buckets(qvec, np.asarray(planes), 6)
     probe_list = ",".join(f"'{b}'" for b in probes)
 
@@ -1036,13 +1047,28 @@ def _srp_oracle_sqls() -> dict[str, str]:
             f"WHERE s2.bucket IN ({qprobes}) AND s2.vec_id <> 0 "
             "ORDER BY cosine_q DESC, s2.vec_id ASC LIMIT 10",
 
+        # banded SRP LSH (r6): n_bands * bits_per_band planes, bands
+        # joined on (band_id, band_key), DISTINCT candidate pairs,
+        # exact-fold cosine verify — bit-for-bit the engine's shape.
+        # bits_per_band derives from the clone-corpus count exactly
+        # like similarity.derive_srp_bits does engine-side.
         "emb_near_duplicates":
-            f"WITH sig AS (SELECT vec_id, embedding, "
-            f"{_srp_sig_sql(planes, 8)} AS bucket FROM {emb_clones}), "
-            "scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            f"{_cos6('a.embedding', 'b.embedding')} "
-            "AS cosine FROM sig a JOIN sig b "
-            "ON a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+            f"WITH sig AS (SELECT vec_id, "
+            f"{_srp_sig_sql(nd_planes, nd_n_bands * nd_bits)} AS sig "
+            f"FROM {emb_clones}), "
+            "bands AS (SELECT vec_id, band_id, "
+            f"substr(sig, band_id * {nd_bits} + 1, {nd_bits}) "
+            f"AS band_key FROM sig, range({nd_n_bands}) t(band_id)), "
+            "cand AS (SELECT DISTINCT a.vec_id AS id_a, "
+            "b.vec_id AS id_b FROM bands a JOIN bands b "
+            "ON a.band_id = b.band_id AND a.band_key = b.band_key "
+            "AND a.vec_id < b.vec_id), "
+            f"clones AS (SELECT * FROM {emb_clones}), "
+            "scored AS (SELECT c.id_a, c.id_b, "
+            f"{_cos6('va.embedding', 'vb.embedding')} "
+            "AS cosine FROM cand c "
+            "JOIN clones va ON va.vec_id = c.id_a "
+            "JOIN clones vb ON vb.vec_id = c.id_b) "
             "SELECT id_a, id_b, cosine FROM scored "
             "WHERE cosine >= 0.99",
     }

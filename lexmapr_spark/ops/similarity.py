@@ -457,19 +457,33 @@ def ivf_topk_batch(embeds: DataFrame, query_ids, k: int = 10,
 
 
 def build_srp_index(embeds: DataFrame, path: str, n_planes: int = 12,
-                    prefix_bits: int = 6, id_col: str = "vec_id",
+                    prefix_bits: int | None = 6, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    mode: str = "overwrite") -> list:
+                    mode: str = "overwrite",
+                    target_bucket: int = 256,
+                    corpus_count: int | None = None) -> list:
     """Materialize the SRP production layout the query docstrings
     reference: vectors + full signature, PARTITIONED BY the prefix
     bucket — a multi-probe query then reads only ``len(probes)``
     directories (``PartitionFilters`` pruning, plan-asserted in the
     test) instead of scanning the corpus and recomputing signatures.
     Returns the hyperplanes (persist them next to the index; they are
-    derived from (dim, n_planes, seed) so re-deriving is also fine)."""
+    derived from (dim, n_planes, seed) so re-deriving is also fine).
+
+    ``prefix_bits=None`` derives the partition-bucket width from the
+    corpus count (:func:`derive_srp_bits`, expected population
+    ~``target_bucket`` vectors per bucket directory) so a 100x larger
+    corpus gets proportionally more — not fatter — partitions; callers
+    must then size query-side ``prefix_bits`` to match (use the
+    returned ``planes`` length / stored layout to recover it)."""
     first = embeds.select(vec_col).first()
     if first is None:
         raise ValueError("build_srp_index: input DataFrame is empty")
+    if prefix_bits is None:
+        n = corpus_count if corpus_count is not None else embeds.count()
+        prefix_bits = derive_srp_bits(n, target_bucket)
+        if prefix_bits > n_planes:
+            n_planes = prefix_bits
     planes = srp_hyperplanes(len(first[0]), n_planes)
     sig = (fan_out(embeds)
            .withColumn("sig", srp_signature_exact(F.col(vec_col), planes))
@@ -554,34 +568,107 @@ def read_ivf_centroids(spark, path: str) -> np.ndarray:
     return np.asarray([list(r.centroid) for r in rows], dtype=np.float64)
 
 
-def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
-                              n_planes: int = 12, prefix_bits: int = 8,
-                              id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs via SRP bucket self-join +
-    exact verification — the embedding analogue of MinHash-LSH."""
-    from lexmapr_spark.engine import ship_package
-    ship_package(embeds.sparkSession)
+def derive_srp_bits(corpus_count: int, target_bucket: int = 8,
+                    lo: int = 3, hi: int = 20) -> int:
+    """Bits per SRP band/bucket so the EXPECTED bucket population
+    stays ~``target_bucket`` as the corpus grows: ``ceil(log2(n /
+    target))`` clamped to [lo, hi]. This is what makes the banded
+    near-dup self-join's per-bucket candidate count O(target^2)
+    instead of O((n / 2^fixed_bits)^2) — the key cardinality scales
+    WITH the corpus rather than being a constant 2^8."""
+    import math
+
+    n = max(int(corpus_count), 2)
+    return max(lo, min(hi, math.ceil(math.log2(n / max(target_bucket, 1)))))
+
+
+def srp_band_candidates(embeds: DataFrame, n_bands: int = 4,
+                        bits_per_band: int | None = None,
+                        target_bucket: int = 8,
+                        corpus_count: int | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """DISTINCT (id_a, id_b) candidate pairs that share at least one
+    full SRP band — :func:`embedding_near_duplicates`'s candidate
+    stage, factored out so candidate-count scaling is testable on its
+    own (the verify stage is pure filtering and cannot mask a
+    quadratic candidate blowup)."""
     first = embeds.select(vec_col).first()
     if first is None:
-        raise ValueError("embedding_near_duplicates: input DataFrame is empty")
+        raise ValueError("srp_band_candidates: input DataFrame is empty")
     dim = len(first[0])
-    planes = srp_hyperplanes(dim, n_planes)
-    sig = fan_out(embeds).select(
-        F.col(id_col), F.col(vec_col),
-        F.substring(srp_signature_exact(F.col(vec_col), planes),
-                    1, prefix_bits).alias("bucket"),
+    if bits_per_band is None:
+        n = corpus_count if corpus_count is not None else embeds.count()
+        bits_per_band = derive_srp_bits(n, target_bucket)
+    planes = srp_hyperplanes(dim, n_bands * bits_per_band)
+    sig = embeds.select(
+        F.col(id_col),
+        srp_signature_exact(F.col(vec_col), planes).alias("sig"))
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.substring("sig", b * bits_per_band + 1, bits_per_band)
+            for b in range(n_bands)
+        ])).alias("band_id", "band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
     )
-    a, b = sig.alias("a"), sig.alias("b")
+
+
+def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
+                              n_bands: int = 4,
+                              bits_per_band: int | None = None,
+                              target_bucket: int = 8,
+                              corpus_count: int | None = None,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded SRP LSH + exact
+    cosine verification — the embedding analogue of MinHash-LSH
+    banding (``ops/dedup.py band_key_exprs``).
+
+    Scale design (replaces the round-1..5 fixed ``2^prefix_bits``
+    bucket self-join, whose candidate count grew as (n/256)^2 by
+    construction): each vector gets an ``n_bands * bits_per_band``-bit
+    SRP signature, split into ``n_bands`` bands; two vectors become a
+    candidate pair iff they agree on ALL bits of at least one band.
+    ``bits_per_band`` defaults to :func:`derive_srp_bits` over the
+    corpus count, so expected bucket population — and therefore
+    per-bucket join fan-out — stays ~``target_bucket`` no matter how
+    large the corpus is. Candidate (id_a, id_b) pairs are DISTINCT'd
+    BEFORE vectors are re-joined for the exact verify, so the wide
+    embedding column never rides through the band explode and a pair
+    matching in several bands is verified once.
+
+    Recall: P(band match) = p^r with p = 1 - theta/pi; at
+    threshold 0.99 (theta ~ 8.1 deg, p ~ .955) and r = 7, 4 bands
+    give P(candidate) ~ .99 per qualifying pair, and exact
+    duplicates always collide in every band.
+    """
+    from lexmapr_spark.engine import ship_package
+    ship_package(embeds.sparkSession)
+    embeds = fan_out(embeds)
+    cand = srp_band_candidates(embeds, n_bands=n_bands,
+                               bits_per_band=bits_per_band,
+                               target_bucket=target_bucket,
+                               corpus_count=corpus_count,
+                               id_col=id_col, vec_col=vec_col)
+    va = embeds.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("_vec_a"))
+    vb = embeds.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("_vec_b"))
     pairs = (
-        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        cand.join(va, "id_a").join(vb, "id_b")
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            "id_a", "id_b",
             F.round(
-                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))),
+                _dot(F.col("_vec_a"), F.col("_vec_b"))
+                / (_norm(F.col("_vec_a")) * _norm(F.col("_vec_b"))),
                 6).alias("cosine"),
         )
     )

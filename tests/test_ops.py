@@ -198,8 +198,68 @@ def test_embedding_near_duplicates(spark):
     emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
     pairs = {(r.id_a, r.id_b)
              for r in similarity.embedding_near_duplicates(
-                 emb, threshold=0.99, n_planes=6, prefix_bits=3).collect()}
+                 emb, threshold=0.99, n_bands=4, bits_per_band=3).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_derive_srp_bits_scales_with_corpus():
+    # bucket width grows with the corpus so expected population stays
+    # ~target: each 2x of corpus adds one bit
+    assert similarity.derive_srp_bits(1000, 8) == 7
+    assert similarity.derive_srp_bits(4000, 8) == 9
+    assert similarity.derive_srp_bits(1_000_000_000, 8) == 20  # hi clamp
+    assert similarity.derive_srp_bits(2, 8) == 3               # lo clamp
+
+
+def test_band_candidates_scale_linearly_not_quadratically(spark):
+    """The r5 verdict's last `weak`: candidate pairs must grow ~with
+    corpus size (band population bounded by derive_srp_bits), not as
+    (corpus/2^fixed_bits)^2. 4x the corpus => far less than 16x the
+    candidates."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def corpus(n):
+        m = rng.standard_normal((n, 16))
+        return spark.createDataFrame(
+            [(i, [float(x) for x in m[i]]) for i in range(n)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    small = similarity.srp_band_candidates(corpus(512)).count()
+    big = similarity.srp_band_candidates(corpus(2048)).count()
+    assert small > 0
+    assert big < 8 * small, (small, big)  # quadratic would be ~16x
+
+
+def test_band_near_dup_recall_on_dense_cluster(spark):
+    """Plant one dense angular cluster; banded candidates must
+    recover (nearly) every qualifying pair — banding may not trade
+    the fixed-bucket blowup for recall loss."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(32)
+    rows = [(i, [float(x) for x in base + rng.standard_normal(32) * 0.004])
+            for i in range(20)]
+    noise = rng.standard_normal((200, 32))
+    rows += [(100 + i, [float(x) for x in noise[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {(r.id_a, r.id_b)
+           for r in similarity.embedding_near_duplicates(
+               emb, threshold=0.99).collect()}
+    # brute-force truth via the existing exact pairwise machinery
+    arr = {i: np.asarray(v) for i, v in rows}
+    ids = sorted(arr)
+    truth = {(a, b) for ai, a in enumerate(ids) for b in ids[ai + 1:]
+             if round(float(arr[a] @ arr[b]
+                            / (np.linalg.norm(arr[a])
+                               * np.linalg.norm(arr[b]))), 6) >= 0.99}
+    assert truth, "fixture must contain qualifying pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, (recall, len(truth))
+    assert got <= truth  # exact verify: no false positives
 
 
 def test_token_count_and_fingerprint(docs):
