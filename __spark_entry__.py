@@ -21,6 +21,7 @@ from lexmapr_spark.ops import dedup, multimodal, sampling, similarity, textstats
 
 SF0001 = "/root/testdata/sf0.001"
 
+import os
 import weakref
 
 # weak keys: a stopped context's entry disappears with the context, so
@@ -1749,7 +1750,63 @@ def oracle_sql() -> dict[str, str]:
         "FROM s6) "
         "SELECT doc_id, url, lp2 || pth || CASE WHEN fq <> '' THEN "
         "'?' || fq ELSE '' END AS canonical_url FROM s7")
+    oracles.update(_kg_oracle_sqls())
     return oracles
+
+
+def _kg_oracle_sqls() -> dict[str, str]:
+    """Fixture oracles for the 5 matcher-driven kg_* queries (r6).
+
+    The greedy cascade is not SQL-expressible, so these SELECT from
+    reference-truth parquet produced by ``tools/
+    build_kg_oracle_fixture.py``: per-doc rows from the reference's
+    own ``pipeline.run`` executed in-sandbox, confidence from the
+    reference's dormant scoring functions, and a pure-Python
+    union-find canonical map (independent of the distributed
+    pointer-doubling CC). Bound to sf0.01 like every other oracle.
+    Missing fixtures degrade to the old rows-only check."""
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "golden", "kg_oracle")
+    ref = f"read_parquet('{fix}/ref_rows.parquet')"
+    conf = f"read_parquet('{fix}/confidence.parquet')"
+    canon = f"read_parquet('{fix}/canon_map.parquet')"
+    if not os.path.exists(os.path.join(fix, "ref_rows.parquet")):
+        return {}
+    # display components are "label:id"; resource ids never contain
+    # ':' (checked over CombinedResourceTerms.csv), so the last-colon
+    # split recovers the unmangled (label, id) pair exactly
+    label = "regexp_extract(comp, '^(.*):([^:]*)$', 1)"
+    term_id = "regexp_extract(comp, '^(.*):([^:]*)$', 2)"
+    triples_cte = (
+        f"WITH m AS (SELECT url, macro_status, unnest(components) AS comp "
+        f"FROM {ref} WHERE macro_status <> 'No Match'), "
+        f"t AS (SELECT DISTINCT url || '#' || {label} AS subj, "
+        "CASE macro_status WHEN 'Full Term Match' THEN 'fullTermMatch' "
+        "WHEN 'Component Match' THEN 'componentMatch' END AS pred, "
+        f"'http://purl.obolibrary.org/obo/' || {term_id} AS obj FROM m)")
+    return {
+        "kg_triples": triples_cte + " SELECT subj, pred, obj FROM t",
+        "kg_match_histogram":
+            f"SELECT macro_status, count(*) AS n FROM {ref} "
+            "GROUP BY macro_status",
+        "kg_classification_histogram":
+            # explode_outer semantics: empty label lists contribute one
+            # NULL-label row
+            "WITH ex AS (SELECT CASE WHEN len(labels) = 0 "
+            "THEN [CAST(NULL AS VARCHAR)] ELSE labels END AS ls "
+            f"FROM {ref}), "
+            "u AS (SELECT unnest(ls) AS label FROM ex) "
+            "SELECT label, count(*) AS n FROM u GROUP BY label",
+        "kg_canonical_triples":
+            triples_cte +
+            f" SELECT DISTINCT t.subj, t.pred, "
+            "coalesce(c.canon_obj, t.obj) AS obj "
+            f"FROM t LEFT JOIN {canon} c ON t.obj = c.obj",
+        "kg_confidence_histogram":
+            "SELECT macro_status, confidence_level, count(*) AS n, "
+            "round(avg(confidence_score), 6) AS avg_score "
+            f"FROM {conf} GROUP BY macro_status, confidence_level",
+    }
 
 
 def _repetition_oracle_sql() -> str:

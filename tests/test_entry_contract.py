@@ -77,3 +77,34 @@ def test_fast_oracle_parity(spark, duck, name):
     d_cols, d_hash, _ = normalize(duck_pdf)
     assert s_cols == d_cols
     assert s_hash == d_hash
+
+
+def test_kg_fixture_oracles_present_and_runnable():
+    """r6: the 5 matcher-driven kg_* queries gained fixture oracles —
+    SELECTs over reference-truth parquet built by
+    tools/build_kg_oracle_fixture.py. Guard that the fixtures exist,
+    every kg oracle parses/executes in DuckDB standalone (absolute
+    paths, no views needed), and the per-doc truth covers the whole
+    sf0.01 corpus."""
+    import os
+
+    fix = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden", "kg_oracle")
+    for f in ("ref_rows.parquet", "confidence.parquet",
+              "canon_map.parquet"):
+        assert os.path.exists(os.path.join(fix, f)), f
+
+    oracles = entrymod.oracle_sql()
+    kg = [k for k in oracles if k.startswith("kg_")
+          and k != "kg_text_extraction"]
+    assert set(kg) >= {"kg_triples", "kg_match_histogram",
+                       "kg_classification_histogram",
+                       "kg_canonical_triples",
+                       "kg_confidence_histogram"}
+    con = duckdb.connect()
+    for name in kg:
+        assert len(con.sql(oracles[name]).df()) > 0, name
+    n = con.sql(f"SELECT count(*) FROM "
+                f"read_parquet('{fix}/ref_rows.parquet')").fetchone()[0]
+    assert n == 500
+    con.close()
