@@ -555,6 +555,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("features"))
     q["multimodal_real_decode"] = multimodal_real_decode
 
+    # ---- BPE-denominated twins (r6): same operators, token counts
+    # from the deterministic byte-level BPE tokenizer instead of the
+    # whitespace proxy — pack boundaries in REAL subword tokens. The
+    # oracle replays the identical merge table pure-Python-side.
+    def text_token_count_bpe(spark, sf):
+        from lexmapr_spark.ops import bpe
+        return textstats.token_count(_t(spark, sf, "documents"),
+                                     tokenizer=bpe.bpe_tokenizer())
+    q["text_token_count_bpe"] = text_token_count_bpe
+
+    def pack_sequences_bpe(spark, sf):
+        from lexmapr_spark.ops import bpe, packing
+        return packing.pack_sequences(
+            _t(spark, sf, "documents"), seq_len=512, n_buckets=32,
+            tokenizer=bpe.bpe_tokenizer())
+    q["pack_sequences_bpe"] = pack_sequences_bpe
+
     # ---- sequence packing (two-phase distributed prefix sum ==
     # the single-threaded cumsum the oracle computes directly)
     def pack_sequences_2k(spark, sf):
@@ -1751,7 +1768,59 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, url, lp2 || pth || CASE WHEN fq <> '' THEN "
         "'?' || fq ELSE '' END AS canonical_url FROM s7")
     oracles.update(_kg_oracle_sqls())
+    oracles.update(_bpe_oracle_sqls())
     return oracles
+
+
+def _bpe_oracle_sqls() -> dict[str, str]:
+    """Oracles for the BPE-denominated queries: the driver-side pure-
+    Python tokenizer (same source module the executors import, same
+    deterministically trained merge table) produces per-doc counts as
+    a VALUES fixture; SQL then replays the subword expression /
+    two-phase prefix-sum pack layout over those counts. What this
+    checks: the Arrow-batched distributed tokenize equals the
+    sequential reference run, and the pack math is count-agnostic.
+    Bound to sf0.01 like the other data-derived oracles."""
+    try:
+        import duckdb
+
+        from lexmapr_spark.ops import bpe
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT doc_id, text FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return {}
+    ranks = bpe.merge_ranks()
+    memo: dict = {}
+    counts = ",".join(
+        f"({i},{bpe.bpe_token_count(t or '', ranks, memo)})"
+        for i, t in rows)
+    fixture = (f"(SELECT * FROM (VALUES {counts}) "
+               "v(doc_id, bpe_tokens))")
+    return {
+        "text_token_count_bpe":
+            f"SELECT d.doc_id, v.bpe_tokens AS n_tokens, "
+            "len(list_filter(string_split_regex(regexp_replace(d.text, "
+            "'([^\\sA-Za-z0-9])', ' \\1 ', 'g'), '\\s+'), x -> x != '')) "
+            f"AS n_subword_tokens FROM documents d JOIN {fixture} v "
+            "ON d.doc_id = v.doc_id",
+        "pack_sequences_bpe":
+            f"WITH t AS (SELECT v.doc_id, v.bpe_tokens AS n_tokens, "
+            "('0x' || substr(md5(CAST(v.doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            f"AS hkey FROM {fixture} v), "
+            "f AS (SELECT *, CAST(hkey % 32 AS INT) AS bucket FROM t "
+            "WHERE n_tokens > 0), "
+            "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+            "ORDER BY bucket, hkey, doc_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS gcum FROM f) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(floor(gcum / 512.0) AS BIGINT) AS pack_id, "
+            "CAST(gcum % 512 AS BIGINT) AS pack_offset FROM c",
+    }
 
 
 def _kg_oracle_sqls() -> dict[str, str]:
