@@ -604,6 +604,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs_with_clones(spark, sf), gram_tokens=8)
     q["dedup_exact_substring"] = dedup_exact_substring
 
+    # content-defined-chunking variant (r6): clones are SHIFTED by a
+    # one-token prefix, the exact case the aligned variant provably
+    # misses — CDC boundaries travel with the content and cut them
+    def dedup_exact_substring_cdc(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        shifted = d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("px "), F.col("text")).alias("text"))
+        return dedup.exact_substring_dedup_cdc(
+            d.unionByName(shifted), gram_tokens=8)
+    q["dedup_exact_substring_cdc"] = dedup_exact_substring_cdc
+
     # ---- cross-run incremental dedup (round 5): new crawl batch vs a
     # stored MinHash index of the prior batch — exact md5 screen +
     # band-bucketed signature-estimated-Jaccard screen, prior text
@@ -1637,6 +1649,37 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT * FROM tails) GROUP BY doc_id), "
         "cnt AS (SELECT doc_id, len(t)//8 + CASE WHEN len(t) % 8 != 0 "
         "THEN 1 ELSE 0 END AS n FROM tk) "
+        "SELECT d.doc_id, CASE WHEN coalesce(rebuilt.kc, 0) = cnt.n "
+        "THEN d.text ELSE coalesce(rebuilt.deduped_text, '') END "
+        "AS deduped_text FROM d JOIN cnt USING (doc_id) "
+        "LEFT JOIN rebuilt USING (doc_id)")
+    # CDC ExactSubstr: same md5-derived cut rule (content-defined
+    # chunk starts), same min(doc, chunk) keeper, shifted-clone corpus
+    oracles["dedup_exact_substring_cdc"] = (
+        "WITH d AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, 'px ' || text AS text "
+        "FROM documents), "
+        "tk AS (SELECT doc_id, text, list_filter(string_split(text, ' '), "
+        "x -> x != '') AS t FROM d), "
+        "st AS (SELECT doc_id, t, CASE WHEN len(t) = 0 THEN "
+        "CAST([] AS INT[]) WHEN len(t) = 1 THEN [1] ELSE "
+        "list_concat([1], CAST(list_filter(generate_series(2, len(t)), "
+        "i -> ('0x' || substr(md5(t[i]), 1, 15))::BIGINT % 8 = 0) "
+        "AS INT[])) END AS s FROM tk), "
+        "jx AS (SELECT doc_id, t, s, unnest(generate_series(1, len(s))) "
+        "AS j FROM st WHERE len(s) >= 1), "
+        "ch AS (SELECT doc_id, j AS c, "
+        "coalesce(s[j+1], len(t) + 1) - s[j] AS glen, "
+        "array_to_string(list_slice(t, s[j], "
+        "coalesce(s[j+1], len(t) + 1) - 1), ' ') AS gram FROM jx), "
+        "short AS (SELECT doc_id, c, gram FROM ch WHERE glen < 4), "
+        "kept AS (SELECT doc_id, c, gram FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY gram ORDER BY doc_id, c) AS rn FROM ch "
+        "WHERE glen >= 4) WHERE rn = 1), "
+        "rebuilt AS (SELECT doc_id, string_agg(gram, ' ' ORDER BY c) "
+        "AS deduped_text, count(*) AS kc FROM (SELECT * FROM kept "
+        "UNION ALL SELECT * FROM short) GROUP BY doc_id), "
+        "cnt AS (SELECT doc_id, len(s) AS n FROM st) "
         "SELECT d.doc_id, CASE WHEN coalesce(rebuilt.kc, 0) = cnt.n "
         "THEN d.text ELSE coalesce(rebuilt.deduped_text, '') END "
         "AS deduped_text FROM d JOIN cnt USING (doc_id) "

@@ -437,6 +437,98 @@ def exact_substring_dedup(docs: DataFrame, gram_tokens: int = 50,
                      .alias("deduped_text")))
 
 
+def exact_substring_dedup_cdc(docs: DataFrame, gram_tokens: int = 50,
+                              min_tokens: int | None = None,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """ExactSubstr dedup with CONTENT-DEFINED chunking — closes the
+    aligned variant's unaligned-duplicate gap.
+
+    :func:`exact_substring_dedup` cuts chunks at fixed stride-``g``
+    positions, so two copies of a long run whose token offsets differ
+    by anything not ≡ 0 (mod g) produce different gram strings and
+    the duplicate is missed. Here chunk boundaries come from the
+    CONTENT instead (the rsync/CDC trick): a new chunk starts before
+    token i whenever ``hash60(token_i) % g == 0`` — identical text
+    therefore carries identical internal boundaries NO MATTER where
+    it sits in a document, and both copies of a repeated run emit the
+    same gram strings. Expected chunk length is ``g`` tokens
+    (geometric); a repeated run long enough to contain one full
+    content-defined chunk of >= ``min_tokens`` tokens (default g/2)
+    is caught at ANY alignment. Chunks shorter than ``min_tokens``
+    always survive (short repeats are line-dedup / MinHash
+    territory, and tiny content-defined chunks would over-delete).
+
+    Same scale shape as the aligned variant: one chunk-level explode
+    (~1x the corpus), map-side-combinable ``min(struct)`` keeper, no
+    Window over data-dependent keys; chunking itself is pure JVM
+    higher-order functions (no Python). The md5-based cut hash is
+    reproduced bit-for-bit by the DuckDB oracle. Documents with no
+    internal cut marker form ONE chunk, so verbatim whole-document
+    duplicates collapse to their first occurrence (later copies come
+    back empty) — the Lee et al. policy applied at doc granularity.
+    """
+    g = int(gram_tokens)
+    if g < 1:
+        raise ValueError(f"gram_tokens must be >= 1, got {g}")
+    mt = (g // 2 if min_tokens is None else int(min_tokens))
+    docs = fan_out(docs)
+    base = docs.select(
+        F.col(id_col), F.col(text_col).alias("_orig"),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("t"))
+    # 1-based chunk-start positions: always 1, plus every i >= 2 whose
+    # token's 60-bit md5 prefix is ≡ 0 (mod g) — content-defined, so
+    # identical runs share boundaries at any document offset
+    cut = (f"CAST(conv(substring(md5(element_at(t, i)), 1, 15), 16, 10) "
+           f"AS BIGINT) % {g} = 0")
+    starts = (
+        "CASE WHEN size(t) = 0 THEN CAST(array() AS ARRAY<INT>) "
+        "WHEN size(t) = 1 THEN array(1) "
+        f"ELSE concat(array(1), filter(sequence(2, size(t)), i -> {cut})) "
+        "END")
+    chunk_structs = (
+        "CASE WHEN size(s) = 0 THEN "
+        "CAST(array() AS ARRAY<STRUCT<c: INT, glen: INT, gram: STRING>>) "
+        "ELSE transform(sequence(1, size(s)), j -> struct("
+        "j AS c, "
+        "coalesce(try_element_at(s, j + 1), size(t) + 1) "
+        "- element_at(s, j) AS glen, "
+        "concat_ws(' ', slice(t, element_at(s, j), "
+        "coalesce(try_element_at(s, j + 1), size(t) + 1) "
+        "- element_at(s, j))) AS gram)) END")
+    chunks = (base
+              .withColumn("s", F.expr(starts))
+              .select(F.col(id_col),
+                      F.explode(F.expr(chunk_structs)).alias("ch"))
+              .select(F.col(id_col), F.col("ch.c").alias("c"),
+                      F.col("ch.glen").alias("glen"),
+                      F.col("ch.gram").alias("gram")))
+    short = (chunks.where(F.col("glen") < mt)
+             .select(id_col, "c", "gram"))
+    kept = (chunks.where(F.col("glen") >= mt)
+            .groupBy("gram")
+            .agg(F.min(F.struct(F.col(id_col), F.col("c"))).alias("k"))
+            .select(F.col(f"k.{id_col}").alias(id_col),
+                    F.col("k.c").alias("c"), "gram"))
+    rebuilt = (kept.unionByName(short)
+               .groupBy(id_col)
+               .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("c"), F.col("gram")))),
+                        lambda st: st.getField("gram")),
+                    " ").alias("deduped_text"),
+                    F.count(F.lit(1)).alias("_kept")))
+    n_chunks = F.size(F.expr(starts))
+    return (base.select(id_col, "_orig", n_chunks.alias("_n"))
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.when(F.coalesce("_kept", F.lit(0)) == F.col("_n"),
+                           F.col("_orig"))
+                     .otherwise(F.coalesce("deduped_text", F.lit("")))
+                     .alias("deduped_text")))
+
+
 def global_line_dedup(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", line_sep: str = "\n",
                       min_chars: int = 0) -> DataFrame:

@@ -1712,3 +1712,108 @@ def test_host_rollup_counts_and_dup_rate(spark):
     # no Window in the plan; one hash aggregate pair per rollup
     plan = web.host_rollup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_cdc_exact_substring_catches_unaligned_cross_chunk_dup(spark):
+    """The r5 verdict's documented recall gap, demonstrated then
+    closed: a long verbatim run whose offsets in two docs differ by
+    NOT-a-multiple-of-g produces no shared aligned chunk (the aligned
+    variant provably keeps every byte of doc 2), while content-defined
+    chunking shares boundaries at any offset and cuts the repeat."""
+    passage = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, passage),                       # run at offset 0
+        (2, "pad1 pad2 pad3 " + passage),   # same run at offset 3 (≠ 0 mod 8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    aligned = {r.doc_id: r.deduped_text for r in
+               dedup.exact_substring_dedup(df, gram_tokens=8).collect()}
+    # the documented miss: no aligned gram matches, doc 2 untouched
+    assert aligned[2] == rows[1][1]
+    cdc = {r.doc_id: r.deduped_text for r in
+           dedup.exact_substring_dedup_cdc(df, gram_tokens=8).collect()}
+    assert cdc[1] == passage              # first occurrence intact
+    assert cdc[2] != rows[1][1]           # later copy was cut
+    assert "pad1" in cdc[2]               # non-duplicated prefix kept
+    # every surviving token of doc 2 is either padding or from a chunk
+    # shorter than min_tokens — the long shared chunks are gone
+    lost = set(passage.split()) - set(cdc[2].split())
+    assert len(lost) >= 16, cdc[2]
+
+
+def test_cdc_exact_substring_basics(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),   # verbatim whole-doc dup
+        (3, "tiny"),
+        (4, ""),
+        (5, "  spaced   out  doc  "),    # uncut docs keep exact bytes
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r.deduped_text for r in
+           dedup.exact_substring_dedup_cdc(df, gram_tokens=4).collect()}
+    assert out[1] == "alpha beta gamma delta"
+    assert out[3] == "tiny" and out[4] == ""
+    assert out[5] == "  spaced   out  doc  "
+    # doc 2 loses its only (>=min_tokens) chunk chain; any survivors
+    # are sub-min_tokens chunks
+    assert len(out[2].split()) < 4
+    # keeper machinery: no Window over data-dependent keys
+    phys = (dedup.exact_substring_dedup_cdc(df, gram_tokens=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in phys
+
+
+def test_cdc_exact_substring_matches_python_reference_randomized(spark):
+    """Randomized differential: the Spark CDC pipeline vs a direct
+    sequential Python implementation of the same spec."""
+    import hashlib
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = []
+    for _ in range(60):
+        n = rng.randint(0, 40)
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        texts.append(" ".join(toks))
+    # plant shifted repeats
+    for i in range(0, 50, 5):
+        texts[i + 1] = "zz" + str(i) + " " + texts[i]
+    g, mt = 6, 3
+
+    def h60(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    def chunks_of(text):
+        t = [x for x in text.split(" ") if x != ""]
+        if not t:
+            return [], 0
+        starts = [1] + [i for i in range(2, len(t) + 1)
+                        if h60(t[i - 1]) % g == 0]
+        out = []
+        for j, s in enumerate(starts):
+            e = starts[j + 1] if j + 1 < len(starts) else len(t) + 1
+            out.append((j + 1, e - s, " ".join(t[s - 1:e - 1])))
+        return out, len(starts)
+
+    first: dict = {}
+    for did, text in enumerate(texts):
+        for c, glen, gram in chunks_of(text)[0]:
+            if glen >= mt and gram not in first:
+                first[gram] = (did, c)
+    want = {}
+    for did, text in enumerate(texts):
+        ch, n = chunks_of(text)
+        keep = [(c, gram) for c, glen, gram in ch
+                if glen < mt or first[gram] == (did, c)]
+        if len(keep) == n:
+            want[did] = text
+        else:
+            want[did] = " ".join(gram for _, gram in sorted(keep))
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id LONG, text STRING")
+    got = {r.doc_id: r.deduped_text for r in
+           dedup.exact_substring_dedup_cdc(
+               df, gram_tokens=g, min_tokens=mt).collect()}
+    assert got == want
