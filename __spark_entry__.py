@@ -492,6 +492,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents").select("doc_id", "source"),
         rates={"src0": 1.0, "src1": 0.25}, default_rate=0.05)
 
+    # upsampling path (r6): rare source repeated 2.5x — floor copies +
+    # deterministic hash-threshold fractional copy, bounded explode
+    q["sample_mixture_upsample"] = lambda spark, sf: sampling.mixture_sample(
+        _t(spark, sf, "documents").select("doc_id", "source"),
+        rates={"src0": 2.5, "src1": 0.25}, default_rate=0.05)
+
     # ---- multimodal plumbing (payloads synthesized deterministically)
     def multimodal_features(spark, sf):
         media = multimodal.synth_media(spark, 300)
@@ -643,6 +649,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             new, dedup.minhash_index(d), threshold=0.5)
         return surv.select("doc_id", F.md5("text").alias("text_md5"))
     q["dedup_incremental"] = dedup_incremental
+
+    # merged-index lifecycle (r6): two prior batch indexes compacted
+    # with merge_minhash_indexes, the third crawl screened against the
+    # merge — equivalent to sequential screens (pinned by pytest)
+    def dedup_incremental_merged(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        a = d.where(F.col("doc_id") % 3 == 0)
+        b = d.where(F.col("doc_id") % 3 == 1)
+        new = (a.where(F.col("doc_id") % 6 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+               .unionByName(
+                   b.where(F.col("doc_id") % 6 == 1)
+                   .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                           F.concat(F.col("text"),
+                                    F.lit(" xq7")).alias("text")))
+               .unionByName(
+                   d.where(F.col("doc_id") % 3 == 2)
+                   .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                           F.concat(
+                               F.lit("novel page "),
+                               (F.col("doc_id") + 3000000).cast("string"),
+                               F.lit(" entirely fresh tokens qz17 unseen"))
+                           .alias("text"))))
+        merged = dedup.merge_minhash_indexes(
+            dedup.minhash_index(a), dedup.minhash_index(b))
+        surv = dedup.dedup_against_index(new, merged, threshold=0.5)
+        return surv.select("doc_id", F.md5("text").alias("text_md5"))
+    q["dedup_incremental_merged"] = dedup_incremental_merged
 
     # ---- full curation pipeline v2: + repetition gate + benchmark
     # decontamination on top of lang/quality/fingerprint-dedup
@@ -1477,6 +1511,23 @@ def oracle_sql() -> dict[str, str]:
             f"{int(1.0 * (1 << 60))} WHEN source = 'src1' THEN "
             f"{int(0.25 * (1 << 60))} ELSE {int(0.05 * (1 << 60))} END",
 
+        # upsample twin: same hash space, floor(rate) copies + one
+        # fractional copy under the remainder threshold (thresholds
+        # computed with the identical Python float arithmetic the
+        # engine inlines)
+        "sample_mixture_upsample":
+            "WITH b AS (SELECT doc_id, source, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+            " AS h FROM documents), "
+            "n AS (SELECT doc_id, source, "
+            "CASE WHEN source = 'src0' THEN 2 ELSE 0 END + "
+            "CASE WHEN h < CASE WHEN source = 'src0' THEN "
+            f"{int((2.5 - 2) * (1 << 60))} WHEN source = 'src1' THEN "
+            f"{int(0.25 * (1 << 60))} ELSE {int(0.05 * (1 << 60))} END "
+            "THEN 1 ELSE 0 END AS k FROM b) "
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "unnest(generate_series(1, k)) AS r FROM n WHERE k > 0)",
+
         "text_quality": _quality_oracle_sql(),
 
         "text_langid":
@@ -1709,6 +1760,42 @@ def oracle_sql() -> dict[str, str]:
         "'novel page ' || CAST(doc_id + 3000000 AS VARCHAR) || "
         "' entirely fresh tokens qz17 unseen' AS text "
         "FROM documents WHERE doc_id % 4 = 3), "
+        "osh AS (SELECT doc_id, md5(text) AS text_md5, "
+        f"{_shingle_unnest} FROM (SELECT doc_id, text, "
+        "list_filter(string_split(text, ' '), x -> x != '') AS toks "
+        "FROM oldd)), "
+        f"oidx AS (SELECT doc_id, text_md5, {minhash_mins} FROM osh "
+        "GROUP BY doc_id, text_md5), "
+        "nsh AS (SELECT doc_id, md5(text) AS text_md5, "
+        f"{_shingle_unnest} FROM (SELECT doc_id, text, "
+        "list_filter(string_split(text, ' '), x -> x != '') AS toks "
+        "FROM newd)), "
+        f"nidx AS (SELECT doc_id, text_md5, {minhash_mins} FROM nsh "
+        "GROUP BY doc_id, text_md5), "
+        f"ostack AS (SELECT *, {_band_unnest} FROM "
+        f"(SELECT *, {band_keys} FROM oidx)), "
+        f"nstack AS (SELECT *, {_band_unnest} FROM "
+        f"(SELECT *, {band_keys} FROM nidx)), "
+        "dropped AS (SELECT doc_id FROM nidx WHERE text_md5 IN "
+        "(SELECT text_md5 FROM oidx) "
+        "UNION SELECT n.doc_id FROM nstack n JOIN ostack o "
+        f"USING (band_key) WHERE {_est_eq} >= 0.5) "
+        "SELECT doc_id, md5(text) AS text_md5 FROM newd "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM dropped)")
+    # merged-index twin: old = batches A ∪ B (the md5-collapse the
+    # engine's merge performs cannot change screen outcomes — both
+    # screens are membership/est tests over identical signatures)
+    oracles["dedup_incremental_merged"] = (
+        "WITH oldd AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 3 IN (0, 1)), "
+        "newd AS (SELECT doc_id + 1000000 AS doc_id, text "
+        "FROM documents WHERE doc_id % 6 = 0 "
+        "UNION ALL SELECT doc_id + 2000000 AS doc_id, "
+        "text || ' xq7' AS text FROM documents WHERE doc_id % 6 = 1 "
+        "UNION ALL SELECT doc_id + 3000000 AS doc_id, "
+        "'novel page ' || CAST(doc_id + 3000000 AS VARCHAR) || "
+        "' entirely fresh tokens qz17 unseen' AS text "
+        "FROM documents WHERE doc_id % 3 = 2), "
         "osh AS (SELECT doc_id, md5(text) AS text_md5, "
         f"{_shingle_unnest} FROM (SELECT doc_id, text, "
         "list_filter(string_split(text, ' '), x -> x != '') AS toks "

@@ -621,6 +621,38 @@ def minhash_index(docs: DataFrame, id_col: str = "doc_id",
     return toks.groupBy(id_col, "text_md5").agg(*aggs)
 
 
+def merge_minhash_indexes(*indexes: DataFrame, id_col: str = "doc_id",
+                          n_hashes: int = N_MINHASHES) -> DataFrame:
+    """Compact N per-batch :func:`minhash_index` frames into ONE
+    equivalent index — the lifecycle step a real crawl pipeline needs
+    once batch indexes accumulate.
+
+    Screening a new batch against the merge is EQUIVALENT to
+    screening it against each input index in sequence (pinned by
+    test): both screens are per-document and membership-based, and a
+    signature is a pure function of the text, so rows sharing
+    ``text_md5`` are identical except the echoed id — the merge keeps
+    ``min(struct(id, sig))`` per distinct text. That collapse is also
+    the COMPACTION policy: duplicate texts indexed by several batches
+    (the common case in a crawl) store one row in the merged file, so
+    the merged index is bounded by DISTINCT corpus texts, not by the
+    sum of batch sizes. One map-side-combinable hash aggregate; run it
+    periodically over the accumulated index files and atomically swap
+    the merged parquet in.
+    """
+    if not indexes:
+        raise ValueError("merge_minhash_indexes: no indexes given")
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), indexes)
+    mh = [F.col(f"mh{j}") for j in range(n_hashes)]
+    return (u.groupBy("text_md5")
+            .agg(F.min(F.struct(F.col(id_col), *mh)).alias("k"))
+            .select(F.col(f"k.{id_col}").alias(id_col), "text_md5",
+                    *[F.col(f"k.mh{j}").alias(f"mh{j}")
+                      for j in range(n_hashes)]))
+
+
 def dedup_against_index(new_docs: DataFrame, index: DataFrame,
                         threshold: float = 0.5, id_col: str = "doc_id",
                         text_col: str = "text",

@@ -118,32 +118,68 @@ def mixture_sample(df: DataFrame, rates: dict, group_col: str = "source",
     (temperature-scaled source reweighting a la the published LLM
     data recipes: sample Wikipedia at 1.0, Common Crawl at 0.15, ...).
 
-    ``rates`` maps group value -> keep fraction in [0, 1]; groups not
-    listed keep ``default_rate``. Selection is the same deterministic
-    60-bit hash threshold as :func:`hash_sample`, so the mix is
-    reproducible across runs/engines/partitionings, and each group's
-    sample GROWS MONOTONICALLY with its rate (raising one source's
-    weight only adds rows — ablation ladders stay nested).
+    ``rates`` maps group value -> keep/repeat rate; groups not listed
+    keep ``default_rate``. Rates in [0, 1] keep a deterministic
+    hash-threshold fraction; rates > 1 UPSAMPLE (the other half of
+    every published mixing recipe — rare high-quality sources repeat):
+    each row emits ``floor(rate)`` copies plus one more when its hash
+    falls under the fractional remainder, so a rate of 2.5 yields
+    exactly 2 copies of every row and a third copy of a deterministic
+    half. Selection is the same deterministic 60-bit hash threshold
+    as :func:`hash_sample`, so the mix is reproducible across
+    runs/engines/partitionings, and each row's COPY COUNT is
+    NON-DECREASING in its group's rate (raising one source's weight
+    only adds rows — ablation ladders stay nested; the floor step and
+    the fractional indicator are both monotone).
 
     Scale shape: the rate table is inlined as a CASE expression
-    (mixes list tens of sources, not millions), so the whole op is
+    (mixes list tens of sources, not millions), so the keep path is
     ONE narrow filter in whole-stage codegen — no join, no shuffle,
-    pushed into the scan like any other predicate. For a
-    million-group rate table, broadcast-join a rates DataFrame
-    instead (same semantics; one BroadcastHashJoin).
+    pushed into the scan like any other predicate; it is taken
+    whenever every rate is <= 1 and is byte-identical to the
+    historical behavior. Upsampling adds one bounded
+    ``explode(sequence(1, copies))`` — fan-out capped by
+    ``ceil(max rate)``, still no shuffle. For a million-group rate
+    table, broadcast-join a rates DataFrame instead (same semantics;
+    one BroadcastHashJoin).
     """
+    import math
+
     for g, r in rates.items():
-        if not 0.0 <= float(r) <= 1.0:
+        if float(r) < 0.0:
             raise ValueError(
-                f"mixture_sample: rate for {g!r} must be in [0, 1], "
-                f"got {r}")
-    if not 0.0 <= float(default_rate) <= 1.0:
+                f"mixture_sample: rate for {g!r} must be >= 0, got {r}")
+    if default_rate < 0.0:
         raise ValueError(
-            f"mixture_sample: default_rate must be in [0, 1], "
+            f"mixture_sample: default_rate must be >= 0, "
             f"got {default_rate}")
-    thresh = F.lit(int(float(default_rate) * _HASH_SPACE))
+
+    def split_rate(r):
+        full = int(math.floor(float(r)))
+        return full, int((float(r) - full) * _HASH_SPACE)
+
+    h = _hash60(F.col(key_col))
+    if all(float(r) <= 1.0 for r in rates.values()) \
+            and float(default_rate) <= 1.0:
+        thresh = F.lit(int(float(default_rate) * _HASH_SPACE))
+        for g, r in sorted(rates.items()):
+            thresh = F.when(F.col(group_col) == F.lit(g),
+                            F.lit(int(float(r) * _HASH_SPACE))) \
+                      .otherwise(thresh)
+        return df.where(h < thresh)
+
+    d_full, d_frac = split_rate(default_rate)
+    full = F.lit(d_full)
+    frac = F.lit(d_frac)
     for g, r in sorted(rates.items()):
-        thresh = F.when(F.col(group_col) == F.lit(g),
-                        F.lit(int(float(r) * _HASH_SPACE))) \
-                  .otherwise(thresh)
-    return df.where(_hash60(F.col(key_col)) < thresh)
+        g_full, g_frac = split_rate(r)
+        full = F.when(F.col(group_col) == F.lit(g),
+                      F.lit(g_full)).otherwise(full)
+        frac = F.when(F.col(group_col) == F.lit(g),
+                      F.lit(g_frac)).otherwise(frac)
+    copies = full + F.when(h < frac, F.lit(1)).otherwise(F.lit(0))
+    return (df.withColumn("__copies", copies)
+            .where(F.col("__copies") > 0)
+            .withColumn("__r", F.explode(
+                F.sequence(F.lit(1), F.col("__copies"))))
+            .drop("__copies", "__r"))

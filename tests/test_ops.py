@@ -621,7 +621,44 @@ def test_mixture_sample_rates_nested_and_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="rate"):
-        sampling.mixture_sample(df, {"src0": 1.5})
+        sampling.mixture_sample(df, {"src0": -0.5})
+
+
+def test_mixture_sample_upsampling_copies_and_monotonicity(spark):
+    """r6: rates > 1 upsample — floor(rate) copies of every row plus a
+    deterministic hash-threshold fractional copy; per-row copy counts
+    are non-decreasing in the rate; the all-rates<=1 path stays a pure
+    filter with unchanged selection."""
+    from collections import Counter
+
+    from lexmapr_spark.ops import sampling
+
+    rows = [(i, f"src{i % 2}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    up = sampling.mixture_sample(df, {"src0": 2.5, "src1": 0.25})
+    counts = Counter(r.doc_id for r in up.collect())
+    src0 = {i for i in range(400) if i % 2 == 0}
+    # every src0 row appears 2 or 3 times; roughly half get the third
+    assert all(counts[i] in (2, 3) for i in src0)
+    n3 = sum(1 for i in src0 if counts[i] == 3)
+    assert 0 < n3 < len(src0)
+    # src1 at 0.25 equals the plain hash_sample selection, one copy
+    src1_sel = {r.doc_id for r in sampling.hash_sample(
+        df.where(F.col("source") == "src1"), 0.25).collect()}
+    assert {i for i in counts if i % 2 == 1} == src1_sel
+    assert all(counts[i] == 1 for i in src1_sel)
+    # monotone in the rate: every row's copy count only grows 2.5 -> 3
+    up3 = Counter(r.doc_id for r in sampling.mixture_sample(
+        df, {"src0": 3.0, "src1": 0.25}).collect())
+    assert all(up3[i] >= counts[i] for i in counts)
+    assert all(up3[i] == 3 for i in src0)
+    # integer rate 1.0 through the upsample path == the filter path
+    one_up = sorted(r.doc_id for r in sampling.mixture_sample(
+        df, {"src0": 1.0, "src1": 2.0}).collect()
+        if r.source == "src0")
+    one_filter = sorted(r.doc_id for r in sampling.mixture_sample(
+        df, {"src0": 1.0, "src1": 0.5}).collect() if r.source == "src0")
+    assert one_up == one_filter == sorted(src0)
 
 
 def test_stratified_cap_quota_and_determinism(spark):
@@ -1817,3 +1854,41 @@ def test_cdc_exact_substring_matches_python_reference_randomized(spark):
            dedup.exact_substring_dedup_cdc(
                df, gram_tokens=g, min_tokens=mt).collect()}
     assert got == want
+
+
+def test_merge_minhash_indexes_equivalent_to_sequential_screens(spark):
+    """The r6 lifecycle op: screening against merge(A, B) must equal
+    screening against A then B in sequence, and the merge must
+    collapse duplicate texts to one row (the compaction guarantee)."""
+    rows_a = [(i, f"alpha batch doc {i} shared tokens run common") for i in range(8)]
+    rows_b = ([(100 + i, f"beta batch doc {i} other tokens entirely here")
+               for i in range(8)]
+              # B re-crawls two of A's pages verbatim
+              + [(200, rows_a[0][1]), (201, rows_a[1][1])])
+    a = spark.createDataFrame(rows_a, "doc_id LONG, text STRING")
+    b = spark.createDataFrame(rows_b, "doc_id LONG, text STRING")
+    new_rows = (
+        [(1000, rows_a[3][1])]                       # exact hit vs A
+        + [(1001, rows_b[2][1] + " x")]              # near hit vs B
+        + [(1002, "completely novel page qq17 zz93 fresh material own")])
+    new = spark.createDataFrame(new_rows, "doc_id LONG, text STRING")
+
+    ia, ib = dedup.minhash_index(a), dedup.minhash_index(b)
+    merged = dedup.merge_minhash_indexes(ia, ib)
+
+    got = sorted(r.doc_id for r in
+                 dedup.dedup_against_index(new, merged).collect())
+    seq = sorted(r.doc_id for r in dedup.dedup_against_index(
+        dedup.dedup_against_index(new, ia), ib).collect())
+    assert got == seq == [1002]
+
+    # compaction: duplicate texts across batches -> one merged row
+    n_rows = merged.count()
+    n_texts = (a.select("text").unionByName(b.select("text"))
+               .distinct().count())
+    assert n_rows == n_texts < ia.count() + ib.count()
+    # idempotent: re-merging an already-merged index adds nothing
+    again = dedup.merge_minhash_indexes(merged, ib)
+    assert again.count() == n_rows
+    # schema round-trips so merged output feeds minhash machinery
+    assert merged.columns == ia.columns
