@@ -398,12 +398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              + "|".join(parts)).encode()).hexdigest()[:12]
         base = os.path.basename(os.path.normpath(sf))
         root = f"/tmp/lexmapr_ivf_store_{base}_{tag}"
-        # evict superseded stores for the SAME sf basename (stale
-        # fingerprints from regenerated data) so repeated bench cycles
-        # hold one store per dataset, not an unbounded /tmp trail
-        for old in glob.glob(f"/tmp/lexmapr_ivf_store_{base}_*"):
-            if old != root:
-                shutil.rmtree(old, ignore_errors=True)
         emb = _t(spark, sf, "embeddings")
         # gate on BOTH _SUCCESS markers: centroids are written after
         # the index, so a crash between the two writes leaves a cache
@@ -417,6 +411,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 similarity.ivf_assign(emb, cents), f"{root}/index")
             similarity.write_ivf_centroids(spark, cents,
                                            f"{root}/centroids")
+        # evict superseded stores for the SAME sf basename (stale
+        # fingerprints from regenerated data) so repeated bench cycles
+        # hold one store per dataset, not an unbounded /tmp trail.
+        # Eviction runs only AFTER the current store's _SUCCESS gate
+        # passed (r6 ADVICE): a failed build must not delete siblings
+        # a concurrent same-basename run may be serving from
+        for old in glob.glob(f"/tmp/lexmapr_ivf_store_{base}_*"):
+            if old != root:
+                shutil.rmtree(old, ignore_errors=True)
         stored = similarity.read_ivf_index(spark, f"{root}/index")
         cents = similarity.read_ivf_centroids(spark, f"{root}/centroids")
         return similarity.ivf_topk_batch(emb, [0, 7, 19], k=10,
@@ -823,24 +826,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf)
         return wrapper
 
-    # The contract driver records correctness rows for the FIRST 50
-    # dict entries only, so dict order decides which queries get a
-    # driver-verified row this round. Front-load the queries with the
-    # least driver history (the 13 that sat past slot 50 in rounds
-    # 1-4 — six of them never had a driver row) plus this round's new
-    # queries; rotate the long-stable hash-green basics (agg_*/set_*/
-    # p*/j1/sort/window/sessionize/json — green in every round since
-    # r1) to the back, where falling past slot 50 loses nothing.
+    # The contract driver records correctness rows for the FIRST
+    # DRIVER_SLOTS dict entries only, so dict order decides which
+    # queries get a driver-verified row this round. Round-6 window
+    # (exactly 50 names, asserted below so a future addition that
+    # silently pushes a query out of verification fails loudly —
+    # r5 ADVICE): [1-19] the 19 relational basics rotated out of the
+    # r5 window (their last rows are r1-r4 green); [20-24] the 5 kg_*
+    # queries whose NEW fixture oracles the driver has never
+    # hash-checked; [25-30] this round's new/changed operators;
+    # [31-50] queries whose code paths this round touched plus the
+    # ANN/dedup families. Rotated out (fresh r5-green, unchanged):
+    # curation_pipeline_v2, text_repetition, text_perplexity,
+    # web_host_filter, conf_scoring, the 5 multimodal queries,
+    # web_host_rollup, dedup_global_lines, web_url_normalize, and the
+    # r5-green singletons listed in COVERAGE.md.
     priority = [
-        "curation_pipeline_v2", "text_repetition", "text_perplexity",
-        "web_host_filter", "conf_scoring", "kg_confidence_histogram",
-        "multimodal_features", "multimodal_frame_plan",
-        "multimodal_features_docs", "multimodal_frame_plan_docs",
-        "multimodal_real_decode",
-        "pack_sequences_2k", "pack_examples_512", "dedup_global_lines",
-        "dedup_incremental", "web_host_rollup",
-    ]
-    rotate_back = [
+        # 19 basics unchecked in r5
         "s2_multicol_coalesce", "p1_p2_lower_punct",
         "p5_numeric_token_filter", "p6_preprocess", "p11_stopword_filter",
         "j1_broadcast_token_match", "agg_event_histogram",
@@ -850,10 +852,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_multi_lineitem_orders", "window_user_event_seq",
         "sessionize_events_batch", "json_extract_props",
         "set_customers_without_orders", "sort_topk_orders",
+        # 5 kg_* — first round with fixture oracles
+        "kg_triples", "kg_match_histogram", "kg_classification_histogram",
+        "kg_canonical_triples", "kg_confidence_histogram",
+        # new/changed this round
+        "text_token_count_bpe", "pack_sequences_bpe",
+        "dedup_exact_substring_cdc", "dedup_incremental_merged",
+        "sample_mixture_upsample", "emb_near_duplicates",
+        # code paths touched this round + the ANN/dedup families
+        "sample_mixture", "sample_domain_cap", "dedup_exact_substring",
+        "dedup_incremental", "ann_ivf_stored_batch_topk",
+        "pack_sequences_2k", "pack_examples_512", "kg_text_extraction",
+        "ann_srp_bucketed_topk", "ann_srp_batch_topk",
+        "ann_quantized_srp_topk", "ann_cosine_topk", "ann_quantized_topk",
+        "ann_ivf_topk", "ann_ivf_batch_topk",
+        "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh",
+        "dedup_simhash", "text_token_count",
     ]
-    order = (priority
-             + [k for k in q if k not in priority and k not in rotate_back]
-             + rotate_back)
+    DRIVER_SLOTS = 50
+    assert len(priority) == DRIVER_SLOTS, (
+        f"driver window is exactly {DRIVER_SLOTS} slots; priority has "
+        f"{len(priority)} — adjust the rotation explicitly instead of "
+        "letting a new query silently push one out of verification")
+    missing = [k for k in priority if k not in q]
+    assert not missing, f"priority names not in queries(): {missing}"
+    unverified = [k for k in q if k not in priority]
+    # loud, greppable record of what this round's window skips
+    import logging
+
+    logging.getLogger("lexmapr_spark.contract").info(
+        "driver window covers %d/%d queries; unverified this round: %s",
+        DRIVER_SLOTS, len(q), ",".join(unverified))
+    order = priority + unverified
     assert set(order) == set(q) and len(order) == len(q)
     return {name: _shipped(q[name]) for name in order}
 

@@ -259,6 +259,63 @@ def deep():
           .where(F.col("pack_offset") >= 0).count())
     docs.unpersist()
 
+    # ---- ANN recall at depth (r6): 200k deterministic clustered
+    # vectors (2k centroids x 100 members, hash-derived — no RNG
+    # state, reproducible anywhere), recall@10 vs exact brute-force
+    # truth for the SRP multi-probe and IVF paths. This is the
+    # "measure, don't guess" number for probe/list tuning before a
+    # 100 TB rollout; the contract-scale harness test only proves the
+    # plumbing.
+    from lexmapr_spark.ops import similarity
+
+    n_vec, dim, per_cluster = 200_000, 64, 100
+    comp = (
+        "transform(sequence(0, {dm}), d -> "
+        "CAST(CAST(conv(substring(md5(concat(CAST(id DIV {pc} AS STRING), "
+        "':', CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+        "% 2000 AS DOUBLE) / 1000.0 - 1.0 + "
+        "(CAST(CAST(conv(substring(md5(concat(CAST(id AS STRING), '/', "
+        "CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+        "% 1000 AS DOUBLE) / 1000.0 - 0.5) * 0.1)"
+    ).format(dm=dim - 1, pc=per_cluster)
+    emb = (spark.range(n_vec)
+           .select(F.col("id").alias("vec_id"),
+                   F.expr(comp).alias("embedding"))
+           .persist())
+    emb.count()
+    t0 = time.time()
+    srp_rec = similarity.ann_recall(
+        emb, lambda e, qid, k: similarity.srp_bucketed_topk(
+            e, qid, k, n_planes=12, prefix_bits=6),
+        k=10, n_queries=10)
+    out["ann_recall_srp"] = {
+        "recall_at_10": round(srp_rec["recall"], 4),
+        "n_queries": srp_rec["n_queries"], "corpus": n_vec,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    # IVF: amortized serving shape — train/assign ONCE, then query
+    # (retraining per recall query would benchmark the wrong path)
+    t0 = time.time()
+    cents = similarity.kmeans_centroids(emb, k=64)
+    assigned = similarity.ivf_assign(emb, cents).persist()
+    assigned.count()
+    build_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivf_rec = similarity.ann_recall(
+        emb, lambda e, qid, k: similarity.ivf_topk(
+            e, qid, k, n_lists=64, nprobe=8,
+            centroids=cents, assigned=assigned),
+        k=10, n_queries=10)
+    out["ann_recall_ivf"] = {
+        "recall_at_10": round(ivf_rec["recall"], 4),
+        "n_queries": ivf_rec["n_queries"], "corpus": n_vec,
+        "params": "n_lists=64 nprobe=8",
+        "index_build_sec": build_sec,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    assigned.unpersist()
+    emb.unpersist()
+
     spark.stop()
     print(json.dumps(out))
 

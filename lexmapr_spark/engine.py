@@ -551,9 +551,23 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     are deleted as the loop advances; the final round's parquet backs
     the returned DataFrame, so callers can keep consuming it after the
     session recycles executors.
+
+    A ``checkpoint_dir`` is SINGLE-USE PER LIVE RESULT: stale
+    ``round=*`` dirs from any prior run are cleared at entry (a rerun
+    that converges in fewer rounds must not leave the old final round
+    behind), and because a rerun rewrites the same paths, a labels
+    DataFrame returned by an EARLIER call over the same dir stops
+    being readable — persist it (write it out or ``.cache()``) before
+    rerunning, or use a fresh dir per call.
     """
     spark = edges.sparkSession
     converged = False
+    if checkpoint_dir is not None:
+        fs, hdir = _hadoop_fs(spark, checkpoint_dir)
+        if fs.exists(hdir):
+            for st in fs.listStatus(hdir):
+                if st.getPath().getName().startswith("round="):
+                    fs.delete(st.getPath(), True)
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     # materialize the edge set once: every round joins against it

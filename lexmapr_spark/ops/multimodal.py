@@ -247,6 +247,11 @@ def decode_wav_pcm16(payload: bytes) -> tuple:
         raise ValueError("WAV missing fmt/data chunk")
     if len(data) % 2 != 0:
         raise ValueError("WAV PCM-16 data chunk has odd byte length")
+    if len(fmt) < 16:
+        # a well-framed but short fmt chunk would otherwise surface as
+        # struct.error; keep the malformed-payload contract uniform
+        raise ValueError(
+            f"WAV fmt chunk too short ({len(fmt)} bytes, need >= 16)")
     audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_format != 1 or bits != 16:

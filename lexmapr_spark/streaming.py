@@ -412,14 +412,18 @@ def stream_index_deduped_pages(pages_stream, index, out_dir: str,
     # both static index projections are persisted: the md5 screen and
     # the four per-band anti-joins reference them every micro-batch,
     # so uncached the index parquet would be rescanned 5x per batch
-    # for the stream's lifetime. scoped_persist bounds a long-lived
-    # driver to ONE live snapshot per scope — the next gate invocation
-    # releases the previous one (release_cache("stream_index_gate*")
-    # frees them immediately after the query stops). NULL-signature
-    # index rows are dropped before banding (same hot-bucket hazard as
-    # the batch op: every empty doc shares the md5("") band key).
+    # for the stream's lifetime. The scope derives from the gate's
+    # checkpoint dir (one scope PER GATE, r6 ADVICE): two concurrent
+    # gates in one session — necessarily distinct checkpoints — no
+    # longer evict each other's snapshots every invocation, while a
+    # RESTART of the same gate (same checkpoint) still replaces its
+    # own. release_cache(f"stream_index_gate:{checkpoint_dir}*") frees
+    # them after the query stops. NULL-signature index rows are
+    # dropped before banding (same hot-bucket hazard as the batch op:
+    # every empty doc shares the md5("") band key).
+    scope = f"stream_index_gate:{checkpoint_dir}"
     md5_side = scoped_persist(index.select("text_md5").distinct(),
-                              "stream_index_gate_md5",
+                              f"{scope}:md5",
                               warn_on_evict=False)
     out = enriched.join(md5_side, "text_md5", "left_anti")
     stacked = scoped_persist(
@@ -431,7 +435,7 @@ def stream_index_deduped_pages(pages_stream, index, out_dir: str,
                     lambda j: F.col(f"mh{j}"), n_hashes, rpb)))
                 .alias("band_key"))
         .distinct(),
-        "stream_index_gate_bands", warn_on_evict=False)
+        f"{scope}:bands", warn_on_evict=False)
     est = sum(
         F.when(F.col(f"mh{j}") == F.col(f"imh{j}"), 1).otherwise(0)
         for j in range(n_hashes)) / F.lit(float(n_hashes))

@@ -288,6 +288,15 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
               for r in spark.read.parquet(
                   os.path.join(ckpt, round_dirs[0])).collect()}
     assert reread == got
+    # r6 ADVICE: a RERUN over the same dir that converges in fewer
+    # rounds must clear the prior run's later round=* dir at entry —
+    # exactly one round dir (the new final) may remain afterwards
+    tiny = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
+    rerun = engine.connected_components(tiny, checkpoint_dir=ckpt)
+    assert {r.node: r.component for r in rerun.collect()} == \
+        {"a": "a", "b": "a"}
+    left = sorted(d for d in os.listdir(ckpt) if d.startswith("round="))
+    assert len(left) == 1, left
 
 
 def test_canonicalize_rewrites_variant_ids(spark):

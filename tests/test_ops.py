@@ -1675,6 +1675,16 @@ def test_wav_truncated_and_odd_payloads_rejected():
            + b"data" + _s.pack("<I", 3) + b"abc\x00")
     with pytest.raises(ValueError, match="odd"):
         multimodal.decode_wav_pcm16(odd)
+    # well-framed but short fmt chunk (r6 ADVICE): must raise the
+    # codec's ValueError, not struct.error from the bits unpack
+    short_fmt = _s.pack("<HHI", 1, 1, 8000)         # 8 bytes only
+    data = _s.pack("<h", 7)
+    shortf = (b"RIFF"
+              + _s.pack("<I", 4 + 8 + len(short_fmt) + 8 + len(data))
+              + b"WAVE" + b"fmt " + _s.pack("<I", len(short_fmt))
+              + short_fmt + b"data" + _s.pack("<I", len(data)) + data)
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        multimodal.decode_wav_pcm16(shortf)
 
 
 def test_incremental_dedup_no_window_and_ids_only_drop_set(spark):
