@@ -113,6 +113,80 @@ def srp_signature_exact(vec_col: Column, planes: list) -> Column:
             F.lit("1")).otherwise(F.lit("0"))))
 
 
+def srp_signature_exact_arrow(vec_col: Column, planes: list) -> Column:
+    """Arrow-batched twin of :func:`srp_signature_exact` — SAME bits,
+    ~n_planes-fold cheaper.
+
+    The JVM form evaluates one interpreted ``aggregate(zip_with(...))``
+    fold PER PLANE PER ROW (higher-order functions sit outside
+    whole-stage codegen), which dominates wall time once the banded
+    near-dup derivation wants 30+ planes. This twin reproduces the
+    exact sequential IEEE-double left fold in numpy by accumulating
+    over the DIMENSION axis in order::
+
+        acc = 0;  for d in 0..dim-1:  acc += vec[d] * plane[d]
+
+    Each ``+=`` is one IEEE-754 double add per (row, plane) cell, in
+    the identical order and with identical double products as the JVM
+    fold and DuckDB's ``list_sum(list_transform(...))`` — so the sign
+    bits (and therefore signatures) are BIT-IDENTICAL (pinned by
+    test), while the batch and plane axes vectorize. No BLAS matmul:
+    ``np.dot`` would reassociate the sum and flip near-zero signs.
+    Self-contained closure (numpy/pandas only) — no package shipping
+    needed on executors.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes_arr = np.asarray(planes, dtype=np.float64)
+
+    @pandas_udf("string")
+    def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64)
+                         for v in vecs])                 # (batch, dim)
+        acc = np.zeros((mat.shape[0], planes_arr.shape[0]))
+        for d in range(planes_arr.shape[1]):
+            acc += mat[:, d:d + 1] * planes_arr[None, :, d]
+        bits = acc >= 0
+        return pd.Series(["".join("1" if b else "0" for b in row)
+                          for row in bits])
+
+    return sig(vec_col)
+
+
+def cosine_exact_arrow(a_col: Column, b_col: Column) -> Column:
+    """Arrow-batched twin of the ``_dot/_norm`` cosine — SAME double,
+    vectorized.
+
+    Accumulates dot and both squared norms over the dimension axis in
+    order (one IEEE add per pair per dim, identical order/products to
+    the JVM folds); ``np.sqrt`` and the final division are correctly-
+    rounded IEEE ops exactly like the JVM's, so the UNROUNDED cosine
+    is bit-identical (pinned by test) — callers apply the same
+    ``F.round(.., 6)`` as the JVM path. Used where the pair volume
+    makes per-pair interpreted HOF folds the bottleneck (the banded
+    near-dup verify)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=float)
+        ma = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
+        dot = np.zeros(len(ma))
+        na = np.zeros(len(ma))
+        nb = np.zeros(len(ma))
+        for d in range(ma.shape[1]):
+            dot += ma[:, d] * mb[:, d]
+            na += ma[:, d] * ma[:, d]
+            nb += mb[:, d] * mb[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos(a_col, b_col)
+
+
 def srp_project_exact(qvec, planes) -> list[float]:
     """Driver-side replica of :func:`srp_signature_exact`'s fold:
     sequential IEEE-double multiply-accumulate per plane — bit-equal
@@ -601,9 +675,12 @@ def srp_band_candidates(embeds: DataFrame, n_bands: int = 4,
         n = corpus_count if corpus_count is not None else embeds.count()
         bits_per_band = derive_srp_bits(n, target_bucket)
     planes = srp_hyperplanes(dim, n_bands * bits_per_band)
+    # Arrow twin: bit-identical to the JVM fold (and the DuckDB
+    # oracle), but the 30+ plane folds the banded derivation wants
+    # vectorize instead of running interpreted per plane per row
     sig = embeds.select(
         F.col(id_col),
-        srp_signature_exact(F.col(vec_col), planes).alias("sig"))
+        srp_signature_exact_arrow(F.col(vec_col), planes).alias("sig"))
     bands = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*[
@@ -666,10 +743,12 @@ def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
         cand.join(va, "id_a").join(vb, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(
-                _dot(F.col("_vec_a"), F.col("_vec_b"))
-                / (_norm(F.col("_vec_a")) * _norm(F.col("_vec_b"))),
-                6).alias("cosine"),
+            # Arrow twin of the JVM fold cosine (bit-identical double,
+            # same F.round) — candidate volume scales with the corpus,
+            # so per-pair interpreted folds would dominate wall time
+            F.round(cosine_exact_arrow(F.col("_vec_a"),
+                                       F.col("_vec_b")),
+                    6).alias("cosine"),
         )
     )
     return pairs.where(F.col("cosine") >= threshold)

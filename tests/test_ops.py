@@ -1902,3 +1902,58 @@ def test_merge_minhash_indexes_equivalent_to_sequential_screens(spark):
     assert again.count() == n_rows
     # schema round-trips so merged output feeds minhash machinery
     assert merged.columns == ia.columns
+
+
+def test_srp_arrow_signature_bit_identical_to_jvm_fold(spark):
+    """The Arrow twin must reproduce srp_signature_exact BIT-FOR-BIT
+    (same sequential IEEE fold order), including float32 inputs and
+    near-zero projections — it feeds the oracle-checked banded
+    near-dup, so a single flipped sign would hash-mismatch."""
+    import numpy as np
+
+    from lexmapr_spark.ops import similarity as S
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    # plant vectors nearly orthogonal to plane 0 (near-zero fold sums)
+    planes = S.srp_hyperplanes(64, 36)
+    p0 = np.asarray(planes[0])
+    for i in range(0, 50):
+        v = rng.standard_normal(64)
+        v -= (v @ p0) / (p0 @ p0) * p0
+        vecs[i] = (v + rng.standard_normal(64) * 1e-7).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    both = emb.select(
+        "vec_id",
+        S.srp_signature_exact(F.col("embedding"), planes).alias("jvm"),
+        S.srp_signature_exact_arrow(F.col("embedding"), planes)
+        .alias("arrow")).collect()
+    diffs = [(r.vec_id, r.jvm, r.arrow) for r in both if r.jvm != r.arrow]
+    assert not diffs, diffs[:3]
+
+
+def test_cosine_arrow_bit_identical_to_jvm_fold(spark):
+    """cosine_exact_arrow must equal the JVM _dot/_norm fold to the
+    last bit (UNROUNDED) — it feeds the oracle-checked near-dup
+    verify where the 6th rounded decimal decides membership."""
+    import numpy as np
+
+    from lexmapr_spark.ops import similarity as S
+
+    rng = np.random.default_rng(23)
+    a = rng.standard_normal((400, 64)).astype(np.float32)
+    b = (a + rng.standard_normal((400, 64)) * 0.01).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in a[i]], [float(x) for x in b[i]])
+         for i in range(len(a))],
+        "pid LONG, va ARRAY<FLOAT>, vb ARRAY<FLOAT>")
+    rows = df.select(
+        "pid",
+        (S._dot(F.col("va"), F.col("vb"))
+         / (S._norm(F.col("va")) * S._norm(F.col("vb")))).alias("jvm"),
+        S.cosine_exact_arrow(F.col("va"), F.col("vb")).alias("arrow"),
+    ).collect()
+    diffs = [(r.pid, r.jvm, r.arrow) for r in rows if r.jvm != r.arrow]
+    assert not diffs, diffs[:3]
