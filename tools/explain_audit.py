@@ -218,6 +218,45 @@ def main():
             "filter + integer cosine all in whole-stage codegen; "
             "1-row broadcast query + TakeOrderedAndProject. No float "
             "vectors, no shuffle of the embedding side.",
+        "emb_near_duplicates":
+            "Banded embedding near-dup (round 6 — the last `weak` "
+            "closed): Arrow-batched exact-fold SRP signatures (bit-"
+            "identical to the JVM fold, vectorized across batch and "
+            "plane axes) -> band posexplode of (id, band_key) ONLY "
+            "(vectors never ride the explode) -> band-key equi-join "
+            "whose key cardinality derives from the corpus count "
+            "(derive_srp_bits: expected bucket population constant at "
+            "any scale — candidates grow ~linearly, measured 4.65x at "
+            "a 4x corpus vs 16x for the old fixed-256-bucket join) -> "
+            "DISTINCT candidate ids -> vectors re-joined once for the "
+            "Arrow exact-cosine verify.",
+        "dedup_exact_substring_cdc":
+            "Content-defined-chunking ExactSubstr (round 6): chunk "
+            "starts from token-content hashes via pure JVM HOFs "
+            "(filter/sequence/slice — no Python, no token-level "
+            "explode), so identical runs share boundaries at ANY "
+            "offset; one chunk-level explode (1x corpus), keeper = "
+            "PARTIAL min(struct(doc, chunk)) GROUP BY gram, "
+            "sub-min_tokens chunks bypass the gram shuffle. No "
+            "Window node (plan-asserted).",
+        "dedup_incremental_merged":
+            "Merged-index screen (round 6): merge_minhash_indexes is "
+            "ONE map-side-combinable hash aggregate (min(struct) per "
+            "distinct text_md5 — the compaction policy), then the "
+            "standard index screens: LEFT SEMI md5 + band-bucket "
+            "join + LEFT ANTI keep; equivalent to sequential "
+            "per-batch screens by construction.",
+        "pack_sequences_bpe":
+            "BPE-denominated packing (round 6): ONE Arrow tokenizer "
+            "stage (deterministic byte-level BPE, per-word memo) "
+            "feeding the same two-phase prefix-sum pack layout — the "
+            "injected tokenizer changes only the n_tokens projection, "
+            "not the shuffle structure.",
+        "sample_mixture_upsample":
+            "Mixture upsampling (round 6): per-group floor(rate) + "
+            "fractional hash-threshold copies via ONE bounded "
+            "explode(sequence) in codegen — no join, no shuffle; the "
+            "all-rates<=1 path stays a pure pushed filter.",
     }
     for name, note in audit.items():
         sections.append((f"Query: {name}", note,
