@@ -293,6 +293,21 @@ def deep():
         "n_queries": srp_rec["n_queries"], "corpus": n_vec,
         "wall_sec": round(time.time() - t0, 3),
     }
+    # banded near-dup at depth (r6): candidate volume must track the
+    # corpus (derive_srp_bits), never corpus^2/2^fixed_bits — record
+    # both the candidate count and the full verify wall
+    t0 = time.time()
+    n_cand = similarity.srp_band_candidates(emb).count()
+    cand_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_pairs = similarity.embedding_near_duplicates(
+        emb, threshold=0.99).count()
+    out["emb_near_duplicates_deep"] = {
+        "corpus": n_vec, "candidates": n_cand,
+        "candidate_sec": cand_sec, "pairs": n_pairs,
+        "verify_wall_sec": round(time.time() - t0, 3),
+    }
+
     # IVF: amortized serving shape — train/assign ONCE, then query
     # (retraining per recall query would benchmark the wrong path)
     t0 = time.time()

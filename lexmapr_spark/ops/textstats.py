@@ -448,7 +448,8 @@ def repetition_stats_col(text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def unigram_lm(docs: DataFrame, text_col: str = "text",
-               top_k: int | None = None) -> DataFrame:
+               top_k: int | None = None,
+               tokenizer=None) -> DataFrame:
     """Corpus unigram language model: (token, logprob) with
     ``p(tok) = count(tok) / total_tokens`` and logprob rounded to 6
     decimals (cross-engine determinism: a rounded double survives the
@@ -458,10 +459,14 @@ def unigram_lm(docs: DataFrame, text_col: str = "text",
     combined — the canonical word-count shape. ``top_k`` bounds the
     vocabulary for the 100 TB path (order by count desc, token asc —
     deterministic); everything outside the kept vocab scores as OOV
-    downstream.
+    downstream. ``tokenizer``: the same injectable hook as
+    ``token_count``/``pack_sequences`` (e.g. ``bpe.bpe_tokenizer()``)
+    so the LM's unit matches the packing/counting unit; default =
+    whitespace (byte-identical to the oracle-checked behavior).
     """
     toks = fan_out(docs).select(
-        F.explode(tokens_col(text_col)).alias("token"))
+        F.explode((tokenizer or tokens_col)(F.col(text_col)))
+        .alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("c"))
     # total BEFORE any top-k truncation; shares the groupBy exchange
     # with the counts branch (ReusedExchange — one corpus scan, no
@@ -479,7 +484,8 @@ def unigram_lm(docs: DataFrame, text_col: str = "text",
 
 def perplexity(docs: DataFrame, lm: DataFrame | None = None,
                id_col: str = "doc_id", text_col: str = "text",
-               broadcast_lm: bool | None = None) -> DataFrame:
+               broadcast_lm: bool | None = None,
+               tokenizer=None) -> DataFrame:
     """Per-document cross-entropy + perplexity under a unigram LM —
     the standard cheap quality proxy for training-data curation
     (CCNet-style filtering, with a unigram model instead of KenLM).
@@ -512,8 +518,9 @@ def perplexity(docs: DataFrame, lm: DataFrame | None = None,
         # the (token, count) aggregate — there is no snapshot-
         # consistency risk, unlike pack_sequences(snapshot=True)
         from lexmapr_spark.ops.util import scoped_persist
-        lm = scoped_persist(unigram_lm(docs), "perplexity_lm",
-                            warn_on_evict=False)
+        lm = scoped_persist(
+            unigram_lm(docs, text_col=text_col, tokenizer=tokenizer),
+            "perplexity_lm", warn_on_evict=False)
     # OOV logprob as a lazy 1-row broadcast — no driver-side action,
     # so the whole op stays one job
     oov_df = lm.groupBy().agg(
@@ -525,7 +532,9 @@ def perplexity(docs: DataFrame, lm: DataFrame | None = None,
     if broadcast_lm or broadcast_lm is None:
         lm_side = F.broadcast(lm_side)
     doc_toks = fan_out(docs).select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+        F.col(id_col),
+        F.explode((tokenizer or tokens_col)(F.col(text_col)))
+        .alias("token"))
     joined = (doc_toks.join(lm_side, "token", "left")
               .crossJoin(F.broadcast(oov_df))
               .select(id_col,

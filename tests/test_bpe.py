@@ -91,3 +91,25 @@ def test_pack_boundaries_follow_bpe_counts_not_whitespace(spark):
     # tokenizer: offsets = cumsum of counts in (bucket, hkey) order
     total = sum(r.n_tokens for r in bp)
     assert total == per_doc_bpe * 40
+
+
+def test_perplexity_with_bpe_tokenizer(spark):
+    """The LM-denominated op accepts the same injectable tokenizer:
+    n_tokens becomes the BPE count and the self-built LM's vocabulary
+    is the BPE token set, so the scoring unit matches pack/count."""
+    from lexmapr_spark.ops import textstats
+
+    rows = [(1, "the quick brown fox"), (2, "internationalization")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in textstats.perplexity(
+        docs, tokenizer=bpe.bpe_tokenizer()).collect()}
+    for i, t in rows:
+        assert out[i].n_tokens == bpe.bpe_token_count(t)
+    vocab = {r.token for r in textstats.unigram_lm(
+        docs, tokenizer=bpe.bpe_tokenizer()).collect()}
+    assert vocab == set(bpe.bpe_encode(rows[0][1])) \
+        | set(bpe.bpe_encode(rows[1][1]))
+    # default path unchanged
+    ws = {r.doc_id: r.n_tokens
+          for r in textstats.perplexity(docs).collect()}
+    assert ws == {1: 4, 2: 1}
