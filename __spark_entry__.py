@@ -439,6 +439,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  "embedding", "label")),
             threshold=0.99, n_bands=4))
 
+    # SemDeDup over the same clone corpus: codebook trained on the
+    # BASE table (md5-sample + seeded Lloyd — byte-identical to the
+    # oracle's driver-side replay), clones guarantee every vector has
+    # an exact semantic duplicate; rank ties break to the lower id so
+    # originals survive and the +1000000 clones drop
+    def _semantic_dedup_q(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        cents = similarity.kmeans_centroids(emb, k=16)
+        clones = emb.select("vec_id", "embedding").unionByName(
+            emb.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       "embedding"))
+        return similarity.semantic_dedup(clones, threshold=0.99,
+                                         centroids=cents)
+
+    q["emb_semantic_dedup"] = _semantic_dedup_q
+
     # ---- text analysis
     q["text_token_count"] = lambda spark, sf: textstats.token_count(
         _t(spark, sf, "documents"))
@@ -859,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count_bpe", "pack_sequences_bpe",
         "dedup_exact_substring_cdc", "dedup_incremental_merged",
         "sample_mixture_upsample", "emb_near_duplicates",
+        "emb_semantic_dedup",
         # code paths touched this round + the ANN/dedup families
         "sample_mixture", "sample_domain_cap", "dedup_exact_substring",
         "dedup_incremental", "ann_ivf_stored_batch_topk",
@@ -867,7 +884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_srp_topk", "ann_cosine_topk", "ann_quantized_topk",
         "ann_ivf_topk", "ann_ivf_batch_topk",
         "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh",
-        "dedup_simhash", "text_token_count",
+        # dedup_simhash rotates out (hash-green r5, code untouched r6)
+        # to make room for the new emb_semantic_dedup
+        "text_token_count",
     ]
     DRIVER_SLOTS = 50
     assert len(priority) == DRIVER_SLOTS, (
@@ -986,6 +1005,31 @@ def _ivf_oracle_sqls() -> dict[str, str]:
         # centroids + assignments; doubles round-trip parquet exactly,
         # so its results are pinned by the SAME batch SQL
         out["ann_ivf_stored_batch_topk"] = out["ann_ivf_batch_topk"]
+
+    # SemDeDup over the clone corpus — same codebook (trained on the
+    # BASE table, so cent_rows above is reused verbatim), same
+    # row_number assignment replay, centroid-cosine rank (rounded 6),
+    # one-pass "earlier-ranked near neighbour in my cluster" drop rule
+    # (NeMo-Curator-style), anti-join survivors.
+    out["emb_semantic_dedup"] = (
+        f"WITH cents(cid, cvec) AS (VALUES {cent_rows}), "
+        "clones AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+        "FROM embeddings), "
+        "assigned AS (SELECT vec_id, embedding, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY "
+        "list_distance(embedding::DOUBLE[], cvec), cid) AS rn "
+        "FROM clones CROSS JOIN cents), "
+        "ranked AS (SELECT a.vec_id, a.embedding, a.cid AS ivf_list, "
+        f"{cos6('a.embedding', 'c.cvec')} AS cent_cos "
+        "FROM assigned a JOIN cents c ON a.cid = c.cid WHERE a.rn = 1), "
+        "drops AS (SELECT DISTINCT a.vec_id FROM ranked a "
+        "JOIN ranked b ON a.ivf_list = b.ivf_list "
+        "AND (b.cent_cos < a.cent_cos OR (b.cent_cos = a.cent_cos "
+        "AND b.vec_id < a.vec_id)) "
+        f"WHERE {cos6('a.embedding', 'b.embedding')} >= 0.99) "
+        "SELECT r.vec_id, r.ivf_list, r.cent_cos FROM ranked r "
+        "WHERE r.vec_id NOT IN (SELECT vec_id FROM drops)")
     return out
 
 

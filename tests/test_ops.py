@@ -1957,3 +1957,43 @@ def test_cosine_arrow_bit_identical_to_jvm_fold(spark):
     ).collect()
     diffs = [(r.pid, r.jvm, r.arrow) for r in rows if r.jvm != r.arrow]
     assert not diffs, diffs[:3]
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """SemDeDup one-pass rule replayed in pure numpy: same k-means
+    assignment (float64 argmin), same centroid-cosine rank (rounded
+    6 dp, ties to lower id), same earlier-ranked-near-neighbour drop.
+    Exact clones must always collapse to the original id."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    vecs = {i: base[i] for i in range(40)}
+    vecs.update({1000 + i: base[i].copy() for i in range(40)})  # clones
+    cents = similarity.lloyd_kmeans(base, k=4, iters=5, seed=1)
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id LONG, embedding ARRAY<DOUBLE>").repartition(7)
+    got = {r.vec_id: (r.ivf_list, r.cent_cos)
+           for r in similarity.semantic_dedup(
+               emb, threshold=0.99, centroids=cents).collect()}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a)
+                                    * np.linalg.norm(b))), 6)
+
+    assign = {i: int(((cents - v) ** 2).sum(1).argmin())
+              for i, v in vecs.items()}
+    rank = {i: (cos(v, cents[assign[i]]), i) for i, v in vecs.items()}
+    expect = {}
+    for i, v in vecs.items():
+        dropped = any(assign[j] == assign[i] and rank[j] < rank[i]
+                      and cos(v, u) >= 0.99
+                      for j, u in vecs.items() if j != i)
+        if not dropped:
+            expect[i] = (assign[i], rank[i][0])
+    assert got == expect
+    # every exact clone pair collapsed, originals preferred on the tie
+    assert all(i < 1000 for i in got), sorted(got)[-3:]
+    assert len(got) <= 40
