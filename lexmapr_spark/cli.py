@@ -112,9 +112,10 @@ def load_lexicon_for(args):
             save_lexicon(lex, args.cache)
 
     if args.config:
-        from lexmapr_spark.ontology import compile_config
+        from lexmapr_spark.ontology import compile_config, resolve_ontology_path
         with open(args.config) as f:
-            entries = [(path, root) for obj in json.load(f)
+            entries = [(resolve_ontology_path(path), root)
+                       for obj in json.load(f)
                        for path, root in obj.items()]
         for path, _root in entries:
             if not os.path.exists(path):

@@ -43,6 +43,42 @@ OBO = "{http://purl.obolibrary.org/obo/}"
 SYNONYM_PROPS = ("hasSynonym", "hasNarrowSynonym", "hasExactSynonym")
 
 
+def resolve_ontology_path(path: str) -> str:
+    """Normalize a config ontology location to a local filesystem path.
+
+    The reference fetches ontologies over the network at runtime
+    (``ontofetch.py:191``; config-driven URL fetch
+    ``pipeline_resources.py:117-125``) and its shipped test configs
+    point at GitHub raw URLs. This build compiles ontologies OFFLINE
+    (sandbox has no network), so:
+
+      - ``file://`` URIs are unwrapped to their local path (including
+        the ``file://localhost/...`` form), so a reference config that
+        already mirrors files locally works unchanged;
+      - ``http(s)://`` / ``ftp://`` URLs fail fast with instructions to
+        mirror the file locally, instead of surfacing as a confusing
+        FileNotFoundError on a URL string;
+      - plain paths pass through untouched.
+    """
+    lower = path.lower()
+    if lower.startswith("file://"):
+        rest = path[len("file://"):]
+        # file://localhost/x and file:///x both mean local /x;
+        # file://x (no third slash) is a degenerate-but-seen relative form.
+        if rest.startswith("localhost/"):
+            rest = rest[len("localhost"):]
+        return rest or path
+    if lower.startswith(("http://", "https://", "ftp://")):
+        raise ValueError(
+            f"config ontology {path!r} is a network URL — this build "
+            "compiles ontologies offline (the reference's runtime fetch, "
+            "ontofetch.py:191, is a documented non-goal). Mirror the OWL "
+            "file locally (e.g. curl -o local.owl <url> where you have "
+            "network) and point the config at the local path or a "
+            "file:// URI.")
+    return path
+
+
 def short_id(iri: str) -> str:
     """IRI -> reference-style prefixed id, e.g.
     ``.../obo/BFO_0000015`` -> ``BFO:0000015``;
@@ -136,7 +172,7 @@ def fetch_ontology(path: str, root_iri: str = "") -> dict:
     """OWL file -> ``{"specifications": {short_id: resource_dict}}``
     matching ontofetch.py's JSON output shape for the fields the
     lookup-table build consumes."""
-    classes = parse_owl_classes(path)
+    classes = parse_owl_classes(resolve_ontology_path(path))
 
     if root_iri:
         in_scope: set = set()

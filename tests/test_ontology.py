@@ -334,3 +334,38 @@ def test_write_fetched_ontology_synonym_columns_always_empty(tmp_path):
                   "oboInOwl_hasExactSynonym", "oboInOwl_hasNarrowSynonym",
                   "IAO_0000118"):
         assert row[FETCH_TSV_FIELDS.index(field)] == ""
+
+
+# ---- resolve_ontology_path: file:// unwrap + fail-fast on network URLs
+# (the reference fetches URLs at runtime, ontofetch.py:191 /
+# pipeline_resources.py:117-125; this build is offline by design and
+# must say so clearly instead of FileNotFoundError-ing on a URL)
+
+def test_resolve_ontology_path_plain_and_file_uri():
+    from lexmapr_spark.ontology import resolve_ontology_path
+    assert resolve_ontology_path("/tmp/x.owl") == "/tmp/x.owl"
+    assert resolve_ontology_path("rel/x.owl") == "rel/x.owl"
+    assert resolve_ontology_path("file:///tmp/x.owl") == "/tmp/x.owl"
+    assert resolve_ontology_path("file://localhost/tmp/x.owl") == "/tmp/x.owl"
+    assert resolve_ontology_path("FILE:///tmp/x.owl") == "/tmp/x.owl"
+
+
+@pytest.mark.parametrize("url", [
+    "http://example.org/bfo.owl",
+    "https://raw.githubusercontent.com/obo/bfo/master/bfo.owl",
+    "ftp://example.org/bfo.owl",
+])
+def test_resolve_ontology_path_rejects_network_urls(url):
+    from lexmapr_spark.ontology import resolve_ontology_path
+    with pytest.raises(ValueError, match="network URL.*[Mm]irror"):
+        resolve_ontology_path(url)
+
+
+def test_fetch_ontology_accepts_file_uri():
+    f = fetch_ontology("file://" + local_test_ontology("bfo.owl"))
+    assert len(f["specifications"]) == 36
+
+
+def test_fetch_ontology_rejects_url_with_mirror_hint():
+    with pytest.raises(ValueError, match="offline"):
+        fetch_ontology("https://example.org/bfo.owl")
