@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lexmapr_spark import engine
-from lexmapr_spark.ops import dedup, multimodal, sampling, similarity, textstats
+from lexmapr_spark.ops import (dedup, graph, multimodal, sampling,
+                               similarity, textstats)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -497,6 +498,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.ngram_contamination(docs, probes, n=8)
     q["text_contamination"] = text_contamination
 
+    # ---- corpus n-gram statistics (LM counts / boilerplate mining):
+    # two stacked map-side-combined aggs, no countDistinct expansion
+    q["text_ngram_counts"] = lambda spark, sf: textstats.ngram_counts(
+        _t(spark, sf, "documents"), n=3, min_count=3)
+    # heavy-hitter head via TakeOrderedAndProject (per-task top-k)
+    q["text_ngram_topk"] = lambda spark, sf: textstats.ngram_topk(
+        _t(spark, sf, "documents"), n=2, k=100)
+
+    # ---- token-adjacency PageRank (TextRank-style corpus keywords):
+    # fixed-iteration power method, DECIMAL contribution sums so the
+    # shuffle's summation order can't perturb the 6-dp contract
+    q["graph_pagerank"] = lambda spark, sf: graph.pagerank_topk(
+        _t(spark, sf, "documents"), k=100, iters=5)
+
     # ---- deterministic curation sampling (reproducible across runs,
     # engines, and partition layouts — unlike seeded df.sample)
     q["sample_hash_10pct"] = lambda spark, sf: sampling.hash_sample(
@@ -516,6 +531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_mixture_upsample"] = lambda spark, sf: sampling.mixture_sample(
         _t(spark, sf, "documents").select("doc_id", "source"),
         rates={"src0": 2.5, "src1": 0.25}, default_rate=0.05)
+
+    # train/val/test labels from disjoint hash ranges — rows can never
+    # migrate between splits across runs/engines/partitionings
+    q["sample_split_assign"] = lambda spark, sf: sampling.assign_splits(
+        _t(spark, sf, "documents").select("doc_id", "source"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1})
 
     # ---- multimodal plumbing (payloads synthesized deterministically)
     def multimodal_features(spark, sf):
@@ -875,18 +896,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count_bpe", "pack_sequences_bpe",
         "dedup_exact_substring_cdc", "dedup_incremental_merged",
         "sample_mixture_upsample", "emb_near_duplicates",
-        "emb_semantic_dedup",
+        "emb_semantic_dedup", "text_ngram_counts", "text_ngram_topk",
+        "graph_pagerank", "sample_split_assign",
         # code paths touched this round + the ANN/dedup families
         "sample_mixture", "sample_domain_cap", "dedup_exact_substring",
         "dedup_incremental", "ann_ivf_stored_batch_topk",
         "pack_sequences_2k", "pack_examples_512", "kg_text_extraction",
         "ann_srp_bucketed_topk", "ann_srp_batch_topk",
-        "ann_quantized_srp_topk", "ann_cosine_topk", "ann_quantized_topk",
-        "ann_ivf_topk", "ann_ivf_batch_topk",
+        "ann_quantized_srp_topk", "ann_ivf_batch_topk",
         "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh",
-        # dedup_simhash rotates out (hash-green r5, code untouched r6)
-        # to make room for the new emb_semantic_dedup
-        "text_token_count",
+        # rotated out for the round-6 additions (all hash-green r5,
+        # their specific code untouched r6): dedup_simhash,
+        # ann_cosine_topk, ann_quantized_topk, ann_ivf_topk,
+        # text_token_count
     ]
     DRIVER_SLOTS = 50
     assert len(priority) == DRIVER_SLOTS, (
@@ -1210,6 +1232,48 @@ def _srp_oracle_sqls() -> dict[str, str]:
             "SELECT id_a, id_b, cosine FROM scored "
             "WHERE cosine >= 0.99",
     }
+
+
+def _pagerank_oracle_sql(iters: int, damping: float, k: int) -> str:
+    """DuckDB replay of graph.pagerank_topk over the documents token
+    graph: the fixed power iteration unrolls into one CTE pair per
+    round. Determinism contract mirrors the engine exactly — per-edge
+    contributions use the SAME left-associative double expression
+    ``rank * w / out_w`` (identical IEEE results), are summed as
+    DECIMAL(38,18) (order-free), and the final ranks round to 6 dp."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        "WITH toks AS (SELECT list_filter(string_split(text, ' '), "
+        "x -> x != '') AS t FROM documents), "
+        # bigram structs, NULL-dst (past-end) pairs dropped — same
+        # semantics as token_adjacency_edges' try_element_at guard
+        "pairs AS (SELECT unnest(list_filter(list_transform("
+        "generate_series(1, len(t) - 1), "
+        "i -> struct_pack(src := t[i], dst := t[i+1])), "
+        "s -> s.dst IS NOT NULL)) AS p FROM toks), "
+        "edges AS (SELECT p.src AS src, p.dst AS dst, "
+        "CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY 1, 2), "
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), "
+        "ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w "
+        "FROM edges GROUP BY src), "
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) "
+        "AS rank FROM nodes)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.dst, "
+            "sum(CAST(r.rank * e.w / o.out_w AS DECIMAL(38,18))) AS cb "
+            f"FROM edges e JOIN r{i - 1} r ON e.src = r.node "
+            "JOIN ow o ON e.src = o.src GROUP BY e.dst)"
+            f", r{i} AS (SELECT n.node, "
+            f"(CAST(1 AS DOUBLE) - {d}) / (SELECT n FROM nn) "
+            f"+ {d} * CAST(COALESCE(c.cb, 0) AS DOUBLE) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)")
+    parts.append(
+        f" SELECT node, round(rank, 6) AS rank FROM r{iters} "
+        f"ORDER BY round(rank, 6) DESC, node LIMIT {k}")
+    return "".join(parts)
 
 
 def _pii_oracle_sql() -> str:
@@ -1564,6 +1628,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, count(DISTINCT gram) AS n_contaminated_ngrams "
             "FROM dg JOIN pg USING (gram) GROUP BY doc_id",
 
+        # corpus 3-gram stats: same gram builder as text_contamination,
+        # then the same two stacked aggs as the engine (per-doc counts
+        # first, so n_docs is a plain COUNT, no DISTINCT expansion)
+        "text_ngram_counts":
+            "WITH dg AS (SELECT doc_id, unnest(list_filter(list_transform("
+            "generate_series(1, len(toks) - 2), "
+            "i -> concat_ws(' ', toks[i+0], toks[i+1], toks[i+2])), "
+            "s -> s != '')) AS ngram FROM ("
+            "SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x != '') AS toks FROM documents)), "
+            "pd AS (SELECT ngram, doc_id, count(*) AS c FROM dg "
+            "GROUP BY 1, 2) "
+            "SELECT ngram, CAST(sum(c) AS BIGINT) AS total_count, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM pd "
+            "GROUP BY ngram HAVING sum(c) >= 3",
+
+        "text_ngram_topk":
+            "WITH dg AS (SELECT doc_id, unnest(list_filter(list_transform("
+            "generate_series(1, len(toks) - 1), "
+            "i -> concat_ws(' ', toks[i+0], toks[i+1])), "
+            "s -> s != '')) AS ngram FROM ("
+            "SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x != '') AS toks FROM documents)), "
+            "pd AS (SELECT ngram, doc_id, count(*) AS c FROM dg "
+            "GROUP BY 1, 2), "
+            "agg AS (SELECT ngram, CAST(sum(c) AS BIGINT) AS total_count, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM pd GROUP BY ngram) "
+            "SELECT * FROM agg ORDER BY total_count DESC, ngram LIMIT 100",
+
+        "graph_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85,
+                                               k=100),
+
         # 60-bit md5-prefix hash sampling — same construction both
         # engines (threshold = int(0.1 * 2^60))
         "sample_hash_10pct":
@@ -1601,6 +1697,19 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS k FROM b) "
             "SELECT doc_id, source FROM (SELECT doc_id, source, "
             "unnest(generate_series(1, k)) AS r FROM n WHERE k > 0)",
+
+        # split thresholds replicate assign_splits' cumulative Python
+        # float accumulation exactly (0.8, then 0.8 + 0.1 — NOT 0.9:
+        # the binary sum is 0.9000000000000001 and the engine inlines
+        # that product, so the oracle must too)
+        "sample_split_assign":
+            "SELECT doc_id, source, CASE "
+            f"WHEN h < {int(0.8 * (1 << 60))} THEN 'train' "
+            f"WHEN h < {int((0.8 + 0.1) * (1 << 60))} THEN 'val' "
+            "ELSE 'test' END AS split FROM ("
+            "SELECT doc_id, source, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+            " AS h FROM documents)",
 
         "text_quality": _quality_oracle_sql(),
 

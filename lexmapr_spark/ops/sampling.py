@@ -111,6 +111,57 @@ def stratified_cap(df: DataFrame, group_col: str, n: int,
             .drop("__rn"))
 
 
+def assign_splits(df: DataFrame, weights: dict | None = None,
+                  key_col: str = "doc_id",
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: add ``out_col``
+    labelling each row with a split name, chosen by which cumulative
+    hash range its 60-bit key hash falls in.
+
+    ``weights`` maps split name -> fraction (must sum to ~1; default
+    ``{"train": .98, "val": .01, "test": .01}``). Ranges are laid out
+    in the dict's iteration order, so the same weights dict always
+    yields the same assignment — across runs, engines, partitionings,
+    and cluster sizes (the property that matters: a row must NEVER
+    migrate from test into train between pipeline versions, or eval
+    numbers silently inflate). Growing one split at the expense of its
+    RIGHT-hand neighbour moves only boundary rows between those two;
+    rows never skip over a split.
+
+    A single CASE expression over the same hash as
+    :func:`hash_sample` — narrow, no shuffle, whole-stage codegen;
+    filter ``out_col == 'train'`` afterwards and Catalyst pushes both
+    into the scan.
+    """
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    for name, w in weights.items():
+        if float(w) < 0.0:
+            raise ValueError(
+                f"assign_splits: weight for {name!r} must be >= 0, got {w}")
+    total = sum(float(w) for w in weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(
+            f"assign_splits: weights must sum to 1 (+-0.001), got {total}")
+
+    h = _hash60(F.col(key_col))
+    names = list(weights)
+    # CASE in forward order (h < cum_i -> names[i]); the last split
+    # absorbs the rounding residue at the top of the hash space
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += float(weights[name])
+        cond = h < F.lit(int(cum * _HASH_SPACE))
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(
+        F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
 def mixture_sample(df: DataFrame, rates: dict, group_col: str = "source",
                    key_col: str = "doc_id",
                    default_rate: float = 0.0) -> DataFrame:

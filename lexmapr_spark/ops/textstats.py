@@ -312,6 +312,61 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
             .agg(F.countDistinct("gram").alias("n_contaminated_ngrams")))
 
 
+def ngram_counts(docs: DataFrame, n: int = 3, min_count: int = 2,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-wide word n-gram statistics: for every ``n``-gram seen at
+    least ``min_count`` times, its total occurrence count and the
+    number of distinct documents containing it.
+
+    The LM-data workhorse behind count-based language models,
+    boilerplate mining ("which 5-grams appear in 10^6 pages?") and
+    contamination audits. Returns ``(ngram, total_count, n_docs)``.
+
+    Scale shape: two stacked aggregations, both map-side combined —
+    first ``(ngram, doc)`` partial counts collapse each document's
+    repeats before ANY shuffle, then the per-ngram rollup sums
+    occurrence counts and counts rows (= distinct docs) without a
+    ``countDistinct`` expansion. Hot boilerplate grams (the skew case:
+    a cookie banner in 10^8 pages) arrive at the final shuffle as one
+    pre-aggregated row per upstream partition, never as raw pairs.
+    The ``min_count`` filter runs after the rollup (HAVING) — at
+    100 TB pair with a count-min/heavy-hitters pre-pass if the
+    long-tail output itself is the bottleneck, or use
+    :func:`ngram_topk` when only the head is wanted.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    per_doc = (fan_out(docs)
+               .select(F.col(id_col),
+                       F.explode(ngrams_col(text_col, n)).alias("ngram"))
+               .groupBy("ngram", id_col)
+               .agg(F.count(F.lit(1)).alias("c")))
+    return (per_doc.groupBy("ngram")
+            .agg(F.sum("c").alias("total_count"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("total_count") >= min_count))
+
+
+def ngram_topk(docs: DataFrame, n: int = 3, k: int = 100,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-``k`` heavy-hitter n-grams by total occurrence count (ties
+    broken by the gram itself, so the result is deterministic).
+
+    Same two-stage aggregate as :func:`ngram_counts`; the global
+    ``k``-row head rides Spark's TakeOrderedAndProject (each task
+    keeps only its own top ``k``, the driver merges P×k rows — no
+    full sort, no single-task sort of the long tail).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (ngram_counts(docs, n=n, min_count=1, id_col=id_col,
+                         text_col=text_col)
+            .orderBy(F.desc("total_count"), F.asc("ngram"))
+            .limit(k))
+
+
 # PII patterns written to the RE2-compatible subset (no backrefs, no
 # lookaround) so Spark's Java regex and DuckDB's RE2 match identically;
 # replacement order is fixed (emails first, so phone can't eat an

@@ -1997,3 +1997,151 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     # every exact clone pair collapsed, originals preferred on the tie
     assert all(i < 1000 for i in got), sorted(got)[-3:]
     assert len(got) <= 40
+
+
+def test_ngram_counts_matches_hand_counts(spark):
+    """ngram_counts: total occurrences + distinct-doc counts against a
+    hand-computed corpus; sub-n docs emit nothing; min_count filters."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),      # "a b a":2? grams: "a b a","b a b","a b a" -> a b a x2
+         (2, "a b a  c"),       # double space: tokens a b a c
+         (3, "a b"),            # < 3 tokens: no 3-grams
+         (4, "")],
+        "doc_id LONG, text STRING")
+    got = {r.ngram: (r.total_count, r.n_docs)
+           for r in textstats.ngram_counts(docs, n=3, min_count=1)
+           .collect()}
+    assert got == {
+        "a b a": (3, 2),   # twice in doc 1, once in doc 2
+        "b a b": (1, 1),
+        "b a c": (1, 1),
+    }
+    filtered = {r.ngram for r in
+                textstats.ngram_counts(docs, n=3, min_count=2).collect()}
+    assert filtered == {"a b a"}
+    with pytest.raises(ValueError):
+        textstats.ngram_counts(docs, min_count=0)
+
+
+def test_ngram_counts_two_stage_partial_agg(spark):
+    """Both aggregations must be map-side combined (partial HashAggregate
+    before each Exchange) so hot boilerplate grams collapse pre-shuffle."""
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id LONG, text STRING")
+    plan = textstats.ngram_counts(docs, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 2  # (ngram,doc) agg + ngram rollup
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_ngram_topk_deterministic_order(spark):
+    """Top-k: count-desc then gram-asc; k beyond vocab returns all."""
+    docs = spark.createDataFrame(
+        [(1, "b c b c"), (2, "a b a b")], "doc_id LONG, text STRING")
+    rows = textstats.ngram_topk(docs, n=2, k=3).collect()
+    assert [(r.ngram, r.total_count) for r in rows] == \
+        [("a b", 2), ("b c", 2), ("b a", 1)]
+    assert len(textstats.ngram_topk(docs, n=2, k=50).collect()) == 4
+    with pytest.raises(ValueError):
+        textstats.ngram_topk(docs, k=0)
+
+
+def test_assign_splits_disjoint_stable_and_narrow(spark):
+    """assign_splits: every row gets exactly one label, proportions are
+    near the weights, assignment is identical across runs/partitionings,
+    and the op is a pure narrow projection (no Exchange)."""
+    from lexmapr_spark.ops import sampling
+
+    docs = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split
+         for r in sampling.assign_splits(docs, w).collect()}
+    b = {r.doc_id: r.split
+         for r in sampling.assign_splits(docs.repartition(13), w).collect()}
+    assert a == b and len(a) == 4000
+    from collections import Counter
+    c = Counter(a.values())
+    assert 0.75 < c["train"] / 4000 < 0.85
+    assert 0.05 < c["val"] / 4000 < 0.15
+    assert 0.05 < c["test"] / 4000 < 0.15
+    plan = sampling.assign_splits(docs, w)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    # growing train at val's expense moves rows only train<->val:
+    # nobody jumps between train and test
+    a2 = {r.doc_id: r.split for r in sampling.assign_splits(
+        docs, {"train": 0.85, "val": 0.05, "test": 0.1}).collect()}
+    moved = {(a[k], a2[k]) for k in a if a[k] != a2[k]}
+    assert moved <= {("val", "train")}, moved
+    with pytest.raises(ValueError):
+        sampling.assign_splits(docs, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        sampling.assign_splits(docs, {})
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank: 6-dp ranks equal a numpy replay of the same damped
+    weighted power iteration (contribution double math, exact sums)."""
+    import numpy as np
+    from lexmapr_spark.ops import graph
+
+    rng = np.random.default_rng(5)
+    nodes = [f"n{i}" for i in range(30)]
+    raw = [(nodes[rng.integers(30)], nodes[rng.integers(30)])
+           for _ in range(200)]
+    from collections import Counter
+    weights = Counter(raw)
+    edges = spark.createDataFrame(
+        [(s, d, c) for (s, d), c in sorted(weights.items())],
+        "src STRING, dst STRING, weight LONG").repartition(5)
+
+    got = {r.node: r.rank
+           for r in graph.pagerank(edges, damping=0.85, iters=5).collect()}
+
+    present = sorted({s for s, _ in weights} | {d for _, d in weights})
+    n = len(present)
+    out_w = Counter()
+    for (s, _), c in weights.items():
+        out_w[s] += c
+    rank = {v: 1.0 / n for v in present}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in present}
+        for (s, d), c in sorted(weights.items()):
+            contrib[d] += rank[s] * c / out_w[s]
+        rank = {v: (1.0 - 0.85) / n + 0.85 * contrib[v] for v in present}
+    expect = {v: round(r, 6) for v, r in rank.items()}
+    assert set(got) == set(expect)
+    diffs = {v: (got[v], expect[v]) for v in expect
+             if abs(got[v] - expect[v]) > 2e-6}
+    assert not diffs, dict(list(diffs.items())[:3])
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, damping=1.5)
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, iters=0)
+
+
+def test_pagerank_teleport_floor_and_dangling(spark):
+    """Nodes with no in-edges sit exactly on the teleport floor
+    (1-d)/N; dangling nodes keep receiving but don't redistribute."""
+    from lexmapr_spark.ops import graph
+
+    # a -> b -> c (c dangling, a no in-edges), N = 3
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src STRING, dst STRING, weight LONG")
+    got = {r.node: r.rank
+           for r in graph.pagerank(edges, damping=0.85, iters=3).collect()}
+    floor = round(0.15 / 3, 6)
+    assert got["a"] == floor
+    assert got["c"] > got["b"] > got["a"]
+
+
+def test_token_adjacency_edges_counts(spark):
+    """Bigram edges with corpus-wide weights; single-token and empty
+    docs contribute nothing; back-to-back repeats keep self-loops."""
+    from lexmapr_spark.ops import graph
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b  b"), (3, "x"), (4, "")],
+        "doc_id LONG, text STRING")
+    got = {(r.src, r.dst): r.weight
+           for r in graph.token_adjacency_edges(docs).collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "b"): 1}
