@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from lexmapr_spark import engine
 from lexmapr_spark.ops import (dedup, graph, multimodal, sampling,
-                               similarity, textstats)
+                               search, similarity, textstats)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -58,6 +58,13 @@ def _docs_with_clones(spark, sf_dir):
 
 _CLONES_SQL = ("(SELECT doc_id, text FROM documents "
                "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)")
+
+# BM25 contract queries: 'dup' is the corpus's rare high-idf term,
+# the others are mid/high-frequency — exercises the idf spread
+BM25_QUERY_TERMS = ["dup", "merge", "query"]
+BM25_BATCH_QUERIES = [("q_dup", ["dup", "slow"]),
+                      ("q_join", ["join", "merge", "sort"]),
+                      ("q_scan", ["scan", "table"])]
 
 _STOPLIST = textstats.EN_STOPWORDS
 _TOKEN_DIM = [("spark", "TECH_0001"), ("join", "REL_0002"),
@@ -512,6 +519,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_pagerank"] = lambda spark, sf: graph.pagerank_topk(
         _t(spark, sf, "documents"), k=100, iters=5)
 
+    # ---- BM25 ranked retrieval: single query is a pure-codegen
+    # projection + TakeOrderedAndProject (zero wide shuffle); batch
+    # amortizes one corpus scan across a broadcast query table
+    q["search_bm25_topk"] = lambda spark, sf: search.bm25_topk(
+        _t(spark, sf, "documents"), BM25_QUERY_TERMS, k=20)
+
+    def search_bm25_batch(spark, sf):
+        queries = spark.createDataFrame(
+            BM25_BATCH_QUERIES, "query_id string, terms array<string>")
+        return search.bm25_batch_topk(_t(spark, sf, "documents"),
+                                      queries, k=10)
+    q["search_bm25_batch"] = search_bm25_batch
+
     # ---- deterministic curation sampling (reproducible across runs,
     # engines, and partition layouts — unlike seeded df.sample)
     q["sample_hash_10pct"] = lambda spark, sf: sampling.hash_sample(
@@ -898,9 +918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_upsample", "emb_near_duplicates",
         "emb_semantic_dedup", "text_ngram_counts", "text_ngram_topk",
         "graph_pagerank", "sample_split_assign",
+        "search_bm25_topk", "search_bm25_batch",
         # code paths touched this round + the ANN/dedup families
-        "sample_mixture", "sample_domain_cap", "dedup_exact_substring",
-        "dedup_incremental", "ann_ivf_stored_batch_topk",
+        "sample_mixture", "sample_domain_cap",
+        "ann_ivf_stored_batch_topk",
         "pack_sequences_2k", "pack_examples_512", "kg_text_extraction",
         "ann_srp_bucketed_topk", "ann_srp_batch_topk",
         "ann_quantized_srp_topk", "ann_ivf_batch_topk",
@@ -908,7 +929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out for the round-6 additions (all hash-green r5,
         # their specific code untouched r6): dedup_simhash,
         # ann_cosine_topk, ann_quantized_topk, ann_ivf_topk,
-        # text_token_count
+        # text_token_count, and — for the BM25 pair — the r5-green
+        # dedup_exact_substring / dedup_incremental, whose r6-touched
+        # variants (dedup_exact_substring_cdc / dedup_incremental_merged)
+        # stay in-window
     ]
     DRIVER_SLOTS = 50
     assert len(priority) == DRIVER_SLOTS, (
@@ -1295,6 +1319,82 @@ def _pii_oracle_sql() -> str:
             "FROM planted")
 
 
+def _bm25_raw_sql(tf: str, df: str, k1: float, b: float) -> str:
+    """The per-(doc, term) BM25 contribution with the exact constant
+    folding the engine's Python builds (``k1 + 1.0``, ``1.0 - b``
+    evaluated driver-side), so both engines round the identical
+    double."""
+    avgdl = "(CAST(total_toks AS DOUBLE) / n_docs)"
+    idf = (f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)"
+           f" / (CAST({df} AS DOUBLE) + 0.5))")
+    sat = (f"((CAST({tf} AS DOUBLE) * {k1 + 1.0!r}) / "
+           f"(CAST({tf} AS DOUBLE) + {k1!r} * "
+           f"({1.0 - b!r} + {b!r} * CAST(dl AS DOUBLE) / {avgdl})))")
+    return f"{idf} * {sat}"
+
+
+_BM25_TOKS = ("SELECT doc_id, list_filter(string_split("
+              "coalesce(text, ''), ' '), x -> x <> '') AS toks "
+              "FROM documents")
+
+
+def _bm25_oracle_sql(terms: list[str], k: int,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    terms = sorted(set(terms))
+    idx = range(len(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) "
+        f"AS df_{i}" for i, t in enumerate(terms))
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    contribs = ", ".join(
+        f"CASE WHEN tf_{i} > 0 THEN CAST(round("
+        f"{_bm25_raw_sql(f'tf_{i}', f'df_{i}', k1, b)}, 6) "
+        f"AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END AS c_{i}"
+        for i in idx)
+    total = " + ".join(f"c_{i}" for i in idx)
+    any_tf = ("tf_0" if len(terms) == 1 else
+              "greatest(" + ", ".join(f"tf_{i}" for i in idx) + ")")
+    return (
+        f"WITH t AS ({_BM25_TOKS}), "
+        f"s AS (SELECT count(*) AS n_docs, sum(len(toks)) AS total_toks, "
+        f"{df_cols} FROM t), "
+        f"sc AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t), "
+        f"c AS (SELECT doc_id, {contribs} FROM sc, s "
+        f"WHERE {any_tf} > 0) "
+        f"SELECT doc_id, round(CAST({total} AS DOUBLE), 6) AS score "
+        f"FROM c ORDER BY score DESC, doc_id LIMIT {k}")
+
+
+def _bm25_batch_oracle_sql(queries: list[tuple[str, list[str]]], k: int,
+                           k1: float = 1.2, b: float = 0.75) -> str:
+    qvals = ", ".join(f"('{qid}', '{t}')"
+                      for qid, terms in queries for t in sorted(set(terms)))
+    raw = _bm25_raw_sql("tf", "df", k1, b)
+    return (
+        f"WITH t AS ({_BM25_TOKS}), "
+        f"q(query_id, term) AS (SELECT * FROM (VALUES {qvals})), "
+        "s AS (SELECT count(*) AS n_docs, sum(len(toks)) AS total_toks "
+        "FROM t), "
+        "tdf AS (SELECT term, count(*) AS df FROM ("
+        "SELECT DISTINCT dd.doc_id, dd.term FROM ("
+        "SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t) dd "
+        "JOIN (SELECT DISTINCT term FROM q) qt USING (term)) GROUP BY term), "
+        "dt AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term "
+        "FROM t), "
+        "tf AS (SELECT q.query_id, dt.doc_id, dt.dl, dt.term, "
+        "count(*) AS tf FROM dt JOIN q USING (term) GROUP BY 1, 2, 3, 4), "
+        f"c AS (SELECT query_id, doc_id, CAST(round({raw}, 6) "
+        "AS DECIMAL(28,6)) AS c FROM tf JOIN tdf USING (term), s), "
+        "pd AS (SELECT query_id, doc_id, sum(c) AS c_total "
+        "FROM c GROUP BY 1, 2) "
+        "SELECT query_id, doc_id, round(CAST(c_total AS DOUBLE), 6) "
+        "AS score FROM (SELECT query_id, doc_id, c_total, row_number() "
+        "OVER (PARTITION BY query_id ORDER BY c_total DESC, doc_id) AS rk "
+        f"FROM pd) WHERE rk <= {k} ORDER BY query_id, score DESC, doc_id")
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ",".join(f"'{w}'" for w in _STOPLIST)
     dim_values = ",".join(f"('{t}','{i}')" for t, i in _TOKEN_DIM)
@@ -1659,6 +1759,12 @@ def oracle_sql() -> dict[str, str]:
 
         "graph_pagerank": _pagerank_oracle_sql(iters=5, damping=0.85,
                                                k=100),
+
+        # BM25: identical constant folding, per-term contributions
+        # rounded to 6 dp and summed as DECIMAL(28,6) in both engines
+        "search_bm25_topk": _bm25_oracle_sql(BM25_QUERY_TERMS, k=20),
+        "search_bm25_batch": _bm25_batch_oracle_sql(BM25_BATCH_QUERIES,
+                                                    k=10),
 
         # 60-bit md5-prefix hash sampling — same construction both
         # engines (threshold = int(0.1 * 2^60))

@@ -1,0 +1,207 @@
+"""BM25 ranked retrieval over a document corpus.
+
+No reference counterpart (LexMapr does ontology term matching, not
+free-text retrieval); this implements the published Okapi BM25
+ranking function (Robertson & Zaragoza 2009, "The Probabilistic
+Relevance Framework: BM25 and Beyond") with the non-negative
+``ln(1 + (N - df + 0.5) / (df + 0.5))`` idf variant popularized by
+Lucene, so scores never go negative for very common terms.
+
+Two shapes, matching how the ANN ops split serving from batch work:
+
+* :func:`bm25_topk` — ONE query (a small literal term list). The
+  entire score is a pure whole-stage-codegen projection: per-term
+  ``tf`` via ``size(filter(tokens, x == term))``, document length via
+  ``size(tokens)``, and the corpus statistics (N, total tokens, per-
+  term document frequencies) as a single 1-row aggregate broadcast
+  back with a ``crossJoin``. ZERO wide shuffle — the only exchanges
+  are the 1-row stats aggregate and the ``TakeOrderedAndProject``
+  k-row head (each task keeps its own top k; the driver merges P*k
+  rows, never sorts the corpus).
+
+* :func:`bm25_batch_topk` — a DataFrame of queries scored in ONE
+  corpus scan: explode the corpus into (doc, token) pairs, broadcast-
+  hash-join against the (query, term) table so the big side never
+  shuffles on the join, then two map-side-combined aggregations and a
+  per-query WindowGroupLimit top-k (rank pushdown keeps only k rows
+  per task before the final per-query exchange).
+
+Determinism contract (cross-engine hashability): each per-term
+contribution is rounded to 6 dp and cast to DECIMAL(28,6) BEFORE the
+per-document sum, so the total is exact and independent of summation
+order; the final score is the decimal total rounded to 6 dp as a
+double. Ties in the top-k break on ``doc_id`` ascending. The batch
+and single paths use the identical contribution expression, so
+``bm25_batch_topk`` with one query equals ``bm25_topk`` row-for-row.
+
+Tokenization is the engine-wide whitespace convention
+(:func:`lexmapr_spark.ops.dedup.tokens_col`); NULL text scores as an
+empty document.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lexmapr_spark.ops.dedup import tokens_col
+from lexmapr_spark.ops.util import fan_out
+
+_DEC = "decimal(28,6)"
+
+
+def _validate(query_terms: list[str], k: int, k1: float, b: float) -> list[str]:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    terms = sorted(set(query_terms))
+    if not terms or any(t == "" or " " in t for t in terms):
+        raise ValueError(
+            "query_terms must be non-empty whitespace-free tokens; "
+            f"got {query_terms!r}")
+    return terms
+
+
+def _eq_term(term: str):
+    return lambda x: x == F.lit(term)
+
+
+def _idf(n_docs: Column, df: Column) -> Column:
+    """Lucene-style non-negative BM25 idf."""
+    return F.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _saturation(tf: Column, dl: Column, avgdl: Column,
+                k1: float, b: float) -> Column:
+    """The tf saturation factor tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))."""
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents for one query, BM25-ranked.
+
+    Returns ``(id_col, score)``, highest score first, ties broken by
+    ``id_col``; only documents containing at least one query term are
+    candidates. Duplicate query terms are collapsed (each distinct
+    term contributes once, the standard bag-of-words query form).
+
+    Scale shape: the corpus is scanned twice — once for the 1-row
+    stats aggregate (N, total token count, per-term df), once for
+    scoring — and both scans prune to (id, text) at the parquet
+    reader. Nothing corpus-sized ever shuffles: stats come back as a
+    broadcast 1-row crossJoin, per-document tf/dl are array
+    expressions inside whole-stage codegen, and the k-row head is
+    TakeOrderedAndProject. At 100 TB this is the right serving shape
+    for ad-hoc queries; for a standing query workload amortize the
+    corpus scan with :func:`bm25_batch_topk`.
+    """
+    terms = _validate(query_terms, k, k1, b)
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_toks"),
+        *[F.sum(F.array_contains(toks, t).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(terms)])
+
+    scored = (fan_out(docs)
+              .select(F.col(id_col), F.size(toks).alias("dl"),
+                      # one-arg closure per term: a two-arg lambda
+                      # would make F.filter bind (element, index)
+                      *[F.size(F.filter(toks, _eq_term(t)))
+                        .alias(f"tf_{i}") for i, t in enumerate(terms)])
+              .where((F.col("tf_0") if len(terms) == 1 else
+                      F.greatest(*[F.col(f"tf_{i}")
+                                   for i in range(len(terms))])) > 0)
+              .crossJoin(F.broadcast(stats)))
+
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        raw = (_idf(F.col("n_docs").cast("double"),
+                    F.col(f"df_{i}").cast("double"))
+               * _saturation(tf, F.col("dl").cast("double"), avgdl, k1, b))
+        contribs.append(
+            F.when(F.col(f"tf_{i}") > 0, F.round(raw, 6).cast(_DEC))
+             .otherwise(F.lit(0).cast(_DEC)))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (scored
+            .select(id_col,
+                    F.round(total.cast("double"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    query_id_col: str = "query_id",
+                    terms_col: str = "terms") -> DataFrame:
+    """Top-``k`` documents for EVERY query in ``queries`` — one corpus
+    scan amortized across the whole query batch.
+
+    ``queries`` is small (a serving batch: ``(query_id,
+    terms array<string>)``); it is broadcast, the corpus side never
+    shuffles for the join. Returns ``(query_id, id_col, score)``.
+
+    Scale shape: corpus explode -> broadcast hash join on token ->
+    groupBy(query, doc, term) tf counts (map-side combined: a term
+    repeated in a doc collapses before the shuffle) -> per-term
+    contribution -> exact DECIMAL per-(query, doc) sum -> per-query
+    rank <= k via WindowGroupLimit (each task keeps k rows per query
+    before the final exchange on query_id). Corpus statistics reuse
+    the same broadcast-join shape: df per term is one
+    map-side-combined count over distinct (doc, term) pairs.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+
+    qterms = (queries.select(F.col(query_id_col),
+                             F.explode(terms_col).alias("term"))
+              .distinct())
+    distinct_terms = qterms.select("term").distinct()
+
+    # per-term document frequency: distinct tokens per doc so a term
+    # repeated in one doc counts that doc once; broadcast-semi shape
+    term_df = (fan_out(docs)
+               .select(F.explode(F.array_distinct(toks)).alias("term"))
+               .join(F.broadcast(distinct_terms), "term")
+               .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.size(toks)).alias("total_toks"))
+
+    doc_tokens = fan_out(docs).select(
+        F.col(id_col), F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"))
+    tf = (doc_tokens.join(F.broadcast(qterms), "term")
+          .groupBy(query_id_col, id_col, "dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    contrib = F.round(
+        _idf(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+        * _saturation(F.col("tf").cast("double"), F.col("dl").cast("double"),
+                      avgdl, k1, b), 6).cast(_DEC)
+    per_doc = (tf.join(F.broadcast(term_df), "term")
+               .crossJoin(F.broadcast(stats))
+               .select(query_id_col, id_col, contrib.alias("c"))
+               .groupBy(query_id_col, id_col)
+               .agg(F.sum("c").alias("c_total")))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.desc("c_total"), F.asc(id_col)))
+    return (per_doc
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .select(query_id_col, id_col,
+                    F.round(F.col("c_total").cast("double"), 6)
+                     .alias("score"))
+            .orderBy(query_id_col, F.desc("score"), F.asc(id_col)))

@@ -53,10 +53,20 @@ def test_cli_config_local_owl(tmp_path):
     rc = main([os.path.join(INPUT_DIR, "small_simple.csv"),
                "-c", str(cfg), "-o", str(out)])
     assert rc == 0 and out.read_text().count("\n") > 1
-    # network-shaped entries fail with a clear offline message
+    # network-shaped entries fail fast with a clear offline message
+    # (ValueError from resolve_ontology_path, not a confusing
+    # FileNotFoundError on the URL string — r6 change)
     cfg.write_text(json.dumps([{"http://purl.example/x.owl": "r"}]))
-    with pytest.raises(FileNotFoundError, match="offline"):
+    with pytest.raises(ValueError, match="offline"):
         main([os.path.join(INPUT_DIR, "small_simple.csv"), "-c", str(cfg)])
+    # file:// URIs unwrap to the local path and compile unchanged
+    cfg.write_text(json.dumps(
+        [{"file://" + owl:
+          "http://www.co-ode.org/ontologies/pizza/pizza.owl#Spiciness"}]))
+    out2 = tmp_path / "out2.tsv"
+    rc = main([os.path.join(INPUT_DIR, "small_simple.csv"),
+               "-c", str(cfg), "-o", str(out2)])
+    assert rc == 0 and out2.read_text() == out.read_text()
 
 
 def test_cli_lexicon_cache_roundtrip(tmp_path):

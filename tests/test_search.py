@@ -1,0 +1,138 @@
+"""BM25 ranked retrieval (ops/search.py).
+
+Correctness is pinned against a pure-Python replay of the published
+Okapi BM25 formula (same 6-dp per-term rounding contract), the batch
+path is pinned row-for-row equal to the single-query path, and the
+plan shapes that make the op scale are asserted physically: the
+single-query path is a pure projection + TakeOrderedAndProject with
+no Window and no corpus-sized exchange; the batch path broadcast-joins
+the query table so the corpus never shuffles for the join.
+"""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexmapr_spark import engine
+from lexmapr_spark.ops.search import bm25_batch_topk, bm25_topk
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = engine.build_spark(cpus=4, app="search_tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+ROWS = [
+    (0, "dup merge query scan"),
+    (1, "merge merge merge scan table"),
+    (2, "dup dup dup"),
+    (3, "scan table window sort"),
+    (4, None),
+    (5, ""),
+    (6, "query query merge dup scan scan scan scan scan scan scan scan"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id LONG, text STRING")
+
+
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    """Pure-Python Okapi BM25 with the engine's 6-dp contribution
+    rounding; returns [(score, doc_id)] best-first."""
+    toks = {i: (t.split() if t else []) for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = []
+    for d, tk in toks.items():
+        s = 0.0
+        hit = False
+        for t in sorted(set(terms)):
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl))
+            s += round(idf * sat, 6)
+        if hit:
+            out.append((round(s, 6), d))
+    return sorted(out, key=lambda x: (-x[0], x[1]))
+
+
+def test_bm25_matches_python_reference(docs):
+    got = [(r.score, r.doc_id)
+           for r in bm25_topk(docs, ["dup", "merge"], k=10).collect()]
+    assert got == _py_bm25(ROWS, ["dup", "merge"])
+    # rare term ('dup', df=3) outscores the same tf of a common term:
+    # doc 2 (3x dup) must beat doc 1 (3x merge, longer doc)
+    by_doc = dict((d, s) for s, d in got)
+    assert by_doc[2] > by_doc[1]
+
+
+def test_bm25_k_truncates_and_duplicates_collapse(docs):
+    top1 = bm25_topk(docs, ["dup", "merge", "dup"], k=1).collect()
+    full = _py_bm25(ROWS, ["dup", "merge"])
+    assert [(r.score, r.doc_id) for r in top1] == full[:1]
+
+
+def test_bm25_null_and_empty_text_never_match(docs):
+    ids = {r.doc_id for r in bm25_topk(docs, ["dup", "merge", "scan",
+                                              "query", "table", "window",
+                                              "sort"], k=100).collect()}
+    assert 4 not in ids and 5 not in ids
+
+
+def test_bm25_batch_equals_single(docs):
+    queries = docs.sparkSession.createDataFrame(
+        [("q0", ["dup", "merge"]), ("q1", ["scan"]),
+         ("q2", ["nonexistent_term"])],
+        "query_id STRING, terms ARRAY<STRING>")
+    batch = bm25_batch_topk(docs, queries, k=5).collect()
+    for qid, terms in [("q0", ["dup", "merge"]), ("q1", ["scan"])]:
+        single = [(r.score, r.doc_id)
+                  for r in bm25_topk(docs, terms, k=5).collect()]
+        got = [(r.score, r.doc_id) for r in batch if r.query_id == qid]
+        assert got == single, qid
+    assert not [r for r in batch if r.query_id == "q2"]
+
+
+def test_bm25_validation():
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(None, ["a"], k=0)
+    with pytest.raises(ValueError, match="whitespace-free"):
+        bm25_topk(None, ["two words"])
+    with pytest.raises(ValueError, match="whitespace-free"):
+        bm25_topk(None, [])
+    with pytest.raises(ValueError, match="k1 >= 0"):
+        bm25_topk(None, ["a"], k1=-1)
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_batch_topk(None, None, k=0)
+
+
+def test_bm25_single_plan_is_projection_plus_topk(docs):
+    plan = bm25_topk(docs, ["dup", "merge"], k=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    # the k-row head never globally sorts the corpus
+    assert "TakeOrderedAndProject" in plan
+    # no per-row window machinery anywhere in the single-query path
+    assert "Window" not in plan
+    # the only exchange is the 1-row stats aggregate (SinglePartition);
+    # the corpus side must not hash-shuffle
+    assert "hashpartitioning" not in plan
+
+
+def test_bm25_batch_plan_broadcasts_queries(docs):
+    queries = docs.sparkSession.createDataFrame(
+        [("q0", ["dup", "merge"])], "query_id STRING, terms ARRAY<STRING>")
+    plan = bm25_batch_topk(docs, queries, k=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    # query table and term-df side ride broadcast joins — the corpus
+    # never shuffles for a join (its only exchanges are the two
+    # map-side-combined aggregations)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
