@@ -137,6 +137,93 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
             .limit(k))
 
 
+def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = 64,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     mode: str = "overwrite") -> None:
+    """Materialize the inverted index for amortized BM25 serving —
+    the retrieval twin of the stored-IVF ANN path.
+
+    Writes two artifacts under ``path``:
+
+    * ``postings/`` — one row per (term, doc) pair: ``(term,
+      term_bucket, id, tf, dl)``, PARTITIONED BY ``term_bucket =
+      pmod(xxhash64(term), n_buckets)``. A query reads only the
+      buckets its terms hash to (PartitionFilters, not a post-scan
+      filter) — at 100 TB the corpus is never rescanned per query and
+      the scan cost is ~n_terms/n_buckets of the index. Document
+      length rides denormalized on every posting so scoring needs no
+      doc-length join.
+    * ``stats/`` — the 1-row corpus statistics (n_docs,
+      total_toks). Per-term df is NOT stored: it is one tiny count
+      over the already-pruned postings at query time, so the index
+      needs no second synchronized artifact to stay consistent.
+
+    Build shape: one corpus scan, explode to tokens, one map-side-
+    combined groupBy(term, doc) — the same cost class as minhash
+    signature builds.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    postings = (fan_out(docs)
+                .select(F.col(id_col), F.size(toks).alias("dl"),
+                        F.explode(toks).alias("term"))
+                .groupBy("term", id_col, "dl")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("term_bucket",
+                            F.pmod(F.xxhash64("term"), F.lit(n_buckets))))
+    postings.write.mode(mode).partitionBy("term_bucket") \
+        .parquet(f"{path}/postings")
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.size(toks)).alias("total_toks"))
+    stats.write.mode(mode).parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(spark, path: str, query_terms: list[str],
+                      k: int = 10, k1: float = 1.2, b: float = 0.75,
+                      n_buckets: int = 64,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Serve one BM25 query from a :func:`build_bm25_index` store —
+    identical scores to :func:`bm25_topk`, but the corpus is never
+    rescanned: the postings read is PARTITION-PRUNED to the buckets
+    the query terms hash to, df comes from one count over those same
+    pruned rows, and the k-row head is TakeOrderedAndProject.
+
+    ``n_buckets`` must match the build (it is the partition layout);
+    the bucket ids are computed with one bounded driver-side job over
+    the literal term list (same precedent as the ANN batch query-row
+    collect — |terms| rows, never corpus-sized).
+    """
+    terms = _validate(query_terms, k, k1, b)
+    term_rows = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = sorted({
+        r.b for r in term_rows.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+        .collect()})
+    postings = (spark.read.parquet(f"{path}/postings")
+                .where(F.col("term_bucket").isin(buckets))
+                .where(F.col("term").isin(list(terms))))
+    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.read.parquet(f"{path}/stats")
+
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    contrib = F.round(
+        _idf(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+        * _saturation(F.col("tf").cast("double"), F.col("dl").cast("double"),
+                      avgdl, k1, b), 6).cast(_DEC)
+    return (postings
+            .join(F.broadcast(term_df), "term")
+            .crossJoin(F.broadcast(stats))
+            .select(id_col, contrib.alias("c"))
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("c_total"))
+            .select(id_col,
+                    F.round(F.col("c_total").cast("double"), 6)
+                     .alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
 def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                     k1: float = 1.2, b: float = 0.75,
                     id_col: str = "doc_id", text_col: str = "text",

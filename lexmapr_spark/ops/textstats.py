@@ -367,6 +367,62 @@ def ngram_topk(docs: DataFrame, n: int = 3, k: int = 100,
             .limit(k))
 
 
+def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 100,
+                     text_col: str = "text") -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    ``ln(p(a,b) / (p(a) * p(b)))`` over adjacent whitespace-token
+    pairs, the standard corpus-statistics collocation extractor
+    (Church & Hanks 1990). The reference ships dormant wiki
+    collocation resources (adjudicated dead code); this is the
+    live Spark-first form of that capability.
+
+    Returns ``(bigram, pair_count, pmi)`` for bigrams seen at least
+    ``min_count`` times, highest PMI first (ties: bigram ascending).
+
+    Scale shape: two map-side-combined aggregations (unigram counts,
+    bigram counts) over one logical corpus scan each; corpus totals
+    ride a broadcast 1-row frame; the unigram side joins onto the
+    bigram table WITHOUT a broadcast hint (vocabulary can exceed
+    driver memory at 100 TB — AQE picks broadcast when it fits).
+    ``min_count`` prunes the bigram long tail BEFORE both joins, and
+    the k-row head is TakeOrderedAndProject. PMI is rounded to 6 dp
+    (the ordering key), so results are cross-engine deterministic.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    uni = (fan_out(docs)
+           .select(F.explode(toks).alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    totals = (docs.agg(
+        F.sum(F.size(toks)).alias("total_toks"),
+        F.sum(F.when(F.size(toks) > 1, F.size(toks) - 1).otherwise(0))
+         .alias("total_pairs")))
+    bi = (fan_out(docs)
+          .select(F.explode(ngrams_col(text_col, 2)).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("pair_count"))
+          .where(F.col("pair_count") >= min_count))
+    parts = F.split("bigram", " ", 2)
+    bi = bi.select("bigram", "pair_count",
+                   parts.getItem(0).alias("_a"), parts.getItem(1).alias("_b"))
+    joined = (bi
+              .join(uni.select(F.col("token").alias("_a"),
+                               F.col("c").alias("c_a")), "_a")
+              .join(uni.select(F.col("token").alias("_b"),
+                               F.col("c").alias("c_b")), "_b")
+              .crossJoin(F.broadcast(totals)))
+    p_ab = F.col("pair_count").cast("double") / F.col("total_pairs")
+    p_a = F.col("c_a").cast("double") / F.col("total_toks")
+    p_b = F.col("c_b").cast("double") / F.col("total_toks")
+    return (joined
+            .select("bigram", "pair_count",
+                    F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("bigram"))
+            .limit(k))
+
+
 # PII patterns written to the RE2-compatible subset (no backrefs, no
 # lookaround) so Spark's Java regex and DuckDB's RE2 match identically;
 # replacement order is fixed (emails first, so phone can't eat an

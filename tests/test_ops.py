@@ -2145,3 +2145,54 @@ def test_token_adjacency_edges_counts(spark):
     got = {(r.src, r.dst): r.weight
            for r in graph.token_adjacency_edges(docs).collect()}
     assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_pmi_collocations_match_hand_computation(spark):
+    """PMI pinned against a hand-replayed Church & Hanks computation;
+    min_count prunes, ties break on bigram, k truncates."""
+    import math
+
+    rows = [(1, "big data big data big data"),
+            (2, "big data lake"),
+            (3, "data lake data lake"),
+            (4, "big big big"),
+            (5, None), (6, "")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.bigram: (r.pair_count, r.pmi)
+           for r in textstats.pmi_collocations(docs, min_count=2,
+                                               k=10).collect()}
+    toks = [t for _, s in rows if s for t in s.split()]
+    pairs = [b for _, s in rows if s
+             for b in zip(s.split(), s.split()[1:])]
+    total_toks, total_pairs = len(toks), len(pairs)
+
+    def pmi(a, b):
+        c_ab = pairs.count((a, b))
+        p_ab = c_ab / total_pairs
+        p = (toks.count(a) / total_toks) * (toks.count(b) / total_toks)
+        return c_ab, round(math.log(p_ab / p), 6)
+
+    want = {f"{a} {b}": pmi(a, b)
+            for (a, b) in set(pairs) if pairs.count((a, b)) >= 2}
+    assert got == want
+    # "data lake" (tight pair) must out-PMI "big big" (frequent token)
+    assert got["data lake"][1] > got["big big"][1]
+    top1 = textstats.pmi_collocations(docs, min_count=2, k=1).collect()
+    assert len(top1) == 1
+    assert top1[0].pmi == max(v[1] for v in want.values())
+    with pytest.raises(ValueError, match="min_count"):
+        textstats.pmi_collocations(docs, min_count=0)
+    with pytest.raises(ValueError, match="k must"):
+        textstats.pmi_collocations(docs, k=0)
+
+
+def test_pmi_collocations_no_broadcast_of_unigram_vocab(spark):
+    """The vocabulary-sized unigram side must not carry an explicit
+    broadcast hint (AQE may still choose broadcast when it fits; the
+    HINT is what would force a driver OOM at 100 TB vocabulary)."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c d e")], "doc_id LONG, text STRING")
+    optimized = textstats.pmi_collocations(docs, min_count=1, k=5) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one hint survives: the 1-row totals frame
+    assert optimized.count("ResolvedHint") <= 1

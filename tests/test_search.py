@@ -14,7 +14,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from lexmapr_spark import engine
-from lexmapr_spark.ops.search import bm25_batch_topk, bm25_topk
+from lexmapr_spark.ops.search import (bm25_batch_topk, bm25_topk,
+                                      bm25_topk_indexed, build_bm25_index)
 
 
 @pytest.fixture(scope="module")
@@ -124,6 +125,34 @@ def test_bm25_single_plan_is_projection_plus_topk(docs):
     # the only exchange is the 1-row stats aggregate (SinglePartition);
     # the corpus side must not hash-shuffle
     assert "hashpartitioning" not in plan
+
+
+def test_bm25_indexed_equals_direct_and_prunes_partitions(docs, tmp_path):
+    store = str(tmp_path / "bm25")
+    build_bm25_index(docs, store, n_buckets=8)
+    direct = [(r.score, r.doc_id)
+              for r in bm25_topk(docs, ["dup", "merge"], k=10).collect()]
+    q = bm25_topk_indexed(docs.sparkSession, store, ["dup", "merge"],
+                          k=10, n_buckets=8)
+    got = [(r.score, r.doc_id) for r in q.collect()]
+    assert got == direct
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the postings scan must be partition-pruned to the query terms'
+    # buckets, not a full-index filter
+    pf = [ln for ln in plan.split("\n")
+          if "PartitionFilters" in ln and "term_bucket" in ln]
+    assert pf and all("IN" in ln for ln in pf), plan
+    # single-term query works through the indexed path too
+    one = bm25_topk_indexed(docs.sparkSession, store, ["scan"],
+                            k=3, n_buckets=8)
+    single = [(r.score, r.doc_id)
+              for r in bm25_topk(docs, ["scan"], k=3).collect()]
+    assert [(r.score, r.doc_id) for r in one.collect()] == single
+
+
+def test_bm25_index_build_validation(docs, tmp_path):
+    with pytest.raises(ValueError, match="n_buckets"):
+        build_bm25_index(docs, str(tmp_path / "x"), n_buckets=0)
 
 
 def test_bm25_batch_plan_broadcasts_queries(docs):
