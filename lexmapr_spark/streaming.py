@@ -338,6 +338,56 @@ def stream_perplexity_pages(pages_stream, lm, out_dir: str,
     return writer.start()
 
 
+def stream_bm25_matches(pages_stream, index_path: str,
+                        query_terms: list[str], out_dir: str,
+                        checkpoint_dir: str, min_score: float = 0.0,
+                        k1: float = 1.2, b: float = 0.75,
+                        n_buckets: int = 64,
+                        available_now: bool = True):
+    """Standing-query BM25 routing over an unbounded page stream:
+    every arriving page is scored against a fixed query and kept when
+    ``score >= min_score`` — the alerting / topic-routing shape of the
+    retrieval family.
+
+    Corpus statistics (N, avgdl, per-term df) are FROZEN from a stored
+    :func:`lexmapr_spark.ops.search.build_bm25_index` — read ONCE at
+    stream setup (two bounded driver actions, partition-pruned), then
+    inlined as literals, so scoring is a pure per-row projection:
+    no cross-batch state, no per-batch index rescan, offsets-only
+    checkpoint, and a page scores identically whichever micro-batch it
+    lands in. The batch twin (``bm25_score_static`` on the same rows
+    with the same stats) is pinned equal by test.
+    """
+    from lexmapr_spark.ops.search import bm25_index_stats, bm25_score_static
+
+    spark = pages_stream.sparkSession
+    stats = bm25_index_stats(spark, index_path, query_terms,
+                             n_buckets=n_buckets)
+
+    def write_batch(batch_df, batch_id):
+        scored = (bm25_score_static(batch_df, query_terms, stats,
+                                    k1=k1, b=b, id_col="url",
+                                    text_col="text")
+                  .where(F.col("score") >= min_score))
+        # idempotent replay: each micro-batch owns its batch_id=N/
+        # partition; overwrite mode is a per-write option (see
+        # stream_perplexity_pages)
+        (scored.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_dir))
+
+    writer = (
+        pages_stream.select("url", "text").writeStream
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_index_deduped_pages(pages_stream, index, out_dir: str,
                                checkpoint_dir: str,
                                threshold: float = 0.5,

@@ -14,7 +14,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from lexmapr_spark import engine
-from lexmapr_spark.ops.search import (bm25_batch_topk, bm25_topk,
+from lexmapr_spark.ops.search import (bm25_batch_topk, bm25_index_stats,
+                                      bm25_score_static, bm25_topk,
                                       bm25_topk_indexed, build_bm25_index)
 
 
@@ -148,6 +149,31 @@ def test_bm25_indexed_equals_direct_and_prunes_partitions(docs, tmp_path):
     single = [(r.score, r.doc_id)
               for r in bm25_topk(docs, ["scan"], k=3).collect()]
     assert [(r.score, r.doc_id) for r in one.collect()] == single
+
+
+def test_bm25_index_stats_and_static_score(docs, tmp_path):
+    """Frozen-stats scoring: stats read from the stored index are
+    exact, absent terms get df=0, scores with corpus-derived stats
+    reproduce bm25_topk bit-for-bit, and the plan is a pure
+    projection (zero exchanges — the standing-query/streaming
+    requirement)."""
+    store = str(tmp_path / "store")
+    build_bm25_index(docs, store, n_buckets=8)
+    stats = bm25_index_stats(docs.sparkSession, store,
+                             ["dup", "merge", "ghostterm"], n_buckets=8)
+    assert stats["n_docs"] == len(ROWS)
+    assert stats["total_toks"] == sum(
+        len(t.split()) for _, t in ROWS if t)
+    assert stats["df"] == {"dup": 3, "merge": 3, "ghostterm": 0}
+    scored = bm25_score_static(docs, ["dup", "merge"], stats)
+    got = sorted((r.score, r.doc_id) for r in scored.collect())
+    want = sorted((r.score, r.doc_id)
+                  for r in bm25_topk(docs, ["dup", "merge"], k=10).collect())
+    assert got == want
+    with pytest.raises(ValueError, match="lack df"):
+        bm25_score_static(docs, ["unknown"], stats)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_bm25_index_build_validation(docs, tmp_path):

@@ -396,3 +396,62 @@ def test_stream_index_deduped_pages_matches_batch_twin(spark):
         assert not os.path.isdir(os.path.join(ckpt, "state"))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_bm25_matches_batch_twin(spark):
+    """Standing-query BM25 routing: streaming scores equal the batch
+    twin (bm25_score_static with the same frozen index stats), pages
+    without query terms never appear, and min_score gates."""
+    import datetime
+
+    from lexmapr_spark.ops import search
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "pages")
+    store = os.path.join(base, "bm25_store")
+    out = os.path.join(base, "matched")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        # reference corpus -> frozen index stats
+        ref = spark.createDataFrame(
+            [(1, "cat mat cat"), (2, "dog mat"), (3, "zebra quantum"),
+             (4, "cat dog mat mat")],
+            "doc_id LONG, text STRING")
+        search.build_bm25_index(ref, store, n_buckets=8)
+
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            ("u1", t0, None, "the cat sat on the mat", "en"),
+            ("u2", t0, None, "zebra zebra crossing", "en"),
+            ("u3", t0, None, "nothing relevant here", "en"),
+            ("u4", t0, None, None, "en"),
+        ]
+        pages = spark.createDataFrame(rows, streaming.PAGES_SCHEMA)
+        pages.write.parquet(landing)
+        terms = ["cat", "zebra"]
+        q = streaming.stream_bm25_matches(
+            streaming.stream_pages(spark, landing), store, terms,
+            out, ckpt, n_buckets=8)
+        q.awaitTermination(120)
+        got = {r.url: r.score for r in spark.read.parquet(out).collect()}
+        stats = search.bm25_index_stats(spark, store, terms, n_buckets=8)
+        want = {r.url: r.score
+                for r in search.bm25_score_static(
+                    pages, terms, stats, id_col="url",
+                    text_col="text").collect()}
+        assert got == want and set(got) == {"u1", "u2"}
+        # rare 'zebra' (df=1) outweighs 'cat' (df=2) at equal-ish tf
+        assert got["u2"] > got["u1"]
+
+        # min_score gate keeps only the high scorer; replayed batch
+        # ids stay idempotent (partitioned overwrite)
+        out2, ckpt2 = os.path.join(base, "m2"), os.path.join(base, "c2")
+        cutoff = (got["u1"] + got["u2"]) / 2
+        q2 = streaming.stream_bm25_matches(
+            streaming.stream_pages(spark, landing), store, terms,
+            out2, ckpt2, min_score=cutoff, n_buckets=8)
+        q2.awaitTermination(120)
+        kept = {r.url for r in spark.read.parquet(out2).collect()}
+        assert kept == {"u2"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
