@@ -306,14 +306,15 @@ def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     terms array<string>)``); it is broadcast, the corpus side never
     shuffles for the join. Returns ``(query_id, id_col, score)``.
 
-    Scale shape: corpus explode -> broadcast hash join on token ->
+    Scale shape: ONE corpus explode -> broadcast hash join on token ->
     groupBy(query, doc, term) tf counts (map-side combined: a term
-    repeated in a doc collapses before the shuffle) -> per-term
-    contribution -> exact DECIMAL per-(query, doc) sum -> per-query
-    rank <= k via WindowGroupLimit (each task keeps k rows per query
-    before the final exchange on query_id). Corpus statistics reuse
-    the same broadcast-join shape: df per term is one
-    map-side-combined count over distinct (doc, term) pairs.
+    repeated in a doc collapses before the shuffle), PERSISTED
+    (bounded by matched pairs) so per-term df derives from the same
+    rows instead of a second corpus pass -> per-term contribution ->
+    exact DECIMAL per-(query, doc) sum -> per-query rank <= k via
+    WindowGroupLimit (each task keeps k rows per query before the
+    final exchange on query_id). Total corpus scans: 2 (tf build +
+    the 1-row stats aggregate).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -324,14 +325,12 @@ def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     qterms = (queries.select(F.col(query_id_col),
                              F.explode(terms_col).alias("term"))
               .distinct())
-    distinct_terms = qterms.select("term").distinct()
-
-    # per-term document frequency: distinct tokens per doc so a term
-    # repeated in one doc counts that doc once; broadcast-semi shape
-    term_df = (fan_out(docs)
-               .select(F.explode(F.array_distinct(toks)).alias("term"))
-               .join(F.broadcast(distinct_terms), "term")
-               .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    # NOTE: pre-filtering the token ARRAY to the query terms before
+    # the explode was tried and is SLOWER — the isin lambda inside the
+    # array HOF runs interpreted per element (the round-4 interpreted-
+    # HOF lesson), while the post-explode BroadcastHashJoin below is
+    # whole-stage codegen. The explode itself emits no wider rows
+    # than the scan already read.
 
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum(F.size(toks)).alias("total_toks"))
@@ -339,9 +338,23 @@ def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     doc_tokens = fan_out(docs).select(
         F.col(id_col), F.size(toks).alias("dl"),
         F.explode(toks).alias("term"))
-    tf = (doc_tokens.join(F.broadcast(qterms), "term")
-          .groupBy(query_id_col, id_col, "dl", "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
+    # PERSISTED (scoped, bounded by matches): both the df derivation
+    # and the scoring branch read this aggregate from memory, so the
+    # corpus is exploded exactly ONCE — the lazy form re-ran the
+    # explode + broadcast join per consumer (a third full corpus pass
+    # at 100 TB just to count df)
+    from lexmapr_spark.ops.util import scoped_persist
+    tf = scoped_persist(
+        doc_tokens.join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "bm25_batch_tf", warn_on_evict=False)
+
+    # per-term document frequency from the SAME matched rows: a term's
+    # df = distinct docs among its tf rows (a (doc, term) pair repeats
+    # once per query containing the term — distinct collapses that)
+    term_df = (tf.select("term", id_col).distinct()
+               .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
 
     avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
     contrib = F.round(

@@ -191,3 +191,6 @@ def test_bm25_batch_plan_broadcasts_queries(docs):
     # map-side-combined aggregations)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the df branch reads the persisted tf aggregate, not a second
+    # corpus explode (2 corpus scans total, not 3)
+    assert "InMemoryTableScan" in plan

@@ -257,6 +257,67 @@ def main():
             "fractional hash-threshold copies via ONE bounded "
             "explode(sequence) in codegen — no join, no shuffle; the "
             "all-rates<=1 path stays a pure pushed filter.",
+        "emb_semantic_dedup":
+            "SemDeDup (round 6): k-means assignment in one Arrow "
+            "stage (deterministic sample-trained centroids, bounded "
+            "2000-row driver sample), candidate pairs ONLY within a "
+            "cluster (cluster id is the join key — never corpus²), "
+            "cosine-to-centroid ranking and keep-lowest keeper as "
+            "aggregates, not windows.",
+        "text_ngram_counts":
+            "Corpus n-gram stats (round 6): two STACKED map-side-"
+            "combined hash aggregates — per-(gram, doc) partials "
+            "collapse a document's repeats before any shuffle, the "
+            "per-gram rollup counts rows instead of expanding a "
+            "countDistinct; HAVING runs after the rollup.",
+        "graph_pagerank":
+            "Token-adjacency PageRank (round 6): fixed-iteration "
+            "power method — per-round contribution join + one "
+            "groupBy(dst) with DECIMAL sums (shuffle summation order "
+            "cannot perturb the 6-dp contract); edge table built "
+            "once, localCheckpoint'ed so round N's plan does not "
+            "re-execute rounds 1..N-1.",
+        "sample_split_assign":
+            "Hash-range split assignment (round 6): train/val/test "
+            "labels from one md5-threshold CASE projection in "
+            "codegen — zero shuffle, reproducible across engines, "
+            "partition layouts, and runs.",
+        "search_bm25_topk":
+            "BM25 single-query serving (round 6): corpus statistics "
+            "(N, total tokens, per-term df) as ONE 1-row aggregate "
+            "broadcast back via crossJoin; per-doc tf/dl are array "
+            "expressions in whole-stage codegen; the match filter "
+            "(any tf > 0) sits BELOW the fan-out repartition so only "
+            "matching docs shuffle; TakeOrderedAndProject for the "
+            "k-row head. ZERO corpus-sized hash Exchange.",
+        "search_bm25_indexed":
+            "Stored-index BM25 serving (round 6): the postings scan "
+            "shows PartitionFilters on term_bucket (the query terms' "
+            "hash buckets — a partition-pruned read, ~n_terms/"
+            "n_buckets of the index) plus a pushed term IN-filter; "
+            "df is one tiny count over the same pruned rows; "
+            "broadcast stats + map-side-combined per-doc DECIMAL sum "
+            "+ TakeOrderedAndProject. The corpus itself is never "
+            "rescanned.",
+        "search_bm25_batch":
+            "Batch BM25 (round 6): ONE corpus explode streams "
+            "through a BroadcastHashJoin against the (query, term) "
+            "table (the big side never shuffles for the join), "
+            "groupBy(query, doc, term) tf partials collapse repeats "
+            "map-side; the tf aggregate is PERSISTED (bounded by "
+            "matched pairs) so per-term df derives from an "
+            "InMemoryTableScan of the same rows — 2 corpus scans "
+            "total, not 3; per-(query, doc) DECIMAL sum, per-query "
+            "row_number <= k (WindowGroupLimit rank pushdown keeps k "
+            "rows per task before the query_id exchange).",
+        "text_pmi_collocations":
+            "PMI collocations (round 6): unigram and bigram counts "
+            "as two map-side-combined aggregates; min_count prunes "
+            "the bigram tail BEFORE both joins; the vocabulary-sized "
+            "unigram side carries NO broadcast hint (AQE chooses — a "
+            "forced broadcast would OOM the driver at 100 TB "
+            "vocabulary); totals ride a broadcast 1-row crossJoin; "
+            "TakeOrderedAndProject head.",
     }
     for name, note in audit.items():
         sections.append((f"Query: {name}", note,
