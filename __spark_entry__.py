@@ -587,6 +587,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         k=20, n_buckets=32)
     q["search_bm25_indexed"] = search_bm25_indexed
 
+    # merged-index lifecycle: two disjoint per-batch indexes merged
+    # (with a bucket-layout widen) must serve the union corpus's
+    # scores — same oracle as the direct scan
+    def search_bm25_merged(spark, sf):
+        import os
+        root = _fingerprint_store(sf, "documents.parquet",
+                                  "bm25_merged_store")
+        gate = os.path.join(root, "merged", "stats", "_SUCCESS")
+        if not os.path.exists(gate):
+            docs = _t(spark, sf, "documents")
+            search.build_bm25_index(docs.where(F.col("doc_id") % 2 == 0),
+                                    f"{root}/even", n_buckets=8)
+            search.build_bm25_index(docs.where(F.col("doc_id") % 2 == 1),
+                                    f"{root}/odd", n_buckets=16)
+            search.merge_bm25_indexes(
+                spark, [f"{root}/even", f"{root}/odd"],
+                f"{root}/merged", n_buckets=32)
+        _evict_stale_stores(root)
+        return search.bm25_topk_indexed(spark, f"{root}/merged",
+                                        BM25_QUERY_TERMS, k=20,
+                                        n_buckets=32)
+    q["search_bm25_merged"] = search_bm25_merged
+
     # PMI bigram collocations (the live form of the reference's
     # dormant wiki-collocation resources)
     q["text_pmi_collocations"] = lambda spark, sf: \
@@ -980,13 +1003,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup", "text_ngram_counts", "text_ngram_topk",
         "graph_pagerank", "sample_split_assign",
         "search_bm25_topk", "search_bm25_batch",
-        "search_bm25_indexed", "text_pmi_collocations",
+        "search_bm25_indexed", "search_bm25_merged",
+        "text_pmi_collocations",
         # code paths touched this round + the ANN/dedup families
         "sample_mixture",
         "ann_ivf_stored_batch_topk",
         "pack_sequences_2k", "pack_examples_512", "kg_text_extraction",
         "ann_srp_bucketed_topk", "ann_srp_batch_topk",
-        "ann_quantized_srp_topk", "ann_ivf_batch_topk",
+        "ann_quantized_srp_topk",
         "dedup_minhash_signatures", "dedup_minhash_lsh",
         # rotated out for the round-6 additions (all hash-green r5,
         # their specific code untouched r6): dedup_simhash,
@@ -996,7 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variants (dedup_exact_substring_cdc / dedup_incremental_merged)
         # stay in-window; for the indexed-BM25/PMI pair — the r5-green
         # dedup_exact and sample_domain_cap (md5 groupBy / stratified
-        # cap untouched r6)
+        # cap untouched r6); for search_bm25_merged — the r5-green
+        # ann_ivf_batch_topk (its amortized stored twin stays
+        # in-window)
     ]
     DRIVER_SLOTS = 50
     assert len(priority) == DRIVER_SLOTS, (
@@ -1829,9 +1855,10 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk": _bm25_oracle_sql(BM25_QUERY_TERMS, k=20),
         "search_bm25_batch": _bm25_batch_oracle_sql(BM25_BATCH_QUERIES,
                                                     k=10),
-        # the stored-index path must reproduce the direct scores
-        # exactly — same oracle
+        # the stored-index and merged-index paths must reproduce the
+        # direct scores exactly — same oracle
         "search_bm25_indexed": _bm25_oracle_sql(BM25_QUERY_TERMS, k=20),
+        "search_bm25_merged": _bm25_oracle_sql(BM25_QUERY_TERMS, k=20),
 
         # PMI bigram collocations: integer counts exact in both
         # engines; the 6-dp-rounded PMI is the ordering key

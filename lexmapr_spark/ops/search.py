@@ -179,6 +179,48 @@ def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = 64,
     stats.write.mode(mode).parquet(f"{path}/stats")
 
 
+def merge_bm25_indexes(spark, paths: list[str], out_path: str,
+                       n_buckets: int = 64, mode: str = "overwrite") -> None:
+    """Combine per-batch BM25 indexes into one servable index — the
+    incremental-crawl lifecycle (the retrieval twin of
+    :func:`lexmapr_spark.ops.dedup.merge_minhash_indexes`): index each
+    crawl batch as it lands, merge periodically, never re-tokenize a
+    prior batch.
+
+    Postings are additive rows and corpus stats are additive sums, so
+    for DISJOINT document sets the merged index serves scores
+    IDENTICAL to an index built over the union corpus (pinned by
+    test). Documents present in several batches (a re-crawled url)
+    would double-count df and dl — dedup upstream
+    (:func:`lexmapr_spark.ops.dedup.dedup_against_index`) before
+    indexing, which a crawl pipeline does anyway.
+
+    One shuffle total: the unioned postings repartition into the
+    ``n_buckets`` partition layout; stats are a tiny unionByName sum.
+    """
+    if not paths:
+        raise ValueError("merge_bm25_indexes: need at least one path")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    postings = None
+    for p in paths:
+        part = spark.read.parquet(f"{p}/postings")
+        postings = part if postings is None else postings.unionByName(part)
+    # recompute the bucket from the term so a merge can CHANGE the
+    # bucket count (e.g. widen the layout as the corpus grows)
+    postings = postings.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    postings.write.mode(mode).partitionBy("term_bucket") \
+        .parquet(f"{out_path}/postings")
+    stats = None
+    for p in paths:
+        s = spark.read.parquet(f"{p}/stats")
+        stats = s if stats is None else stats.unionByName(s)
+    (stats.agg(F.sum("n_docs").alias("n_docs"),
+               F.sum("total_toks").alias("total_toks"))
+     .write.mode(mode).parquet(f"{out_path}/stats"))
+
+
 def bm25_topk_indexed(spark, path: str, query_terms: list[str],
                       k: int = 10, k1: float = 1.2, b: float = 0.75,
                       n_buckets: int = 64,

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from lexmapr_spark import engine
 from lexmapr_spark.ops.search import (bm25_batch_topk, bm25_index_stats,
                                       bm25_score_static, bm25_topk,
-                                      bm25_topk_indexed, build_bm25_index)
+                                      bm25_topk_indexed, build_bm25_index,
+                                      merge_bm25_indexes)
 
 
 @pytest.fixture(scope="module")
@@ -179,6 +180,35 @@ def test_bm25_index_stats_and_static_score(docs, tmp_path):
 def test_bm25_index_build_validation(docs, tmp_path):
     with pytest.raises(ValueError, match="n_buckets"):
         build_bm25_index(docs, str(tmp_path / "x"), n_buckets=0)
+    with pytest.raises(ValueError, match="at least one"):
+        merge_bm25_indexes(docs.sparkSession, [], str(tmp_path / "y"))
+
+
+def test_bm25_merged_index_equals_union_build(docs, tmp_path):
+    """Incremental lifecycle: per-batch indexes merged (including a
+    bucket-layout change) serve scores identical to one index built
+    over the union corpus."""
+    spark = docs.sparkSession
+    batch_a = docs.where(F.col("doc_id") < 3)
+    batch_b = docs.where(F.col("doc_id") >= 3)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    build_bm25_index(batch_a, pa, n_buckets=4)
+    build_bm25_index(batch_b, pb, n_buckets=8)
+    merged = str(tmp_path / "m")
+    merge_bm25_indexes(spark, [pa, pb], merged, n_buckets=16)
+    union = str(tmp_path / "u")
+    build_bm25_index(docs, union, n_buckets=16)
+    for terms in (["dup", "merge"], ["scan"]):
+        got = [(r.score, r.doc_id)
+               for r in bm25_topk_indexed(spark, merged, terms, k=10,
+                                          n_buckets=16).collect()]
+        want = [(r.score, r.doc_id)
+                for r in bm25_topk_indexed(spark, union, terms, k=10,
+                                           n_buckets=16).collect()]
+        assert got == want, terms
+    sm = bm25_index_stats(spark, merged, ["dup"], n_buckets=16)
+    su = bm25_index_stats(spark, union, ["dup"], n_buckets=16)
+    assert sm == su
 
 
 def test_bm25_batch_plan_broadcasts_queries(docs):
