@@ -69,15 +69,21 @@ def _fingerprint_store(sf_dir: str, table: str, name: str) -> str:
 
 
 def _evict_stale_stores(root: str) -> None:
-    """Remove superseded same-basename stores. Call only AFTER the
-    current store's _SUCCESS gates passed (r6 ADVICE): a failed build
-    must not delete siblings a concurrent run may be serving from."""
+    """Remove superseded stores of the SAME dataset basename. Call
+    only AFTER the current store's _SUCCESS gates passed (r6 ADVICE):
+    a failed build must not delete siblings a concurrent run may be
+    serving from. Candidates must end in exactly a 12-hex fingerprint
+    tag beyond the basename — a bare ``{prefix}_*`` glob would also
+    match stores of any dataset whose basename EXTENDS this one
+    (``sf0.001`` vs ``sf0.001_alt``) and delete them mid-serve."""
     import glob
+    import re
     import shutil
 
     prefix = root.rsplit("_", 1)[0]
     for old in glob.glob(f"{prefix}_*"):
-        if old != root:
+        if old != root and re.fullmatch(
+                r"[0-9a-f]{12}", old[len(prefix) + 1:]):
             shutil.rmtree(old, ignore_errors=True)
 
 
@@ -418,33 +424,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # plan-asserted in tests). Same oracle as ann_ivf_batch_topk:
     # identical semantics, only the codebook/index residency differs.
     def ann_ivf_stored_batch_topk(spark, sf):
-        import glob
-        import hashlib
         import os
-        import shutil
-        # cache key = content fingerprint of the source parquet (path
-        # + file sizes + ns-precision mtimes), not the sf dir basename
-        # alone: two dataset roots sharing a basename, or data
-        # regenerated in place (even sub-second, hence st_mtime_ns),
-        # must not be served another build's index
-        edir = os.path.join(sf, "embeddings.parquet")
-        files = (sorted(
-            os.path.join(edir, f) for f in os.listdir(edir))
-            if os.path.isdir(edir) else [edir])
-        parts = []
-        for p in files:
-            try:
-                st = os.stat(p)
-            except OSError:
-                continue  # concurrent regeneration: fingerprint what
-                # remains; a mid-build rewrite changes the fingerprint
-                # on the NEXT call and the stale store is evicted then
-            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-        tag = hashlib.md5(
-            (os.path.normpath(sf) + "\n"
-             + "|".join(parts)).encode()).hexdigest()[:12]
-        base = os.path.basename(os.path.normpath(sf))
-        root = f"/tmp/lexmapr_ivf_store_{base}_{tag}"
+        # shared store discipline (_fingerprint_store docstring): the
+        # cache key is a content fingerprint of the source parquet,
+        # and the name 'ivf_store' reproduces this query's historical
+        # /tmp/lexmapr_ivf_store_<base>_<tag> layout exactly
+        root = _fingerprint_store(sf, "embeddings.parquet", "ivf_store")
         emb = _t(spark, sf, "embeddings")
         # gate on BOTH _SUCCESS markers: centroids are written after
         # the index, so a crash between the two writes leaves a cache
@@ -458,15 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 similarity.ivf_assign(emb, cents), f"{root}/index")
             similarity.write_ivf_centroids(spark, cents,
                                            f"{root}/centroids")
-        # evict superseded stores for the SAME sf basename (stale
-        # fingerprints from regenerated data) so repeated bench cycles
-        # hold one store per dataset, not an unbounded /tmp trail.
-        # Eviction runs only AFTER the current store's _SUCCESS gate
-        # passed (r6 ADVICE): a failed build must not delete siblings
-        # a concurrent same-basename run may be serving from
-        for old in glob.glob(f"/tmp/lexmapr_ivf_store_{base}_*"):
-            if old != root:
-                shutil.rmtree(old, ignore_errors=True)
+        # eviction only AFTER the gate passed (r6 ADVICE)
+        _evict_stale_stores(root)
         stored = similarity.read_ivf_index(spark, f"{root}/index")
         cents = similarity.read_ivf_centroids(spark, f"{root}/centroids")
         return similarity.ivf_topk_batch(emb, [0, 7, 19], k=10,

@@ -53,8 +53,10 @@ def resolve_ontology_path(path: str) -> str:
     (sandbox has no network), so:
 
       - ``file://`` URIs are unwrapped to their local path (including
-        the ``file://localhost/...`` form), so a reference config that
-        already mirrors files locally works unchanged;
+        the ``file://localhost/...`` form, host case-insensitive), so
+        a reference config that already mirrors files locally works
+        unchanged; a non-localhost host or a missing path fails fast
+        (remote file URLs are as unfetchable offline as http);
       - ``http(s)://`` / ``ftp://`` URLs fail fast with instructions to
         mirror the file locally, instead of surfacing as a confusing
         FileNotFoundError on a URL string;
@@ -63,11 +65,22 @@ def resolve_ontology_path(path: str) -> str:
     lower = path.lower()
     if lower.startswith("file://"):
         rest = path[len("file://"):]
-        # file://localhost/x and file:///x both mean local /x;
-        # file://x (no third slash) is a degenerate-but-seen relative form.
-        if rest.startswith("localhost/"):
+        # RFC 8089: file:///x and file://localhost/x (any case) mean
+        # local /x; any other non-empty host is a REMOTE file URL we
+        # cannot fetch, and an empty remainder is malformed — both
+        # fail fast instead of resolving to a mangled relative path.
+        if rest.lower().startswith("localhost/"):
             rest = rest[len("localhost"):]
-        return rest or path
+        if not rest:
+            raise ValueError(
+                f"config ontology {path!r} is a malformed file:// URI "
+                "(no path)")
+        if not rest.startswith("/"):
+            raise ValueError(
+                f"config ontology {path!r} names a remote file:// host "
+                "— this build compiles ontologies offline; mirror the "
+                "file locally and use file:///abs/path or a plain path.")
+        return rest
     if lower.startswith(("http://", "https://", "ftp://")):
         raise ValueError(
             f"config ontology {path!r} is a network URL — this build "

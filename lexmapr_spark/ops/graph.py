@@ -25,11 +25,13 @@ Design (Spark-first, oracle-exact):
 * Scale shape: the edge list is the big side and is never collected;
   each iteration shuffles by ``src``/``dst`` like any groupBy join —
   hub skew is AQE's bread and butter because these are joins, not
-  windows. Rank state is O(nodes) per iteration. For long loops or
+  windows. Rank state is O(nodes) per iteration. The edge aggregate
+  is lazily localCheckpoint'ed before the loop (every iteration
+  references it, and each reference would otherwise carry its own
+  copy of the token-explode build into the final plan); the rank
+  lineage itself grows linearly in ``iters`` — for long loops or
   fault tolerance on a real cluster, interpose durable checkpoints
-  every few iterations exactly as ``connected_components`` does; at
-  the default ``iters`` the lineage is a short linear chain executed
-  once.
+  every few iterations exactly as ``connected_components`` does.
 
 Simplification (documented, standard in many large-scale
 implementations): dangling nodes (no out-edges) do not redistribute
@@ -90,7 +92,15 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         raise ValueError(f"iters must be >= 1, got {iters}")
     d = float(damping)
 
-    edges = edges.select("src", "dst", "weight")
+    # lineage truncation (same precedent as connected_components'
+    # symmetric edge set): every iteration references edges/nodes/
+    # out_w, so without a checkpoint the token-explode aggregate
+    # rides into the final plan once PER REFERENCE and only
+    # ReuseExchange stands between that and re-execution. Lazy local
+    # checkpoint: no driver action here — the first job materializes
+    # the edge partitions once and later references read the stored
+    # blocks.
+    edges = edges.select("src", "dst", "weight").localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())

@@ -132,6 +132,11 @@ def assign_splits(df: DataFrame, weights: dict | None = None,
     :func:`hash_sample` — narrow, no shuffle, whole-stage codegen;
     filter ``out_col == 'train'`` afterwards and Catalyst pushes both
     into the scan.
+
+    NULL-key rows are DROPPED, consistent with :func:`hash_sample` /
+    :func:`mixture_sample` (md5(NULL) makes every threshold
+    comparison NULL, which would otherwise fall every corrupt row
+    into the LAST split — silently polluting exactly the eval set).
     """
     if weights is None:
         weights = {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -159,7 +164,7 @@ def assign_splits(df: DataFrame, weights: dict | None = None,
             else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(
         F.lit(names[-1]))
-    return df.withColumn(out_col, expr)
+    return df.where(F.col(key_col).isNotNull()).withColumn(out_col, expr)
 
 
 def mixture_sample(df: DataFrame, rates: dict, group_col: str = "source",

@@ -350,13 +350,13 @@ def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
 
     Scale shape: ONE corpus explode -> broadcast hash join on token ->
     groupBy(query, doc, term) tf counts (map-side combined: a term
-    repeated in a doc collapses before the shuffle), PERSISTED
-    (bounded by matched pairs) so per-term df derives from the same
-    rows instead of a second corpus pass -> per-term contribution ->
-    exact DECIMAL per-(query, doc) sum -> per-query rank <= k via
-    WindowGroupLimit (each task keeps k rows per query before the
-    final exchange on query_id). Total corpus scans: 2 (tf build +
-    the 1-row stats aggregate).
+    repeated in a doc collapses before the shuffle); per-term df
+    derives from the SAME aggregate, whose exchange ReuseExchange
+    dedupes inside the one final plan (plan-asserted) -> per-term
+    contribution -> exact DECIMAL per-(query, doc) sum -> per-query
+    rank <= k via WindowGroupLimit (each task keeps k rows per query
+    before the final exchange on query_id). Total corpus scans: 2
+    (tf build + the 1-row stats aggregate).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -367,6 +367,17 @@ def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     qterms = (queries.select(F.col(query_id_col),
                              F.explode(terms_col).alias("term"))
               .distinct())
+    # same term rules as the single path (the docstring's batch ==
+    # single contract): a phrase like 'machine learning' can never
+    # match whitespace-free tokens and would otherwise fail SILENTLY
+    # here; the queries table is broadcast-small by contract, so this
+    # is a bounded driver action
+    bad = [r.term for r in qterms.select("term").distinct().collect()
+           if r.term is None or r.term == "" or " " in r.term]
+    if bad:
+        raise ValueError(
+            "query terms must be non-empty whitespace-free tokens; "
+            f"got {bad!r}")
     # NOTE: pre-filtering the token ARRAY to the query terms before
     # the explode was tried and is SLOWER — the isin lambda inside the
     # array HOF runs interpreted per element (the round-4 interpreted-
@@ -380,17 +391,15 @@ def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     doc_tokens = fan_out(docs).select(
         F.col(id_col), F.size(toks).alias("dl"),
         F.explode(toks).alias("term"))
-    # PERSISTED (scoped, bounded by matches): both the df derivation
-    # and the scoring branch read this aggregate from memory, so the
-    # corpus is exploded exactly ONCE — the lazy form re-ran the
-    # explode + broadcast join per consumer (a third full corpus pass
-    # at 100 TB just to count df)
-    from lexmapr_spark.ops.util import scoped_persist
-    tf = scoped_persist(
-        doc_tokens.join(F.broadcast(qterms), "term")
-        .groupBy(query_id_col, id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf")),
-        "bm25_batch_tf", warn_on_evict=False)
+    # both the df derivation and the scoring branch consume this SAME
+    # aggregate: its exchange subtree is identical on both sides, so
+    # Spark's ReuseExchange dedupes it inside the one final plan and
+    # the corpus is exploded exactly ONCE — measured FASTER than an
+    # explicit persist (no materialization, no InMemoryTableScan
+    # overhead) and with no cross-invocation cache-eviction hazard
+    tf = (doc_tokens.join(F.broadcast(qterms), "term")
+          .groupBy(query_id_col, id_col, "dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
 
     # per-term document frequency from the SAME matched rows: a term's
     # df = distinct docs among its tf rows (a (doc, term) pair repeats

@@ -677,10 +677,16 @@ def srp_band_candidates(embeds: DataFrame, n_bands: int = 4,
     planes = srp_hyperplanes(dim, n_bands * bits_per_band)
     # Arrow twin: bit-identical to the JVM fold (and the DuckDB
     # oracle), but the 30+ plane folds the banded derivation wants
-    # vectorize instead of running interpreted per plane per row
+    # vectorize instead of running interpreted per plane per row.
+    # Lazily localCheckpoint'ed: BOTH band self-join sides reference
+    # this frame and the executed plan showed ZERO ReusedExchange —
+    # without the checkpoint the Arrow signature pass runs once per
+    # side (measured, plan-asserted in tests); the stored blocks are
+    # one narrow (id, bit-string) row per vector
     sig = embeds.select(
         F.col(id_col),
-        srp_signature_exact_arrow(F.col(vec_col), planes).alias("sig"))
+        srp_signature_exact_arrow(F.col(vec_col), planes).alias("sig")) \
+        .localCheckpoint(eager=False)
     bands = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*[
@@ -1063,6 +1069,13 @@ def semantic_dedup(embeds: DataFrame, threshold: float = 0.95,
     cent_df = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "ivf_list int, cvec array<double>")
+    # THREE consumers reference this frame (both self-join sides and
+    # the final anti-join), and only the identically-keyed self-join
+    # exchanges are ReuseExchange-dedupable — the anti-join side would
+    # re-run the Arrow assignment pass. Lazy local checkpoint (same
+    # precedent as connected_components / pagerank): the first job
+    # materializes the assignment + ranking once, every reference
+    # reads the stored blocks, no driver action here.
     ranked = (
         assigned.join(F.broadcast(cent_df), "ivf_list")
         .select(
@@ -1070,7 +1083,7 @@ def semantic_dedup(embeds: DataFrame, threshold: float = 0.95,
             F.round(_dot(F.col(vec_col), F.col("cvec"))
                     / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))), 6)
              .alias("cent_cos"))
-    )
+    ).localCheckpoint(eager=False)
 
     a = ranked.alias("a")
     b = ranked.alias("b")

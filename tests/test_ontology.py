@@ -348,6 +348,15 @@ def test_resolve_ontology_path_plain_and_file_uri():
     assert resolve_ontology_path("file:///tmp/x.owl") == "/tmp/x.owl"
     assert resolve_ontology_path("file://localhost/tmp/x.owl") == "/tmp/x.owl"
     assert resolve_ontology_path("FILE:///tmp/x.owl") == "/tmp/x.owl"
+    # RFC 8089 host handling: localhost is case-insensitive; any other
+    # host is a REMOTE file URL (as unfetchable offline as http) and a
+    # bare scheme is malformed — both fail fast instead of resolving
+    # to a mangled relative path like 'myhost/data/x.owl'
+    assert resolve_ontology_path("file://LocalHost/tmp/x.owl") == "/tmp/x.owl"
+    with pytest.raises(ValueError, match="remote file"):
+        resolve_ontology_path("file://myhost/data/x.owl")
+    with pytest.raises(ValueError, match="malformed"):
+        resolve_ontology_path("file://")
 
 
 @pytest.mark.parametrize("url", [

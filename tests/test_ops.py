@@ -260,6 +260,14 @@ def test_band_near_dup_recall_on_dense_cluster(spark):
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, (recall, len(truth))
     assert got <= truth  # exact verify: no false positives
+    # the checkpointed signature frame feeds BOTH self-join sides:
+    # exactly one Arrow signature pass + one Arrow cosine verify in
+    # the whole plan (without the checkpoint: zero ReusedExchange and
+    # the signature stage ran once per side — measured)
+    plan = similarity.embedding_near_duplicates(
+        emb, threshold=0.99)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("ArrowEval") <= 2, plan.count("ArrowEval")
 
 
 def test_token_count_and_fingerprint(docs):
@@ -2076,6 +2084,13 @@ def test_assign_splits_disjoint_stable_and_narrow(spark):
         sampling.assign_splits(docs, {"train": 0.5, "val": 0.1})
     with pytest.raises(ValueError):
         sampling.assign_splits(docs, {})
+    # NULL keys are DROPPED (md5(NULL) would otherwise fall every
+    # corrupt row into the LAST split — i.e. pollute the eval set),
+    # consistent with hash_sample / mixture_sample
+    with_nulls = spark.createDataFrame(
+        [(1,), (None,), (2,)], "doc_id LONG")
+    got = sampling.assign_splits(with_nulls, w).collect()
+    assert {r.doc_id for r in got} == {1, 2}
 
 
 def test_pagerank_matches_numpy_power_iteration(spark):

@@ -211,16 +211,53 @@ def test_bm25_merged_index_equals_union_build(docs, tmp_path):
     assert sm == su
 
 
+def test_bm25_batch_validates_terms_like_single(docs):
+    """A phrase term ('machine learning') can never match
+    whitespace-free tokens; batch must raise like the single path
+    instead of silently returning nothing for that query."""
+    queries = docs.sparkSession.createDataFrame(
+        [("q0", ["machine learning"])], "query_id STRING, terms ARRAY<STRING>")
+    with pytest.raises(ValueError, match="whitespace-free"):
+        bm25_batch_topk(docs, queries, k=5)
+    empty = docs.sparkSession.createDataFrame(
+        [("q0", [""])], "query_id STRING, terms ARRAY<STRING>")
+    with pytest.raises(ValueError, match="whitespace-free"):
+        bm25_batch_topk(docs, empty, k=5)
+
+
+def test_evict_stale_stores_is_tag_exact(tmp_path):
+    """Eviction must only remove same-basename stores whose suffix is
+    exactly a 12-hex fingerprint tag — NOT stores of a dataset whose
+    basename extends this one (sf0.001 vs sf0.001_alt)."""
+    import os
+
+    import __spark_entry__ as entry
+
+    base = tmp_path / "lexmapr_bm25_store_sf0.001"
+    live = f"{base}_{'a' * 12}"
+    stale = f"{base}_{'b' * 12}"
+    sibling = f"{base}_alt_{'c' * 12}"   # different DATASET basename
+    notatag = f"{base}_extra"            # not a fingerprint suffix
+    for d in (live, stale, sibling, notatag):
+        os.makedirs(d)
+    entry._evict_stale_stores(live)
+    assert os.path.exists(live)
+    assert not os.path.exists(stale)          # superseded: evicted
+    assert os.path.exists(sibling)            # other dataset: kept
+    assert os.path.exists(notatag)            # not a store tag: kept
+
+
 def test_bm25_batch_plan_broadcasts_queries(docs):
     queries = docs.sparkSession.createDataFrame(
         [("q0", ["dup", "merge"])], "query_id STRING, terms ARRAY<STRING>")
-    plan = bm25_batch_topk(docs, queries, k=5)._jdf \
-        .queryExecution().executedPlan().toString()
+    out = bm25_batch_topk(docs, queries, k=5)
+    out.collect()  # ReusedExchange only shows in the FINAL AQE plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
     # query table and term-df side ride broadcast joins — the corpus
     # never shuffles for a join (its only exchanges are the two
     # map-side-combined aggregations)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the df branch reads the persisted tf aggregate, not a second
-    # corpus explode (2 corpus scans total, not 3)
-    assert "InMemoryTableScan" in plan
+    # the df branch reuses the tf aggregate's exchange, not a second
+    # corpus explode (ReuseExchange dedupes the identical subtree)
+    assert "ReusedExchange" in plan

@@ -274,9 +274,12 @@ def main():
             "Token-adjacency PageRank (round 6): fixed-iteration "
             "power method — per-round contribution join + one "
             "groupBy(dst) with DECIMAL sums (shuffle summation order "
-            "cannot perturb the 6-dp contract); edge table built "
-            "once, localCheckpoint'ed so round N's plan does not "
-            "re-execute rounds 1..N-1.",
+            "cannot perturb the 6-dp contract); the edge aggregate "
+            "is lazily localCheckpoint'ed before the loop, so its "
+            "token-explode build materializes ONCE and every "
+            "iteration's references read the stored blocks instead "
+            "of depending on ReuseExchange to dedupe a per-iteration "
+            "copy.",
         "sample_split_assign":
             "Hash-range split assignment (round 6): train/val/test "
             "labels from one md5-threshold CASE projection in "
@@ -304,10 +307,11 @@ def main():
             "through a BroadcastHashJoin against the (query, term) "
             "table (the big side never shuffles for the join), "
             "groupBy(query, doc, term) tf partials collapse repeats "
-            "map-side; the tf aggregate is PERSISTED (bounded by "
-            "matched pairs) so per-term df derives from an "
-            "InMemoryTableScan of the same rows — 2 corpus scans "
-            "total, not 3; per-(query, doc) DECIMAL sum, per-query "
+            "map-side; per-term df derives from the SAME aggregate "
+            "and ReuseExchange dedupes its exchange in the one final "
+            "plan (ReusedExchange node) — 2 corpus scans total, not "
+            "3, and measured FASTER than an explicit persist; "
+            "per-(query, doc) DECIMAL sum, per-query "
             "row_number <= k (WindowGroupLimit rank pushdown keeps k "
             "rows per task before the query_id exchange).",
         "text_pmi_collocations":
