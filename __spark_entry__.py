@@ -565,6 +565,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         k=20, n_buckets=32)
     q["search_bm25_indexed"] = search_bm25_indexed
 
+    # batch x stored-index (the production serving matrix corner):
+    # one partition-pruned postings read covers the whole query batch
+    def search_bm25_batch_indexed(spark, sf):
+        import os
+        root = _fingerprint_store(sf, "documents.parquet", "bm25_store")
+        gates = [os.path.join(root, "postings", "_SUCCESS"),
+                 os.path.join(root, "stats", "_SUCCESS")]
+        if not all(os.path.exists(g) for g in gates):
+            search.build_bm25_index(_t(spark, sf, "documents"), root,
+                                    n_buckets=32)
+        _evict_stale_stores(root)
+        queries = spark.createDataFrame(
+            BM25_BATCH_QUERIES, "query_id string, terms array<string>")
+        return search.bm25_batch_topk_indexed(spark, root, queries,
+                                              k=10, n_buckets=32)
+    q["search_bm25_batch_indexed"] = search_bm25_batch_indexed
+
     # merged-index lifecycle: two disjoint per-batch indexes merged
     # (with a bucket-layout widen) must serve the union corpus's
     # scores — same oracle as the direct scan
@@ -982,12 +999,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank", "sample_split_assign",
         "search_bm25_topk", "search_bm25_batch",
         "search_bm25_indexed", "search_bm25_merged",
-        "text_pmi_collocations",
+        "search_bm25_batch_indexed", "text_pmi_collocations",
         # code paths touched this round + the ANN/dedup families
         "sample_mixture",
         "ann_ivf_stored_batch_topk",
         "pack_sequences_2k", "pack_examples_512", "kg_text_extraction",
-        "ann_srp_bucketed_topk", "ann_srp_batch_topk",
+        "ann_srp_bucketed_topk",
         "ann_quantized_srp_topk",
         "dedup_minhash_signatures", "dedup_minhash_lsh",
         # rotated out for the round-6 additions (all hash-green r5,
@@ -1000,7 +1017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_exact and sample_domain_cap (md5 groupBy / stratified
         # cap untouched r6); for search_bm25_merged — the r5-green
         # ann_ivf_batch_topk (its amortized stored twin stays
-        # in-window)
+        # in-window); for search_bm25_batch_indexed — the r5-green
+        # ann_srp_batch_topk (SRP family still covered by the
+        # bucketed + quantized entries)
     ]
     DRIVER_SLOTS = 50
     assert len(priority) == DRIVER_SLOTS, (
@@ -1837,6 +1856,8 @@ def oracle_sql() -> dict[str, str]:
         # direct scores exactly — same oracle
         "search_bm25_indexed": _bm25_oracle_sql(BM25_QUERY_TERMS, k=20),
         "search_bm25_merged": _bm25_oracle_sql(BM25_QUERY_TERMS, k=20),
+        "search_bm25_batch_indexed": _bm25_batch_oracle_sql(
+            BM25_BATCH_QUERIES, k=10),
 
         # PMI bigram collocations: integer counts exact in both
         # engines; the 6-dp-rounded PMI is the ordering key

@@ -266,6 +266,75 @@ def bm25_topk_indexed(spark, path: str, query_terms: list[str],
             .limit(k))
 
 
+def bm25_batch_topk_indexed(spark, path: str, queries: DataFrame,
+                            k: int = 10, k1: float = 1.2, b: float = 0.75,
+                            n_buckets: int = 64,
+                            id_col: str = "doc_id",
+                            query_id_col: str = "query_id",
+                            terms_col: str = "terms") -> DataFrame:
+    """The production serving shape: a QUERY BATCH against a STORED
+    index — completes the (single, batch) x (scan, index) matrix.
+    Scores identical to :func:`bm25_batch_topk` over the indexed
+    corpus (pinned by test).
+
+    One partition-pruned postings read covers the whole batch: the
+    union of all query terms' buckets (PartitionFilters + a pushed
+    term IN-filter), never the corpus and never a full index scan.
+    From there the same broadcast-join + DECIMAL-sum +
+    WindowGroupLimit pipeline as the direct batch form; per-term df
+    is one count over the already-pruned rows (the tf table here IS
+    the stored postings — no explode at all at serving time).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k1 < 0 or not (0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    qterms = (queries.select(F.col(query_id_col),
+                             F.explode(terms_col).alias("term"))
+              .distinct())
+    term_rows = qterms.select("term").distinct().collect()
+    bad = [r.term for r in term_rows
+           if r.term is None or r.term == "" or " " in r.term]
+    if bad:
+        raise ValueError(
+            "query terms must be non-empty whitespace-free tokens; "
+            f"got {bad!r}")
+    terms = sorted(r.term for r in term_rows)
+    bucket_rows = spark.createDataFrame([(t,) for t in terms],
+                                        "term string")
+    buckets = sorted({
+        r.b for r in bucket_rows.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+        .collect()})
+    postings = (spark.read.parquet(f"{path}/postings")
+                .where(F.col("term_bucket").isin(buckets))
+                .where(F.col("term").isin(terms)))
+    term_df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.read.parquet(f"{path}/stats")
+
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    contrib = F.round(
+        _idf(F.col("n_docs").cast("double"), F.col("df").cast("double"))
+        * _saturation(F.col("tf").cast("double"), F.col("dl").cast("double"),
+                      avgdl, k1, b), 6).cast(_DEC)
+    per_doc = (postings
+               .join(F.broadcast(qterms), "term")
+               .join(F.broadcast(term_df), "term")
+               .crossJoin(F.broadcast(stats))
+               .select(query_id_col, id_col, contrib.alias("c"))
+               .groupBy(query_id_col, id_col)
+               .agg(F.sum("c").alias("c_total")))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.desc("c_total"), F.asc(id_col)))
+    return (per_doc
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .select(query_id_col, id_col,
+                    F.round(F.col("c_total").cast("double"), 6)
+                     .alias("score"))
+            .orderBy(query_id_col, F.desc("score"), F.asc(id_col)))
+
+
 def bm25_index_stats(spark, path: str, query_terms: list[str],
                      n_buckets: int = 64) -> dict:
     """Corpus statistics for a standing query, frozen at index-build

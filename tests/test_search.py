@@ -14,10 +14,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from lexmapr_spark import engine
-from lexmapr_spark.ops.search import (bm25_batch_topk, bm25_index_stats,
-                                      bm25_score_static, bm25_topk,
-                                      bm25_topk_indexed, build_bm25_index,
-                                      merge_bm25_indexes)
+from lexmapr_spark.ops.search import (bm25_batch_topk,
+                                      bm25_batch_topk_indexed,
+                                      bm25_index_stats, bm25_score_static,
+                                      bm25_topk, bm25_topk_indexed,
+                                      build_bm25_index, merge_bm25_indexes)
 
 
 @pytest.fixture(scope="module")
@@ -209,6 +210,38 @@ def test_bm25_merged_index_equals_union_build(docs, tmp_path):
     sm = bm25_index_stats(spark, merged, ["dup"], n_buckets=16)
     su = bm25_index_stats(spark, union, ["dup"], n_buckets=16)
     assert sm == su
+
+
+def test_bm25_batch_indexed_equals_direct_batch(docs, tmp_path):
+    """The (batch x index) corner of the serving matrix: scoring a
+    query batch from the stored postings equals the direct batch scan
+    row-for-row, the read is partition-pruned, and nothing explodes
+    at serving time."""
+    spark = docs.sparkSession
+    store = str(tmp_path / "store")
+    build_bm25_index(docs, store, n_buckets=8)
+    queries = spark.createDataFrame(
+        [("q0", ["dup", "merge"]), ("q1", ["scan"]),
+         ("q2", ["nonexistent_term"])],
+        "query_id STRING, terms ARRAY<STRING>")
+    out = bm25_batch_topk_indexed(spark, store, queries, k=5, n_buckets=8)
+    got = [(r.query_id, r.doc_id, r.score) for r in out.collect()]
+    want = [(r.query_id, r.doc_id, r.score)
+            for r in bm25_batch_topk(docs, queries, k=5).collect()]
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    # no corpus-side explode at serving time — the only Generate is
+    # the tiny query-table terms explode (count the FINAL plan only;
+    # the AQE string repeats nodes in its '== Initial Plan ==' echo)
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Generate") <= 1
+    with pytest.raises(ValueError, match="whitespace-free"):
+        bm25_batch_topk_indexed(
+            spark, store,
+            spark.createDataFrame([("q0", ["two words"])],
+                                  "query_id STRING, terms ARRAY<STRING>"),
+            k=5, n_buckets=8)
 
 
 def test_bm25_batch_validates_terms_like_single(docs):

@@ -314,6 +314,14 @@ def main():
             "per-(query, doc) DECIMAL sum, per-query "
             "row_number <= k (WindowGroupLimit rank pushdown keeps k "
             "rows per task before the query_id exchange).",
+        "search_bm25_batch_indexed":
+            "Batch x stored-index BM25 (round 6 — the production "
+            "serving matrix corner): ONE partition-pruned postings "
+            "read (PartitionFilters on the union of the batch's term "
+            "buckets + pushed term IN-filter) covers every query; NO "
+            "corpus-side explode at serving time (the stored postings "
+            "ARE the tf table); broadcast (query, term) join + "
+            "DECIMAL sums + WindowGroupLimit per-query top-k.",
         "text_pmi_collocations":
             "PMI collocations (round 6): unigram and bigram counts "
             "as two map-side-combined aggregates; min_count prunes "
