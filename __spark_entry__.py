@@ -592,9 +592,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gate = os.path.join(root, "merged", "stats", "_SUCCESS")
         if not os.path.exists(gate):
             docs = _t(spark, sf, "documents")
-            search.build_bm25_index(docs.where(F.col("doc_id") % 2 == 0),
+            # TOTAL split: pmod handles negatives and coalesce routes
+            # NULL ids into the even half — plain `% 2 == 0/1` would
+            # silently drop NULL/negative-odd ids from BOTH batches
+            # while the full-corpus oracle still counts them
+            half = F.coalesce(F.pmod(F.col("doc_id"), F.lit(2)), F.lit(0))
+            search.build_bm25_index(docs.where(half == 0),
                                     f"{root}/even", n_buckets=8)
-            search.build_bm25_index(docs.where(F.col("doc_id") % 2 == 1),
+            search.build_bm25_index(docs.where(half != 0),
                                     f"{root}/odd", n_buckets=16)
             search.merge_bm25_indexes(
                 spark, [f"{root}/even", f"{root}/odd"],
@@ -1936,7 +1941,9 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'test' END AS split FROM ("
             "SELECT doc_id, source, "
             "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
-            " AS h FROM documents)",
+            # engine parity: assign_splits DROPS NULL keys (md5(NULL)
+            # would otherwise fall every corrupt row into 'test')
+            " AS h FROM documents WHERE doc_id IS NOT NULL)",
 
         "text_quality": _quality_oracle_sql(),
 

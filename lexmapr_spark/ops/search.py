@@ -66,6 +66,27 @@ def _eq_term(term: str):
     return lambda x: x == F.lit(term)
 
 
+def _batch_terms_buckets(qterms: DataFrame,
+                         n_buckets: int) -> tuple[list[str], list[int]]:
+    """Distinct terms of a query batch plus their index buckets, in
+    ONE bounded driver job (|distinct terms| rows — the batch is
+    broadcast-small by contract), with the same term rules as the
+    single-query path so a phrase like 'machine learning' raises here
+    instead of silently matching nothing. Shared by the batch paths
+    so the rules cannot drift between them."""
+    rows = (qterms.select("term").distinct()
+            .select("term", F.pmod(F.xxhash64("term"),
+                                   F.lit(n_buckets)).alias("b"))
+            .collect())
+    bad = [r.term for r in rows
+           if r.term is None or r.term == "" or " " in r.term]
+    if bad:
+        raise ValueError(
+            "query terms must be non-empty whitespace-free tokens; "
+            f"got {bad!r}")
+    return sorted(r.term for r in rows), sorted({r.b for r in rows})
+
+
 def _idf(n_docs: Column, df: Column) -> Column:
     """Lucene-style non-negative BM25 idf."""
     return F.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -202,6 +223,19 @@ def merge_bm25_indexes(spark, paths: list[str], out_path: str,
         raise ValueError("merge_bm25_indexes: need at least one path")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # refuse crash-truncated inputs: a batch build that died mid-write
+    # leaves partial part-files Spark will happily read, silently
+    # undercounting df/tf/n_docs in the merge — the same _SUCCESS
+    # discipline every serving gate applies (Hadoop FS so HDFS/S3
+    # paths gate the same as local ones)
+    from lexmapr_spark.engine import _path_exists
+    for p in paths:
+        for artifact in ("postings", "stats"):
+            if not _path_exists(spark, f"{p}/{artifact}/_SUCCESS"):
+                raise ValueError(
+                    f"merge_bm25_indexes: {p}/{artifact} has no _SUCCESS "
+                    "marker — the batch index is incomplete (crashed "
+                    "build?); rebuild it before merging")
     postings = None
     for p in paths:
         part = spark.read.parquet(f"{p}/postings")
@@ -292,20 +326,7 @@ def bm25_batch_topk_indexed(spark, path: str, queries: DataFrame,
     qterms = (queries.select(F.col(query_id_col),
                              F.explode(terms_col).alias("term"))
               .distinct())
-    term_rows = qterms.select("term").distinct().collect()
-    bad = [r.term for r in term_rows
-           if r.term is None or r.term == "" or " " in r.term]
-    if bad:
-        raise ValueError(
-            "query terms must be non-empty whitespace-free tokens; "
-            f"got {bad!r}")
-    terms = sorted(r.term for r in term_rows)
-    bucket_rows = spark.createDataFrame([(t,) for t in terms],
-                                        "term string")
-    buckets = sorted({
-        r.b for r in bucket_rows.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
-        .collect()})
+    terms, buckets = _batch_terms_buckets(qterms, n_buckets)
     postings = (spark.read.parquet(f"{path}/postings")
                 .where(F.col("term_bucket").isin(buckets))
                 .where(F.col("term").isin(terms)))
@@ -436,17 +457,11 @@ def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     qterms = (queries.select(F.col(query_id_col),
                              F.explode(terms_col).alias("term"))
               .distinct())
-    # same term rules as the single path (the docstring's batch ==
-    # single contract): a phrase like 'machine learning' can never
-    # match whitespace-free tokens and would otherwise fail SILENTLY
-    # here; the queries table is broadcast-small by contract, so this
-    # is a bounded driver action
-    bad = [r.term for r in qterms.select("term").distinct().collect()
-           if r.term is None or r.term == "" or " " in r.term]
-    if bad:
-        raise ValueError(
-            "query terms must be non-empty whitespace-free tokens; "
-            f"got {bad!r}")
+    # validation is a bounded driver action AT PLAN-CONSTRUCTION time
+    # (the queries table is broadcast-small by contract; a derived
+    # queries frame is evaluated here and again when the returned plan
+    # runs — pre-materialize it if that double evaluation matters)
+    _batch_terms_buckets(qterms, 1)
     # NOTE: pre-filtering the token ARRAY to the query terms before
     # the explode was tried and is SLOWER — the isin lambda inside the
     # array HOF runs interpreted per element (the round-4 interpreted-

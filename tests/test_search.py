@@ -118,12 +118,12 @@ def test_bm25_validation():
         bm25_batch_topk(None, None, k=0)
 
 
-def test_bm25_randomized_differential(spark):
+def test_bm25_randomized_differential(spark, tmp_path):
     """Randomized differential (the repo's standard pattern for
     dedup/exact-substring): seeded random corpora and query sets —
-    every path (direct, batch, stored index) must match the
-    pure-Python Okapi replay exactly, including empty/NULL docs and
-    absent terms."""
+    the direct and batch paths match the pure-Python Okapi replay on
+    every trial (including empty/NULL docs and absent terms), and the
+    stored-index single + batch paths match it on the first trial."""
     import random
 
     rng = random.Random(20260818)
@@ -137,9 +137,28 @@ def test_bm25_randomized_differential(spark):
         docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
         terms = rng.sample(vocab, rng.randint(1, 5)) + ["neverseen"]
         k = rng.randint(1, 15)
+        want = _py_bm25(rows, terms)[:k]
         got = [(r.score, r.doc_id)
                for r in bm25_topk(docs, terms, k=k).collect()]
-        assert got == _py_bm25(rows, terms)[:k], (trial, terms, k)
+        assert got == want, (trial, terms, k)
+        queries = spark.createDataFrame([("q", terms)],
+                                        "query_id STRING, "
+                                        "terms ARRAY<STRING>")
+        got_b = [(r.score, r.doc_id)
+                 for r in bm25_batch_topk(docs, queries, k=k).collect()]
+        assert got_b == want, (trial, "batch")
+        if trial == 0:
+            store = str(tmp_path / "rnd_store")
+            build_bm25_index(docs, store, n_buckets=8)
+            got_i = [(r.score, r.doc_id)
+                     for r in bm25_topk_indexed(
+                         spark, store, terms, k=k, n_buckets=8).collect()]
+            assert got_i == want, "indexed"
+            got_bi = [(r.score, r.doc_id)
+                      for r in bm25_batch_topk_indexed(
+                          spark, store, queries, k=k,
+                          n_buckets=8).collect()]
+            assert got_bi == want, "batch-indexed"
 
 
 def test_bm25_single_plan_is_projection_plus_topk(docs):
@@ -207,6 +226,15 @@ def test_bm25_index_build_validation(docs, tmp_path):
         build_bm25_index(docs, str(tmp_path / "x"), n_buckets=0)
     with pytest.raises(ValueError, match="at least one"):
         merge_bm25_indexes(docs.sparkSession, [], str(tmp_path / "y"))
+    # crash-truncated batch index (no _SUCCESS) is refused, not
+    # silently merged with undercounted stats
+    import os
+    partial = tmp_path / "partial"
+    os.makedirs(partial / "postings")
+    os.makedirs(partial / "stats")
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        merge_bm25_indexes(docs.sparkSession, [str(partial)],
+                           str(tmp_path / "z"))
 
 
 def test_bm25_merged_index_equals_union_build(docs, tmp_path):
