@@ -682,7 +682,10 @@ def srp_band_candidates(embeds: DataFrame, n_bands: int = 4,
     # this frame and the executed plan showed ZERO ReusedExchange —
     # without the checkpoint the Arrow signature pass runs once per
     # side (measured, plan-asserted in tests); the stored blocks are
-    # one narrow (id, bit-string) row per vector
+    # one narrow (id, bit-string) row per vector, released by the
+    # ContextCleaner once the result frame is dropped (GC-timed, not
+    # scope-bounded — acceptable for per-query frames; a standing
+    # service should persist/unpersist explicitly instead)
     sig = embeds.select(
         F.col(id_col),
         srp_signature_exact_arrow(F.col(vec_col), planes).alias("sig")) \
