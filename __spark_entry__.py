@@ -117,6 +117,28 @@ _TOKEN_DIM = [("spark", "TECH_0001"), ("join", "REL_0002"),
               ("stream", "TECH_0005")]
 
 
+def _previous_round_window() -> set | None:
+    """Names with a row in the latest CORRECTNESS_r*.json next to this
+    file, or None when no artifact exists (fresh checkout / round 1).
+    Backs the two-round coverage invariant in :func:`queries`."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p))
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        return set(json.load(open(best)))
+    except (OSError, ValueError):
+        return None
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -969,62 +991,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The contract driver records correctness rows for the FIRST
     # DRIVER_SLOTS dict entries only, so dict order decides which
-    # queries get a driver-verified row this round. Round-6 window
+    # queries get a driver-verified row this round. Round-7 window
     # (exactly 50 names, asserted below so a future addition that
     # silently pushes a query out of verification fails loudly —
-    # r5 ADVICE): [1-19] the 19 relational basics rotated out of the
-    # r5 window (their last rows are r1-r4 green); [20-24] the 5 kg_*
-    # queries whose NEW fixture oracles the driver has never
-    # hash-checked; [25-30] this round's new/changed operators;
-    # [31-50] queries whose code paths this round touched plus the
-    # ANN/dedup families. Rotated out (fresh r5-green, unchanged):
-    # curation_pipeline_v2, text_repetition, text_perplexity,
-    # web_host_filter, conf_scoring, the 5 multimodal queries,
-    # web_host_rollup, dedup_global_lines, web_url_normalize, and the
-    # r5-green singletons listed in COVERAGE.md.
+    # r5 ADVICE): [1-35] every query absent from the round-6 driver
+    # window (r6 verdict item 4: nothing may go two rounds without a
+    # driver row — enforced below against the previous round's
+    # CORRECTNESS artifact); [36-50] queries whose code paths round 7
+    # touched (confidence staging, mixture_sample NULL-key contract,
+    # BM25 batch explode_outer validation, connected_components
+    # run-dir layout, emb_near_duplicates retune) plus the flagship
+    # kg family.
     priority = [
-        # 19 basics unchecked in r5
-        "s2_multicol_coalesce", "p1_p2_lower_punct",
-        "p5_numeric_token_filter", "p6_preprocess", "p11_stopword_filter",
-        "j1_broadcast_token_match", "agg_event_histogram",
-        "agg_tpch_pricing", "join_orders_customer",
-        "agg_distinct_customers", "agg_rollup_pricing",
-        "agg_value_quantiles", "set_customers_with_orders",
-        "set_multi_lineitem_orders", "window_user_event_seq",
-        "sessionize_events_batch", "json_extract_props",
-        "set_customers_without_orders", "sort_topk_orders",
-        # 5 kg_* — first round with fixture oracles
+        # 35 queries with no CORRECTNESS_r06 row — every one of these
+        # was hash-green in the fresh r6 85/85 sweep; the driver now
+        # re-certifies them
+        "dedup_exact", "dedup_near_dup_filter",
+        "dedup_near_dup_components", "dedup_near_dup_clusters",
+        "dedup_simhash", "ann_cosine_topk", "ann_quantized_topk",
+        "ann_srp_batch_topk", "ann_ivf_topk", "ann_ivf_batch_topk",
+        "text_token_count", "text_quality", "text_langid",
+        "curation_pipeline", "text_fingerprint", "corpus_stats",
+        "text_pii_redaction", "text_contamination", "sample_hash_10pct",
+        "sample_domain_cap", "multimodal_features",
+        "multimodal_frame_plan", "multimodal_features_docs",
+        "multimodal_frame_plan_docs", "multimodal_real_decode",
+        "dedup_global_lines", "dedup_exact_substring",
+        "dedup_incremental", "curation_pipeline_v2", "text_repetition",
+        "text_perplexity", "web_host_filter", "web_host_rollup",
+        "web_url_normalize", "conf_scoring",
+        # 15 round-7-touched paths + flagship kg family
+        "kg_confidence_histogram",     # with_confidence staging fix
+        "sample_mixture_upsample",     # NULL-key drop contract
+        "sample_mixture", "sample_split_assign",
+        "search_bm25_batch",           # explode_outer validation
+        "search_bm25_batch_indexed",
+        "emb_near_duplicates",         # banding retune
+        "kg_canonical_triples",        # CC run-dir layout
         "kg_triples", "kg_match_histogram", "kg_classification_histogram",
-        "kg_canonical_triples", "kg_confidence_histogram",
-        # new/changed this round
-        "text_token_count_bpe", "pack_sequences_bpe",
-        "dedup_exact_substring_cdc", "dedup_incremental_merged",
-        "sample_mixture_upsample", "emb_near_duplicates",
-        "emb_semantic_dedup", "text_ngram_counts", "text_ngram_topk",
-        "graph_pagerank", "sample_split_assign",
-        "search_bm25_topk", "search_bm25_batch",
-        "search_bm25_indexed", "search_bm25_merged",
-        "search_bm25_batch_indexed", "text_pmi_collocations",
-        # code paths touched this round + the ANN/dedup families
-        "sample_mixture",
-        "ann_ivf_stored_batch_topk",
-        "pack_sequences_2k", "pack_examples_512", "kg_text_extraction",
-        "ann_srp_bucketed_topk",
-        "ann_quantized_srp_topk",
-        "dedup_minhash_signatures", "dedup_minhash_lsh",
-        # rotated out for the round-6 additions (all hash-green r5,
-        # their specific code untouched r6): dedup_simhash,
-        # ann_cosine_topk, ann_quantized_topk, ann_ivf_topk,
-        # text_token_count; for the BM25 pair — the r5-green
-        # dedup_exact_substring / dedup_incremental, whose r6-touched
-        # variants (dedup_exact_substring_cdc / dedup_incremental_merged)
-        # stay in-window; for the indexed-BM25/PMI pair — the r5-green
-        # dedup_exact and sample_domain_cap (md5 groupBy / stratified
-        # cap untouched r6); for search_bm25_merged — the r5-green
-        # ann_ivf_batch_topk (its amortized stored twin stays
-        # in-window); for search_bm25_batch_indexed — the r5-green
-        # ann_srp_batch_topk (SRP family still covered by the
-        # bucketed + quantized entries)
+        "emb_semantic_dedup", "search_bm25_merged",
+        "dedup_incremental_merged", "dedup_exact_substring_cdc",
     ]
     DRIVER_SLOTS = 50
     assert len(priority) == DRIVER_SLOTS, (
@@ -1034,6 +1040,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     missing = [k for k in priority if k not in q]
     assert not missing, f"priority names not in queries(): {missing}"
     unverified = [k for k in q if k not in priority]
+    # two-round coverage invariant (r6 verdict item 4): a query left
+    # out of this round's window MUST have a row in the previous
+    # round's CORRECTNESS artifact — no query goes two consecutive
+    # rounds without a driver-verified row
+    prev = _previous_round_window()
+    if prev is not None:
+        stale = [k for k in unverified if k not in prev]
+        assert not stale, (
+            "two-round coverage violated: these queries are outside "
+            "this round's driver window AND had no row last round — "
+            f"rotate them in: {stale}")
     # loud, greppable record of what this round's window skips
     import logging
 

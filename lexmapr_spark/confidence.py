@@ -325,10 +325,31 @@ def confidence_cols(sample_tokens: Column | str,
 
 
 def head_nouns_col(text: Column | str) -> Column:
-    """Arrow-vectorized ``get_head_noun`` (the only Python step)."""
+    """Arrow-vectorized ``get_head_noun`` (the only Python step).
+
+    Web corpora repeat processed text heavily (boilerplate, mirrored
+    pages), and head nouns are a pure function of the text — so the
+    tagger runs once per distinct text per partition. The memo lives
+    in the UDF closure (persists across Arrow batches within a task)
+    and is cleared past 200k entries so a giant partition can't hoard
+    worker memory — same contract as ``annotate``'s duplicate-text
+    memo (engine.py).
+    """
+    memo: dict = {}
+
+    def _one(t):
+        if t is None:
+            t = ""
+        r = memo.get(t)
+        if r is None:
+            if len(memo) > 200_000:
+                memo.clear()
+            r = memo[t] = get_head_noun(t)
+        return r
+
     @F.pandas_udf("array<string>")
     def _hn(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: get_head_noun(t if t is not None else ""))
+        return s.map(_one)
 
     return _hn(F.col(text) if isinstance(text, str) else text)
 
@@ -342,17 +363,48 @@ def with_confidence(mentions: DataFrame,
     from ``engine.annotate(..., confidence=True)``. Head nouns come
     from one pandas_udf over ``text_col``; everything downstream is
     JVM expressions — the op adds no shuffle and no extra scan.
+
+    The interpreted HOFs (the penalty ``aggregate`` fold and the
+    not-covered ``filter``/``exists`` scans) are staged as real
+    attribute columns before anything references them: HOF lambdas
+    run interpreted with no common-subexpression elimination, so
+    embedding ``score`` inside the rendered string would re-evaluate
+    the fold ~10x per row (once per ``confidence_level_col`` branch).
+    CollapseProject keeps non-cheap multi-referenced aliases split,
+    so each staged expression is evaluated exactly once per row.
     """
     from lexmapr_spark.engine import ship_package
     ship_package(mentions.sparkSession)
     penalty_dict = penalty_dict if penalty_dict is not None \
         else load_penalty_dict()
-    hn = head_nouns_col(text_col)
-    score, rendered = confidence_cols(
-        "sample_tokens", "macro_status", "micro_status",
-        "covered_tokens", F.col("_head_nouns"), penalty_dict)
+    macro = F.col("macro_status")
+    nc_hn = F.array_distinct(
+        F.filter(F.col("_head_nouns"),
+                 lambda t: ~_in_set_repr(t, F.col("covered_tokens"))))
+    nc = F.array_distinct(
+        F.filter(F.col("sample_tokens"),
+                 lambda t: ~_in_set_repr(t, F.col("covered_tokens"))
+                 & ~_in_set_repr(t, F.col("_nc_hn"))))
+    score = (
+        F.when(macro.contains("Full Term Match"),
+               F.lit(100.0) - F.col("_penalty"))
+         .when(macro.contains("Component Match"),
+               F.lit(90.0) - F.col("_penalty")
+               - F.size(F.col("_nc")) * 6.0
+               - F.size(F.col("_nc_hn")) * 10.0)
+         .otherwise(F.lit(0.0)))
+    sc = F.col("confidence_score")
+    rendered = F.when(
+        macro.contains("Full Term Match")
+        | macro.contains("Component Match"),
+        F.format_string("%s (%.1f%%)", confidence_level_col(sc), sc)
+    ).otherwise(F.lit("Low (0%)"))
     return (mentions
-            .withColumn("_head_nouns", hn)
+            .withColumn("_head_nouns", head_nouns_col(text_col))
+            .withColumn("_penalty",
+                        penalty_weight_col("micro_status", penalty_dict))
+            .withColumn("_nc_hn", nc_hn)
+            .withColumn("_nc", nc)
             .withColumn("confidence_score", score)
             .withColumn("confidence", rendered)
-            .drop("_head_nouns"))
+            .drop("_head_nouns", "_penalty", "_nc_hn", "_nc"))

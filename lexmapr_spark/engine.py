@@ -552,22 +552,60 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     the returned DataFrame, so callers can keep consuming it after the
     session recycles executors.
 
-    A ``checkpoint_dir`` is SINGLE-USE PER LIVE RESULT: stale
-    ``round=*`` dirs from any prior run are cleared at entry (a rerun
-    that converges in fewer rounds must not leave the old final round
-    behind), and because a rerun rewrites the same paths, a labels
-    DataFrame returned by an EARLIER call over the same dir stops
-    being readable — persist it (write it out or ``.cache()``) before
-    rerunning, or use a fresh dir per call.
+    Each call writes under its own ``run=K`` subdirectory (K = 1 +
+    the highest existing run id), so a rerun over the same dir never
+    rewrites the paths backing an earlier call's returned DataFrame
+    (r6 ADVICE: entry-time deletion of shared ``round=*`` dirs made
+    prior results silently unreadable). Disk stays bounded: at entry,
+    runs older than the immediately previous one are deleted outright,
+    and the previous run keeps only its final ``round=*`` labels
+    (its bulky ``edges`` parquet is reclaimed). So the labels returned
+    by the LAST completed run stay readable across exactly one rerun;
+    persist them (write out or ``.cache()``) if you need them to
+    survive further reruns, or use a fresh dir per call.
     """
     spark = edges.sparkSession
     converged = False
+    run_dir = checkpoint_dir
     if checkpoint_dir is not None:
         fs, hdir = _hadoop_fs(spark, checkpoint_dir)
+        prior_runs: list[int] = []
         if fs.exists(hdir):
             for st in fs.listStatus(hdir):
-                if st.getPath().getName().startswith("round="):
+                name = st.getPath().getName()
+                if name.startswith("run="):
+                    try:
+                        prior_runs.append(int(name[4:]))
+                    except ValueError:
+                        pass
+                elif name.startswith("round=") or name == "edges":
+                    # pre-run-id layout left by an older engine
+                    # version: stale, reclaim
                     fs.delete(st.getPath(), True)
+        run_id = max(prior_runs) + 1 if prior_runs else 0
+        for k in prior_runs:
+            if k != max(prior_runs):
+                _delete_path(spark, f"{checkpoint_dir}/run={k}")
+        if prior_runs:
+            # previous run: keep only its final labels readable,
+            # reclaim its edges and any non-final rounds
+            prev = f"{checkpoint_dir}/run={max(prior_runs)}"
+            pfs, pdir = _hadoop_fs(spark, prev)
+            if pfs.exists(pdir):
+                rounds = []
+                for st in pfs.listStatus(pdir):
+                    name = st.getPath().getName()
+                    if name.startswith("round="):
+                        try:
+                            rounds.append(int(name[6:]))
+                        except ValueError:
+                            pass
+                    elif name == "edges":
+                        pfs.delete(st.getPath(), True)
+                for r in rounds:
+                    if r != max(rounds):
+                        _delete_path(spark, f"{prev}/round={r}")
+        run_dir = f"{checkpoint_dir}/run={run_id}"
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     # materialize the edge set once: every round joins against it
@@ -575,8 +613,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     # upstream pipeline (e.g. LSH banding + Jaccard verification) —
     # without this the pair discovery would re-execute per round
     if checkpoint_dir is not None:
-        sym.write.mode("overwrite").parquet(f"{checkpoint_dir}/edges")
-        sym = spark.read.parquet(f"{checkpoint_dir}/edges")
+        sym.write.mode("overwrite").parquet(f"{run_dir}/edges")
+        sym = spark.read.parquet(f"{run_dir}/edges")
     else:
         sym = sym.localCheckpoint(eager=True)
     labels = (
@@ -613,7 +651,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
             )
         )
         if checkpoint_dir is not None:
-            path = f"{checkpoint_dir}/round={rnd}"
+            path = f"{run_dir}/round={rnd}"
             new_labels.write.mode("overwrite").parquet(path)
             new_labels = spark.read.parquet(path)
         else:
@@ -629,7 +667,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         )
         labels = new_labels
         if checkpoint_dir is not None and rnd > 0:
-            _delete_path(spark, f"{checkpoint_dir}/round={rnd - 1}")
+            _delete_path(spark, f"{run_dir}/round={rnd - 1}")
         if changed == 0:
             converged = True
             break

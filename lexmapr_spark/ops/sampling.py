@@ -234,7 +234,13 @@ def mixture_sample(df: DataFrame, rates: dict, group_col: str = "source",
         frac = F.when(F.col(group_col) == F.lit(g),
                       F.lit(g_frac)).otherwise(frac)
     copies = full + F.when(h < frac, F.lit(1)).otherwise(F.lit(0))
-    return (df.withColumn("__copies", copies)
+    # NULL keys share the rates<=1 path's drop contract: there h is
+    # NULL so `h < thresh` is never true; here only the fractional
+    # test would fail while floor(rate) copies still flowed through —
+    # a group's NULL rows must not flip from dropped to duplicated
+    # the moment any rate crosses 1.0.
+    return (df.where(F.col(key_col).isNotNull())
+            .withColumn("__copies", copies)
             .where(F.col("__copies") > 0)
             .withColumn("__r", F.explode(
                 F.sequence(F.lit(1), F.col("__copies"))))

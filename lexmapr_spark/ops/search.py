@@ -78,8 +78,15 @@ def _batch_terms_buckets(qterms: DataFrame,
             .select("term", F.pmod(F.xxhash64("term"),
                                    F.lit(n_buckets)).alias("b"))
             .collect())
-    bad = [r.term for r in rows
-           if r.term is None or r.term == "" or " " in r.term]
+    # the batch paths explode with explode_outer, so a query whose
+    # terms array is NULL or empty surfaces here as a NULL term —
+    # raise like bm25_topk does on an empty term list instead of
+    # silently returning no results for that query
+    if any(r.term is None for r in rows):
+        raise ValueError(
+            "every query must have a non-empty terms array; "
+            "got a query with NULL or empty terms")
+    bad = [r.term for r in rows if r.term == "" or " " in r.term]
     if bad:
         raise ValueError(
             "query terms must be non-empty whitespace-free tokens; "
@@ -324,7 +331,7 @@ def bm25_batch_topk_indexed(spark, path: str, queries: DataFrame,
     if k1 < 0 or not (0.0 <= b <= 1.0):
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1} b={b}")
     qterms = (queries.select(F.col(query_id_col),
-                             F.explode(terms_col).alias("term"))
+                             F.explode_outer(terms_col).alias("term"))
               .distinct())
     terms, buckets = _batch_terms_buckets(qterms, n_buckets)
     postings = (spark.read.parquet(f"{path}/postings")
@@ -455,7 +462,7 @@ def bm25_batch_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
 
     qterms = (queries.select(F.col(query_id_col),
-                             F.explode(terms_col).alias("term"))
+                             F.explode_outer(terms_col).alias("term"))
               .distinct())
     # validation is a bounded driver action AT PLAN-CONSTRUCTION time
     # (the queries table is broadcast-small by contract; a derived

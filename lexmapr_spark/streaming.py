@@ -467,8 +467,11 @@ def stream_index_deduped_pages(pages_stream, index, out_dir: str,
     # gates in one session — necessarily distinct checkpoints — no
     # longer evict each other's snapshots every invocation, while a
     # RESTART of the same gate (same checkpoint) still replaces its
-    # own. release_cache(f"stream_index_gate:{checkpoint_dir}*") frees
-    # them after the query stops. NULL-signature index rows are
+    # own. release_cache matches exact scope keys (no globbing) — to
+    # free both snapshots after the query stops, release the two real
+    # keys: release_cache(f"stream_index_gate:{checkpoint_dir}:md5")
+    # and release_cache(f"stream_index_gate:{checkpoint_dir}:bands").
+    # NULL-signature index rows are
     # dropped before banding (same hot-bucket hazard as the batch op:
     # every empty doc shares the md5("") band key).
     scope = f"stream_index_gate:{checkpoint_dir}"

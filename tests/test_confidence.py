@@ -194,6 +194,29 @@ def test_with_confidence_end_to_end(spark, penalty_dict):
     assert out["u3"].confidence == "Low (0%)"
 
 
+def test_with_confidence_stages_hofs_once(spark):
+    """The interpreted penalty fold and not-covered scans must appear
+    exactly once in the optimized plan — HOF lambdas have no
+    common-subexpression elimination, so an inlined copy re-runs per
+    reference (the round-6 weak: the rendered ``confidence`` embedded
+    the whole score expression, evaluating the fold ~10x per row)."""
+    import re
+    lex_bc = engine.broadcast_lexicon(spark)
+    pages = spark.createDataFrame(
+        [("u1", "chicken breast"), ("u2", "zzqqy")],
+        "url STRING, text STRING")
+    out = C.with_confidence(engine.annotate(pages, lex_bc,
+                                            confidence=True))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one penalty fold; three element-membership scans (nc_hn: 1,
+    # nc: 2) — each staged as a real attribute, never duplicated
+    assert len(re.findall(r"aggregate\(", plan)) == 1, plan
+    assert len(re.findall(r"exists\(", plan)) == 3, plan
+    # confidence must be rendered from the staged attribute, not a
+    # fresh copy of the score expression
+    assert re.search(r"AS confidence_score#\d+", plan)
+
+
 def test_annotate_default_schema_unchanged(spark):
     lex_bc = engine.broadcast_lexicon(spark)
     pages = spark.createDataFrame([("u", "x")], "url STRING, text STRING")

@@ -278,25 +278,39 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
            for r in engine.connected_components(edges).collect()}
     assert got == ref and set(got.values()) == {"n000"}
 
-    round_dirs = sorted(d for d in os.listdir(ckpt)
+    run0 = os.path.join(ckpt, "run=0")
+    round_dirs = sorted(d for d in os.listdir(run0)
                         if d.startswith("round="))
     assert len(round_dirs) == 1  # only the last round survives
-    assert os.path.isdir(os.path.join(ckpt, "edges"))
+    assert os.path.isdir(os.path.join(run0, "edges"))
     # the returned frame is parquet-backed: a brand-new reader over the
     # surviving round reproduces it exactly (what a resume would do)
     reread = {r.node: r.component
               for r in spark.read.parquet(
-                  os.path.join(ckpt, round_dirs[0])).collect()}
+                  os.path.join(run0, round_dirs[0])).collect()}
     assert reread == got
-    # r6 ADVICE: a RERUN over the same dir that converges in fewer
-    # rounds must clear the prior run's later round=* dir at entry —
-    # exactly one round dir (the new final) may remain afterwards
+    # r6 ADVICE: a rerun over the same dir writes under its own run=K
+    # subdir, so the EARLIER call's returned labels stay readable —
+    # while the earlier run's bulky edges parquet is reclaimed and
+    # only its final round kept
     tiny = spark.createDataFrame([("a", "b")], "src STRING, dst STRING")
     rerun = engine.connected_components(tiny, checkpoint_dir=ckpt)
     assert {r.node: r.component for r in rerun.collect()} == \
         {"a": "a", "b": "a"}
-    left = sorted(d for d in os.listdir(ckpt) if d.startswith("round="))
+    assert {r.node: r.component for r in durable.collect()} == got
+    assert not os.path.exists(os.path.join(run0, "edges"))
+    assert sorted(d for d in os.listdir(run0)
+                  if d.startswith("round=")) == round_dirs
+    run1 = os.path.join(ckpt, "run=1")
+    left = sorted(d for d in os.listdir(run1) if d.startswith("round="))
     assert len(left) == 1, left
+    # a THIRD run deletes run=0 outright (disk stays bounded: at most
+    # the previous run's final labels plus the live run remain)
+    third = engine.connected_components(tiny, checkpoint_dir=ckpt)
+    assert {r.node: r.component for r in third.collect()} == \
+        {"a": "a", "b": "a"}
+    assert not os.path.exists(run0)
+    assert os.path.isdir(os.path.join(ckpt, "run=2"))
 
 
 def test_canonicalize_rewrites_variant_ids(spark):

@@ -669,6 +669,26 @@ def test_mixture_sample_upsampling_copies_and_monotonicity(spark):
     assert one_up == one_filter == sorted(src0)
 
 
+def test_mixture_sample_null_keys_dropped_on_both_paths(spark):
+    """A NULL key row must be dropped whether or not any rate exceeds
+    1.0 — the upsample branch previously kept floor(rate) copies of
+    NULL-key rows (only the fractional hash test fails on NULL), so a
+    group's NULL rows flipped from dropped to duplicated the moment
+    one rate crossed 1.0 (ADVICE r6)."""
+    from lexmapr_spark.ops import sampling
+
+    rows = [(1, "src0"), (None, "src0"), (2, "src1"), (None, "src1")]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    # filter path: all rates <= 1
+    flt = sampling.mixture_sample(df, {"src0": 1.0, "src1": 1.0})
+    assert all(r.doc_id is not None for r in flt.collect())
+    # upsample path: rate > 1 — NULL rows still dropped, not copied
+    up = sampling.mixture_sample(df, {"src0": 2.0, "src1": 1.0})
+    got = [r.doc_id for r in up.collect()]
+    assert None not in got
+    assert sorted(d for d in got) == [1, 1, 2]
+
+
 def test_stratified_cap_quota_and_determinism(spark):
     from lexmapr_spark.ops import sampling
 

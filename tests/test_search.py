@@ -310,6 +310,27 @@ def test_bm25_batch_validates_terms_like_single(docs):
         bm25_batch_topk(docs, empty, k=5)
 
 
+def test_bm25_batch_rejects_empty_or_null_terms(docs, tmp_path):
+    """ADVICE r6: a query with an empty or NULL terms array was
+    silently dropped by the explode — both batch paths must raise
+    like bm25_topk does on an empty term list."""
+    spark = docs.sparkSession
+    for terms in ([], None):
+        qs = spark.createDataFrame(
+            [("q0", ["apple"]), ("q1", terms)],
+            "query_id STRING, terms ARRAY<STRING>")
+        with pytest.raises(ValueError, match="non-empty terms"):
+            bm25_batch_topk(docs, qs, k=5)
+    # indexed batch path shares the validation
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path, n_buckets=8)
+    qs = spark.createDataFrame(
+        [("q0", ["apple"]), ("q1", [])],
+        "query_id STRING, terms ARRAY<STRING>")
+    with pytest.raises(ValueError, match="non-empty terms"):
+        bm25_batch_topk_indexed(spark, path, qs, k=5, n_buckets=8)
+
+
 def test_evict_stale_stores_is_tag_exact(tmp_path):
     """Eviction must only remove same-basename stores whose suffix is
     exactly a 12-hex fingerprint tag — NOT stores of a dataset whose
