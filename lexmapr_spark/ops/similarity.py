@@ -661,12 +661,25 @@ def srp_band_candidates(embeds: DataFrame, n_bands: int = 4,
                         target_bucket: int = 8,
                         corpus_count: int | None = None,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        max_mismatch: int | None = None) -> DataFrame:
     """DISTINCT (id_a, id_b) candidate pairs that share at least one
     full SRP band — :func:`embedding_near_duplicates`'s candidate
     stage, factored out so candidate-count scaling is testable on its
     own (the verify stage is pure filtering and cannot mask a
-    quadratic candidate blowup)."""
+    quadratic candidate blowup).
+
+    ``max_mismatch`` (r7): optional signature-Hamming pre-filter —
+    keep a colliding pair only when its FULL signatures differ in at
+    most that many bits. A random collision pair mismatches ~half its
+    signature bits while a qualifying near-dup mismatches ~theta/pi of
+    them, so a generous bound kills almost every random band collision
+    BEFORE the wide embedding vectors are joined back for the exact
+    cosine verify — the verify join volume drops from
+    O(band collisions) to ~O(true pairs). The hamming count is pure
+    whole-stage-codegen JVM (per-band conv -> xor -> bit_count, no
+    HOF), mirrored exactly by the DuckDB oracle (xor of BIT strings).
+    """
     first = embeds.select(vec_col).first()
     if first is None:
         raise ValueError("srp_band_candidates: input DataFrame is empty")
@@ -690,17 +703,33 @@ def srp_band_candidates(embeds: DataFrame, n_bands: int = 4,
         F.col(id_col),
         srp_signature_exact_arrow(F.col(vec_col), planes).alias("sig")) \
         .localCheckpoint(eager=False)
+    # the full sig rides along (36-80 chars — still a narrow row)
+    # so the optional hamming pre-filter can run straight off the
+    # band join output without re-joining the signature frame
     bands = sig.select(
-        F.col(id_col),
+        F.col(id_col), "sig",
         F.posexplode(F.array(*[
             F.substring("sig", b * bits_per_band + 1, bits_per_band)
             for b in range(n_bands)
         ])).alias("band_id", "band_key"))
     a, b = bands.alias("a"), bands.alias("b")
+    joined = a.join(
+        b, (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    if max_mismatch is not None:
+        ham = None
+        for i in range(n_bands):
+            piece = F.expr(
+                f"bit_count(cast(conv(substring(a.sig, "
+                f"{i * bits_per_band + 1}, {bits_per_band}), 2, 10) "
+                f"as bigint) ^ cast(conv(substring(b.sig, "
+                f"{i * bits_per_band + 1}, {bits_per_band}), 2, 10) "
+                f"as bigint))")
+            ham = piece if ham is None else ham + piece
+        joined = joined.where(ham <= F.lit(int(max_mismatch)))
     return (
-        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        joined
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
@@ -735,15 +764,36 @@ def embedding_near_duplicates(embeds: DataFrame, threshold: float = 0.95,
     threshold 0.99 (theta ~ 8.1 deg, p ~ .955) and r = 7, 4 bands
     give P(candidate) ~ .99 per qualifying pair, and exact
     duplicates always collide in every band.
+
+    Hamming pre-filter (r7): a qualifying pair at ``threshold``
+    mismatches an expected ``theta/pi`` fraction of its signature
+    bits, a random band collision ~half of them. Candidates whose
+    full-signature mismatch exceeds ``2*theta/pi + 0.06`` of the
+    total bits (double the expectation plus a 2-sigma-ish absolute
+    slack at 36 bits) are dropped before the embedding vectors are
+    re-joined for the exact verify — the tail probability a true pair
+    loses is <0.5% (Binomial(36, .045) above 5.4), far under the
+    band-recall haircut, while random collisions (mean mismatch 18 of
+    36) essentially never survive. Exact duplicates mismatch 0 bits
+    and always survive.
     """
+    import math
+
     from lexmapr_spark.engine import ship_package
     ship_package(embeds.sparkSession)
     embeds = fan_out(embeds)
+    if bits_per_band is None:
+        n = corpus_count if corpus_count is not None else embeds.count()
+        bits_per_band = derive_srp_bits(n, target_bucket)
+    theta_frac = math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    total_bits = n_bands * bits_per_band
+    max_mm = math.ceil(total_bits * min(0.5, 2.0 * theta_frac + 0.06))
     cand = srp_band_candidates(embeds, n_bands=n_bands,
                                bits_per_band=bits_per_band,
                                target_bucket=target_bucket,
                                corpus_count=corpus_count,
-                               id_col=id_col, vec_col=vec_col)
+                               id_col=id_col, vec_col=vec_col,
+                               max_mismatch=max_mm)
     va = embeds.select(F.col(id_col).alias("id_a"),
                        F.col(vec_col).alias("_vec_a"))
     vb = embeds.select(F.col(id_col).alias("id_b"),

@@ -282,12 +282,22 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
     round_dirs = sorted(d for d in os.listdir(run0)
                         if d.startswith("round="))
     assert len(round_dirs) == 1  # only the last round survives
-    assert os.path.isdir(os.path.join(run0, "edges"))
-    # the returned frame is parquet-backed: a brand-new reader over the
-    # surviving round reproduces it exactly (what a resume would do)
-    reread = {r.node: r.component
-              for r in spark.read.parquet(
-                  os.path.join(run0, round_dirs[0])).collect()}
+    # r7 layout: the raw symmetrized edges are reclaimed as soon as
+    # the star-contraction map + contracted edges are durable
+    assert not os.path.exists(os.path.join(run0, "edges"))
+    assert os.path.isdir(os.path.join(run0, "starmap"))
+    assert os.path.isdir(os.path.join(run0, "edges_contracted"))
+    # the returned frame is parquet-backed: a brand-new reader over
+    # starmap + the surviving round reproduces it exactly (what a
+    # resume would do) — node -> rep -> component, reps without a loop
+    # row are their own component
+    star = {r.node: r.rep
+            for r in spark.read.parquet(
+                os.path.join(run0, "starmap")).collect()}
+    comp = {r.node: r.component
+            for r in spark.read.parquet(
+                os.path.join(run0, round_dirs[0])).collect()}
+    reread = {n: comp.get(rep, rep) for n, rep in star.items()}
     assert reread == got
     # r6 ADVICE: a rerun over the same dir writes under its own run=K
     # subdir, so the EARLIER call's returned labels stay readable —
@@ -299,6 +309,8 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
         {"a": "a", "b": "a"}
     assert {r.node: r.component for r in durable.collect()} == got
     assert not os.path.exists(os.path.join(run0, "edges"))
+    assert not os.path.exists(os.path.join(run0, "edges_contracted"))
+    assert os.path.isdir(os.path.join(run0, "starmap"))  # backs `durable`
     assert sorted(d for d in os.listdir(run0)
                   if d.startswith("round=")) == round_dirs
     run1 = os.path.join(ckpt, "run=1")
