@@ -352,6 +352,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id",
             F.get_json_object("props", "$.k").cast("bigint").alias("k")))
 
+    # as-of join (r7): last-click attribution — every purchase gets
+    # the latest same-user click at-or-before its timestamp. Union +
+    # running-window form (ops/joins.py), one shuffle on user_id; the
+    # oracle is a correlated ORDER BY ... LIMIT 1 with the identical
+    # (ts DESC, event_id DESC) tie rule.
+    def events_asof_attribution(spark, sf):
+        from lexmapr_spark.ops import joins
+        ev = _t(spark, sf, "events")
+        purchases = ev.where(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        clicks = ev.where(F.col("event_type") == "click") \
+            .select("user_id", "ts", F.col("event_id").alias("click_id"))
+        out = joins.asof_join(purchases, clicks, "user_id",
+                              payload_cols=["click_id"],
+                              tiebreak_col="click_id")
+        return out.select("event_id", "user_id",
+                          F.col("click_id_matched").alias("click_id"))
+    q["events_asof_attribution"] = events_asof_attribution
+
+    # range join (r7): per-(user, day) half-hour activity windows
+    # (start = the user's first event that day) joined against ALL
+    # events by pure time containment — no shared key, the big-big
+    # interval join a theta-join would turn into a cartesian product.
+    # ops/joins.py buckets both sides on 1800-s epochs so it runs as
+    # an AQE-managed equi-join; value sums go through DECIMAL(18,2)
+    # for order independence.
+    def events_range_join(spark, sf):
+        from lexmapr_spark.ops import joins
+        ev = _t(spark, sf, "events")
+        intervals = (
+            ev.groupBy(F.col("user_id").alias("iv_user"),
+                       F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.min("ts").alias("start_ts"))
+            .withColumn("end_ts",
+                        F.col("start_ts") + F.expr("INTERVAL 30 MINUTES")))
+        points = ev.select(F.col("event_id").alias("pid"), "ts", "value")
+        pairs = joins.range_join(points, intervals, bucket_seconds=1800)
+        return (pairs.groupBy("iv_user", "day")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                     .alias("value_sum")))
+    q["events_range_join"] = events_range_join
+
     # ---- §2.5 set ops
     q["set_customers_without_orders"] = lambda spark, sf: (
         _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
@@ -1020,15 +1063,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental", "curation_pipeline_v2", "text_repetition",
         "text_perplexity", "web_host_filter", "web_host_rollup",
         "web_url_normalize", "conf_scoring",
-        # 15 round-7-touched paths + flagship kg family
+        # 15 round-7-touched paths + flagship kg family. Rotated out
+        # vs the draft list (all r6 hash-green, untouched this round):
+        # sample_mixture, sample_split_assign, kg_match_histogram —
+        # replaced by the two NEW r7 queries (events_asof_attribution,
+        # events_range_join) and dedup_minhash_lsh (its candidate
+        # stage gained the estimated-Jaccard pre-filter this round)
         "kg_confidence_histogram",     # with_confidence staging fix
         "sample_mixture_upsample",     # NULL-key drop contract
-        "sample_mixture", "sample_split_assign",
+        "events_asof_attribution",     # NEW r7: as-of join
+        "events_range_join",           # NEW r7: bucketized range join
         "search_bm25_batch",           # explode_outer validation
         "search_bm25_batch_indexed",
-        "emb_near_duplicates",         # banding retune
-        "kg_canonical_triples",        # CC run-dir layout
-        "kg_triples", "kg_match_histogram", "kg_classification_histogram",
+        "emb_near_duplicates",         # banding + hamming pre-filter
+        "kg_canonical_triples",        # CC star contraction + run dirs
+        "kg_triples", "kg_classification_histogram",
+        "dedup_minhash_lsh",           # estimated-Jaccard pre-filter
         "emb_semantic_dedup", "search_bm25_merged",
         "dedup_incremental_merged", "dedup_exact_substring_cdc",
     ]
@@ -1540,6 +1590,9 @@ def oracle_sql() -> dict[str, str]:
     band_keys = ",".join(
         f"md5(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band{b}"
         for b in range(4))
+    mh_cols = ",".join(f"mh{j}" for j in range(8))
+    from lexmapr_spark.ops.dedup import signature_prefilter_bound
+    lsh_min_match = signature_prefilter_bound(0.7)
 
     _LSH_PAIRS_SQL_TEMPLATE = (
         "WITH docs2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
@@ -1547,14 +1600,18 @@ def oracle_sql() -> dict[str, str]:
             "toks AS (SELECT doc_id, unnest(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) "
             "AS tok FROM docs2), "
             f"sigs AS (SELECT doc_id, {minhash_mins} FROM toks GROUP BY doc_id), "
-            f"banded AS (SELECT doc_id, {band_keys} FROM sigs), "
-            "stacked AS (SELECT doc_id, unnest(["
+            f"banded AS (SELECT doc_id, {mh_cols}, {band_keys} FROM sigs), "
+            f"stacked AS (SELECT doc_id, {mh_cols}, unnest(["
             "concat('0:', band0), concat('1:', band1), "
             "concat('2:', band2), concat('3:', band3)]) AS band_key "
             "FROM banded), "
+            # r7: estimated-Jaccard pre-filter, identical integer bound
+            # to dedup.signature_prefilter_bound(0.7) engine-side
             "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
             "FROM stacked a JOIN stacked b USING (band_key) "
-            "WHERE a.doc_id < b.doc_id), "
+            "WHERE a.doc_id < b.doc_id AND ("
+            + " + ".join(f"(a.mh{j} = b.mh{j})::INT" for j in range(8))
+            + f") >= {lsh_min_match}), "
             "tsets AS (SELECT doc_id, list_distinct(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) AS toks "
             "FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
             f"FROM {_CLONES_SQL})) "
@@ -1659,6 +1716,27 @@ def oracle_sql() -> dict[str, str]:
             "IS NULL OR epoch(ts) - epoch(lag(ts) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id)) > 1800 "
             "THEN 1 ELSE 0 END AS new_session FROM events)",
+
+        # identical tie rule to ops/joins.asof_join: latest ts wins,
+        # largest event_id among exact-ts ties, at-or-before inclusive
+        "events_asof_attribution":
+            "SELECT p.event_id, p.user_id, "
+            "(SELECT c.event_id FROM events c WHERE "
+            "c.event_type = 'click' AND c.user_id = p.user_id "
+            "AND c.ts <= p.ts ORDER BY c.ts DESC, c.event_id DESC "
+            "LIMIT 1) AS click_id "
+            "FROM events p WHERE p.event_type = 'purchase'",
+
+        "events_range_join":
+            "WITH iv AS (SELECT user_id AS iv_user, "
+            "strftime(ts, '%Y-%m-%d') AS day, min(ts) AS start_ts "
+            "FROM events GROUP BY 1, 2), "
+            "iv2 AS (SELECT iv_user, day, start_ts, "
+            "start_ts + INTERVAL 30 MINUTE AS end_ts FROM iv) "
+            "SELECT iv_user, day, count(*) AS n_events, "
+            "sum(CAST(e.value AS DECIMAL(18,2))) AS value_sum "
+            "FROM iv2 JOIN events e ON e.ts >= iv2.start_ts "
+            "AND e.ts <= iv2.end_ts GROUP BY 1, 2",
 
         "json_extract_props":
             "SELECT event_id, try_cast(json_extract_string(props, '$.k') "

@@ -137,25 +137,69 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return toks.groupBy(id_col).agg(*aggs)
 
 
+def signature_prefilter_bound(threshold: float,
+                              n_hashes: int = N_MINHASHES,
+                              rows_per_band: int = ROWS_PER_BAND
+                              ) -> int | None:
+    """Minimum matching-minhash count a candidate pair must show for
+    its estimated Jaccard (matches / n_hashes) to be plausibly >=
+    ``threshold``: ceil(n*t - 2.5*sigma) with sigma = sqrt(n*t*(1-t)),
+    the Binomial(n_hashes, t) lower tail. Returns None when the bound
+    is <= rows_per_band — every band collision already matches
+    rows_per_band hashes, so the filter would be a no-op (this is what
+    happens at low thresholds, where the filter would otherwise cost
+    recall for nothing)."""
+    import math
+
+    t = max(0.0, min(1.0, threshold))
+    bound = math.ceil(n_hashes * t
+                      - 2.5 * math.sqrt(n_hashes * t * (1.0 - t)))
+    return bound if bound > rows_per_band else None
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         n_bands: int = N_BANDS,
-                        rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+                        rows_per_band: int = ROWS_PER_BAND,
+                        min_matching_hashes: int | None = None) -> DataFrame:
     """Banding: docs sharing any band key become a candidate pair.
 
     Self-join happens *within* band buckets only — the LSH trick that
     makes near-dup detection linear-ish instead of O(n^2).
+
+    ``min_matching_hashes`` (r7): optional estimated-Jaccard
+    pre-filter — a colliding pair survives only if at least that many
+    of its full minhash values agree (matches / n_hashes is an
+    unbiased Jaccard estimate). The signature columns ride through the
+    band explode (n_hashes longs per row — narrow), so the check is a
+    pure-codegen conjunction right on the band join output and random
+    collisions die BEFORE the shingle sets are joined back for the
+    exact verify. Derive the bound with
+    :func:`signature_prefilter_bound`; None (default) keeps every
+    collision.
     """
+    n_hashes = n_bands * rows_per_band
+    carry = [f"mh{j}" for j in range(n_hashes)] \
+        if min_matching_hashes is not None else []
     stacked = signatures.select(
-        F.col(id_col),
+        F.col(id_col), *carry,
         F.explode(F.array(*band_key_exprs(
             lambda j: F.col(f"mh{j}"),
-            n_bands * rows_per_band, rows_per_band))).alias("band_key"),
+            n_hashes, rows_per_band))).alias("band_key"),
     )
     a = stacked.alias("a")
     b = stacked.alias("b")
-    return (
+    joined = (
         a.join(b, "band_key")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if min_matching_hashes is not None:
+        matched = None
+        for j in range(n_hashes):
+            piece = (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int")
+            matched = piece if matched is None else matched + piece
+        joined = joined.where(matched >= F.lit(int(min_matching_hashes)))
+    return (
+        joined
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
@@ -170,10 +214,22 @@ def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
 
     Returns (id_a, id_b, jaccard) for pairs >= threshold, Jaccard
     rounded to 6 dp for cross-engine comparability.
+
+    Candidates are pre-screened on estimated Jaccard
+    (:func:`signature_prefilter_bound` over the full signature — at
+    the default threshold 0.7 / 8 hashes that demands >= 3 matching
+    minima) so the wide shingle-set verify join only sees pairs with
+    statistical support. A pair at EXACTLY the threshold has a
+    <=0.2% chance of falling under the bound (Binomial lower tail,
+    conditioned on the band collision it already has) — far below the
+    banding recall haircut itself — and the DuckDB oracle applies the
+    identical integer bound, so cross-engine parity is exact.
     """
     docs = fan_out(docs)
     sigs = minhash_signatures(docs, id_col, text_col)
-    pairs = lsh_candidate_pairs(sigs, id_col)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col,
+        min_matching_hashes=signature_prefilter_bound(threshold))
     toksets = docs.select(
         F.col(id_col),
         F.array_distinct(shingles_col(text_col)).alias("toks"))

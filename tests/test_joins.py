@@ -1,0 +1,212 @@
+"""Temporal join operators: as-of join and bucketized range join
+(lexmapr_spark/ops/joins.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexmapr_spark import engine
+from lexmapr_spark.ops import joins
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = engine.build_spark(cpus=4, app="joins_tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # per-key price ticks; key "a" has a tie at minute 5
+    rows = [
+        ("a", _ts(1), 100, 1.0),
+        ("a", _ts(5), 101, 2.0),
+        ("a", _ts(5), 102, 3.0),   # tie on ts -> larger quote_id wins
+        ("a", _ts(9), 103, 4.0),
+        ("b", _ts(4), 200, 9.0),
+    ]
+    return spark.createDataFrame(
+        rows, "k STRING, ts TIMESTAMP, quote_id LONG, px DOUBLE")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("a", _ts(0), 10),    # before any quote -> NULL
+        ("a", _ts(5), 11),    # equal ts -> inclusive, tie -> 102
+        ("a", _ts(7), 12),    # between -> 102
+        ("a", _ts(30), 13),   # after all -> 103
+        ("b", _ts(4), 14),    # exact equal on key b -> 200
+        ("c", _ts(4), 15),    # key with no quotes at all -> NULL
+    ]
+    return spark.createDataFrame(
+        rows, "k STRING, ts TIMESTAMP, trade_id LONG")
+
+
+def test_asof_backward_matches_latest_prior_inclusive(quotes, trades):
+    out = joins.asof_join(trades, quotes, "k",
+                          payload_cols=["quote_id", "px"],
+                          tiebreak_col="quote_id")
+    got = {r.trade_id: (r.quote_id_matched, r.px_matched)
+           for r in out.collect()}
+    assert got == {
+        10: (None, None),
+        11: (102, 3.0),
+        12: (102, 3.0),
+        13: (103, 4.0),
+        14: (200, 9.0),
+        15: (None, None),
+    }
+    # left row count and columns are preserved
+    assert out.count() == trades.count()
+    assert set(trades.columns) < set(out.columns)
+
+
+def test_asof_forward_matches_earliest_following(quotes, trades):
+    out = joins.asof_join(trades, quotes, "k",
+                          payload_cols=["quote_id"],
+                          tiebreak_col="quote_id",
+                          direction="forward")
+    got = {r.trade_id: r.quote_id_matched for r in out.collect()}
+    # forward ties on time take the SMALLEST tiebreak
+    assert got == {10: 100, 11: 101, 12: 103, 13: None, 14: 200, 15: None}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    # randomized differential against the published reference
+    # implementation (pandas.merge_asof, backward, allow_exact_matches)
+    import pandas as pd
+
+    n_l, n_r = 200, 120
+    lrows = [("k%d" % (i % 7), _ts(i % 50, (i * 13) % 60), i)
+             for i in range(n_l)]
+    rrows = [("k%d" % (i % 7), _ts((i * 3) % 50, (i * 29) % 60), i, i * 1.5)
+             for i in range(n_r)]
+    left = spark.createDataFrame(lrows, "k STRING, ts TIMESTAMP, lid LONG")
+    right = spark.createDataFrame(
+        rrows, "k STRING, ts TIMESTAMP, rid LONG, v DOUBLE")
+    got = {r.lid: r.rid_matched
+           for r in joins.asof_join(left, right, "k",
+                                    payload_cols=["rid", "v"],
+                                    tiebreak_col="rid").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts",
+                                                                     kind="stable")
+    # pandas keeps the LAST right row among exact-ts duplicates, so
+    # sort by (ts, rid) to pin the same largest-tiebreak rule
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "rid", "v"]) \
+        .sort_values(["ts", "rid"], kind="stable")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward",
+                        allow_exact_matches=True)
+    want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in ref.itertuples()}
+    assert got == want
+
+
+def test_asof_rejects_bad_args(quotes, trades):
+    with pytest.raises(ValueError, match="direction"):
+        joins.asof_join(trades, quotes, "k", direction="sideways")
+    with pytest.raises(ValueError, match="suffix"):
+        joins.asof_join(trades.withColumn("px_matched", F.lit(1)),
+                        quotes, "k", payload_cols=["px"])
+    with pytest.raises(ValueError, match="payload"):
+        joins.asof_join(trades, quotes.select("k", "ts"), "k")
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_exact_containment(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(10)), (3, _ts(30)), (4, _ts(59, 59))],
+        "pid LONG, ts TIMESTAMP")
+    intervals = spark.createDataFrame(
+        [(100, _ts(0), _ts(10)),       # inclusive both ends
+         (200, _ts(25), _ts(59, 58)),  # excludes point 4 by 1s
+         (300, _ts(40), _ts(45))],     # empty
+        "iid LONG, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    got = {(r.pid, r.iid)
+           for r in joins.range_join(points, intervals,
+                                     bucket_seconds=600).collect()}
+    assert got == {(1, 100), (2, 100), (3, 200)}
+    # tiny buckets (interval spans MANY buckets) must not duplicate
+    # pairs — each point lives in exactly one bucket
+    got_small = {(r.pid, r.iid)
+                 for r in joins.range_join(points, intervals,
+                                           bucket_seconds=7).collect()}
+    assert got_small == got
+    rows = joins.range_join(points, intervals, bucket_seconds=7).collect()
+    assert len(rows) == len(got)
+
+
+def test_range_join_differential_vs_python(spark):
+    import random
+    rng = random.Random(7)
+    points = [(i, _ts(rng.randrange(50), rng.randrange(60)))
+              for i in range(300)]
+    ivs = []
+    for i in range(80):
+        s = dt.datetime(2024, 1, 1, 0, rng.randrange(50), rng.randrange(60))
+        ivs.append((i, s, s + dt.timedelta(seconds=rng.randrange(1, 900))))
+    p = spark.createDataFrame(points, "pid LONG, ts TIMESTAMP")
+    iv = spark.createDataFrame(
+        ivs, "iid LONG, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    got = {(r.pid, r.iid)
+           for r in joins.range_join(p, iv, bucket_seconds=300).collect()}
+    want = {(pid, iid) for pid, ts in points for iid, s, e in ivs
+            if s <= ts <= e}
+    assert got == want
+
+
+def test_asof_plan_is_single_window_no_join(spark, quotes, trades):
+    # the union-window form must not degrade into any join operator:
+    # one hash shuffle on the key, one window, zero joins
+    out = joins.asof_join(trades, quotes, "k", payload_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark):
+    # containment runs as an equi-join on the bucket id (hash join /
+    # SMJ — AQE's choice), never the cartesian BroadcastNestedLoopJoin
+    # a raw theta-join would produce
+    points = spark.range(2000).select(
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 60).alias("ts"))
+    intervals = spark.range(500).select(
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 240).alias("start_ts"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 240 + 900)
+        .alias("end_ts"))
+    out = joins.range_join(points, intervals)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "_bucket" in plan
+    # and it actually matches: every point inside some interval
+    assert out.count() > 0
+
+
+def test_range_join_rejects_colliding_columns(spark):
+    df = spark.createDataFrame([(1, _ts(1))], "pid LONG, ts TIMESTAMP")
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(2))], "pid LONG, start_ts TIMESTAMP, "
+        "end_ts TIMESTAMP")
+    with pytest.raises(ValueError, match="both sides"):
+        joins.range_join(df, iv)
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        joins.range_join(df, iv.withColumnRenamed("pid", "iid"),
+                         bucket_seconds=0)

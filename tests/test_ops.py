@@ -34,6 +34,37 @@ def test_exact_duplicates(docs):
     assert groups[0].n_dupes == 2 and groups[0].keeper_id == 1
 
 
+def test_signature_prefilter_bound_derivation():
+    # Binomial(8, t) lower tail at 2.5 sigma; None when the bound
+    # would not exceed the 2 matches every band collision already has
+    assert dedup.signature_prefilter_bound(0.7) == 3
+    assert dedup.signature_prefilter_bound(1.0) == 8   # sigma = 0
+    assert dedup.signature_prefilter_bound(0.95) >= 5
+    assert dedup.signature_prefilter_bound(0.3) is None
+    assert dedup.signature_prefilter_bound(0.0) is None
+
+
+def test_lsh_prefilter_kills_lone_band_collision(spark):
+    # two docs agree on exactly one band (mh0, mh1) and nothing else —
+    # a classic random collision. Default banding emits the pair; the
+    # estimated-Jaccard pre-filter (2 of 8 matches ~ jaccard .25,
+    # nowhere near 0.7) kills it before any verify join would run.
+    rows = [(1, 10, 11, 1, 2, 3, 4, 5, 6),
+            (2, 10, 11, 9, 8, 7, 99, 98, 97)]
+    sigs = spark.createDataFrame(
+        rows, "doc_id LONG, " + ", ".join(f"mh{j} LONG" for j in range(8)))
+    assert dedup.lsh_candidate_pairs(sigs).count() == 1
+    assert dedup.lsh_candidate_pairs(
+        sigs, min_matching_hashes=3).count() == 0
+    # three agreeing hashes (band 0 + one stray) survive a bound of 3
+    rows2 = [(1, 10, 11, 1, 2, 3, 4, 5, 6),
+             (2, 10, 11, 9, 2, 7, 99, 98, 97)]
+    sigs2 = spark.createDataFrame(
+        rows2, "doc_id LONG, " + ", ".join(f"mh{j} LONG" for j in range(8)))
+    assert dedup.lsh_candidate_pairs(
+        sigs2, min_matching_hashes=3).count() == 1
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     # shingle (3-gram) Jaccard: identical docs = 1.0; one appended
     # token shares 7/8 shingles (0.875 -> LSH finds it reliably)
