@@ -322,6 +322,22 @@ def main():
             "corpus-side explode at serving time (the stored postings "
             "ARE the tf table); broadcast (query, term) join + "
             "DECIMAL sums + WindowGroupLimit per-query top-k.",
+        "events_asof_attribution":
+            "As-of join (round 7): union-window form — purchases and "
+            "clicks tagged and unioned, ONE hash exchange on user_id, "
+            "one in-partition sort, last(ignorenulls) running window; "
+            "NO join operator anywhere in the plan (a range self-join "
+            "would blow up on hot users). Cost shape identical to any "
+            "windowed aggregation, so skew is AQE's existing problem.",
+        "events_range_join":
+            "Range join (round 7): both sides mapped to 1800-s epoch "
+            "buckets (the interval side explodes to the buckets it "
+            "overlaps, a point lands in exactly ONE bucket, so no "
+            "dedup pass); containment runs as a bucket equi-join that "
+            "AQE sizes/skew-splits, NEVER BroadcastNestedLoopJoin — "
+            "the plan must show a hash join on _bucket with the exact "
+            "ts BETWEEN filter applied post-join, then map-side "
+            "combined DECIMAL sums per interval.",
         "text_pmi_collocations":
             "PMI collocations (round 6): unigram and bigram counts "
             "as two map-side-combined aggregates; min_count prunes "
