@@ -1612,7 +1612,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.doc_id < b.doc_id AND ("
             + " + ".join(f"(a.mh{j} = b.mh{j})::INT" for j in range(8))
             + f") >= {lsh_min_match}), "
-            "tsets AS (SELECT doc_id, list_distinct(list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != '')) AS toks "
+            # r7: Jaccard verify runs over 60-bit md5-prefix HASHED
+            # shingles (engine: dedup.jaccard_near_duplicates) — hash
+            # construction identical on both sides
+            "tsets AS (SELECT doc_id, list_distinct(list_transform("
+            "list_filter(list_transform(generate_series(1, greatest(len(toks) - 2, 1)), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])), s -> s != ''), "
+            "s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS toks "
             "FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
             f"FROM {_CLONES_SQL})) "
             "SELECT id_a, id_b, round(CAST(len(list_intersect(ta.toks, tb.toks))"

@@ -615,20 +615,23 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                     if r != max(rounds):
                         _delete_path(spark, f"{prev}/round={r}")
         run_dir = f"{checkpoint_dir}/run={run_id}"
-    sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-    # materialize the edge set once: every round joins against it
-    # twice, and for data-derived graphs its lineage is the whole
-    # upstream pipeline (e.g. LSH banding + Jaccard verification) —
-    # without this the pair discovery would re-execute per round
+    # materialize the ONE-SIDED edge list once: everything below joins
+    # or aggregates against it, and for data-derived graphs its lineage
+    # is the whole upstream pipeline (e.g. LSH banding + Jaccard
+    # verification) — without this the pair discovery would re-execute
+    # per consumer. One-sided on purpose: symmetrization happens only
+    # (a) inside a map-side-combinable min aggregate and (b) on the
+    # tiny contracted set, so the big 2x row doubling is never
+    # materialized or shuffled.
+    e1 = edges.select("src", "dst")
     if checkpoint_dir is not None:
-        sym.write.mode("overwrite").parquet(f"{run_dir}/edges")
-        sym = spark.read.parquet(f"{run_dir}/edges")
+        e1.write.mode("overwrite").parquet(f"{run_dir}/edges")
+        e1 = spark.read.parquet(f"{run_dir}/edges")
     else:
-        sym = sym.localCheckpoint(eager=True)
+        e1 = e1.localCheckpoint(eager=True)
     # --- star contraction (r7): collapse every node onto the min of
     # its closed neighborhood (rep(v) = min(v, min(neighbors(v))) —
-    # one groupBy over the symmetrized edges) and run the loop on the
+    # one groupBy over both edge directions) and run the loop on the
     # quotient graph. Each contraction class {v : rep(v)=u} + {u} is a
     # star, i.e. connected in the original graph, so quotienting
     # preserves component structure EXACTLY, and because rep(v) <= v
@@ -637,30 +640,36 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     # k*(k-1)/2 verified pairs) and a clique collapses to its min node
     # with ZERO surviving edges, so the per-round neighbor-min joins
     # run over the few inter-star edges instead of the full verified
-    # pair set: on the 200k-doc deep bench corpus this took the
-    # component-keeper filter from ~146 s to the cost of one groupBy +
-    # one relabel join. Chains merely halve, and the doubling loop
-    # below still guarantees O(log diameter) rounds for them.
-    star = (sym.groupBy("src").agg(F.min("dst").alias("_nmin"))
-            .select(F.col("src").alias("node"),
-                    F.least(F.col("src"), F.col("_nmin")).alias("rep")))
+    # pair set. Chains merely halve, and the doubling loop below still
+    # guarantees O(log diameter) rounds for them.
+    stack = e1.select(F.col("src").alias("node"),
+                      F.col("dst").alias("nbr")) \
+        .union(e1.select(F.col("dst").alias("node"),
+                         F.col("src").alias("nbr")))
+    star = (stack.groupBy("node").agg(F.min("nbr").alias("_nmin"))
+            .select("node",
+                    F.least(F.col("node"), F.col("_nmin")).alias("rep")))
     if checkpoint_dir is not None:
         star.write.mode("overwrite").parquet(f"{run_dir}/starmap")
         star = spark.read.parquet(f"{run_dir}/starmap")
     else:
         star = star.localCheckpoint(eager=True)
-    csym = (
-        sym
+    # relabel the ONE-SIDED pairs (half the join volume of a
+    # symmetrized relabel), dedup the tiny surviving set, THEN
+    # symmetrize it for the neighbor-min loop
+    ce = (
+        e1
         .join(star.select(F.col("node").alias("src"),
                           F.col("rep").alias("_rsrc")), "src")
         .join(star.select(F.col("node").alias("dst"),
                           F.col("rep").alias("_rdst")), "dst")
         .where(F.col("_rsrc") != F.col("_rdst"))
-        .select(F.col("_rsrc").alias("src"), F.col("_rdst").alias("dst"))
+        .select(F.least("_rsrc", "_rdst").alias("src"),
+                F.greatest("_rsrc", "_rdst").alias("dst"))
         .distinct()
     )
-    # sym is symmetric and both endpoints map through the same rep, so
-    # csym stays symmetric — the neighbor-min step relies on that
+    csym = ce.union(ce.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
     if checkpoint_dir is not None:
         csym.write.mode("overwrite").parquet(f"{run_dir}/edges_contracted")
         csym = spark.read.parquet(f"{run_dir}/edges_contracted")

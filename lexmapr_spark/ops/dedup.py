@@ -230,9 +230,21 @@ def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
     pairs = lsh_candidate_pairs(
         sigs, id_col,
         min_matching_hashes=signature_prefilter_bound(threshold))
+    # verify on 60-bit HASHED shingles, not shingle strings (r7): the
+    # per-pair array_intersect hashes every element of both arrays, and
+    # doing that over ~40-char strings for millions of candidate pairs
+    # dominated the deep-bench wall. 8-byte longs hash ~5x cheaper and
+    # shrink the tokset shuffle ~4x. Jaccard over hashed distinct
+    # shingles equals Jaccard over the strings barring a 60-bit
+    # collision, and the DuckDB oracle applies the IDENTICAL
+    # md5-prefix hash, so cross-engine parity is exact either way.
+    hashed = F.transform(
+        shingles_col(text_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long"))
     toksets = docs.select(
         F.col(id_col),
-        F.array_distinct(shingles_col(text_col)).alias("toks"))
+        F.array_distinct(hashed).alias("toks"))
     ta = toksets.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     tb = toksets.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
