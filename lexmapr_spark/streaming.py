@@ -508,3 +508,55 @@ def stream_index_deduped_pages(pages_stream, index, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_asof_joined(left_stream, right_static, key_cols,
+                       out_dir: str, checkpoint_dir: str,
+                       time_col: str = "ts",
+                       payload_cols: list | None = None,
+                       tiebreak_col: str | None = None,
+                       direction: str = "backward",
+                       available_now: bool = True):
+    """Streaming as-of enrichment against a STATIC right side: every
+    arriving left row gets the latest (or, ``forward``, earliest)
+    right row at-or-before (-after) its timestamp, per key — e.g. a
+    live purchase stream stamped with the most recent click from a
+    reference click table.
+
+    Scope is deliberately stream-static: because the right side is
+    fixed, a left row's match never changes once computed, so no
+    cross-batch state is needed — the batch operator
+    (``ops.joins.asof_join``, union + running-window form) runs
+    VERBATIM inside ``foreachBatch`` and the checkpoint stays
+    offsets-only, the same twin pattern as the other streaming ops. A
+    stream-STREAM as-of (late right rows revising earlier matches)
+    would need watermarked state and retraction semantics the sink
+    contract here (append-only parquet) cannot express; that variant
+    is out of scope and documented as such.
+
+    Cost note: each micro-batch unions the batch's left rows with the
+    FULL right side and windows per key, so per-batch cost is one
+    right-side shuffle — ``.persist()`` the right DataFrame for
+    many-batch streams. Idempotent replay via per-batch dynamic
+    partition overwrite, as in the other foreachBatch twins.
+    """
+    from lexmapr_spark.ops.joins import asof_join
+
+    def write_batch(batch_df, batch_id):
+        joined = asof_join(batch_df, right_static, key_cols,
+                           time_col=time_col, payload_cols=payload_cols,
+                           tiebreak_col=tiebreak_col, direction=direction)
+        (joined.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out_dir))
+
+    writer = (
+        left_stream.writeStream
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

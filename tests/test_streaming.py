@@ -455,3 +455,56 @@ def test_stream_bm25_matches_batch_twin(spark):
         assert kept == {"u2"}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_asof_joined_matches_batch_twin(spark):
+    """Streaming as-of enrichment against a static right side equals
+    the batch asof_join on the same rows, including NULL-payload left
+    rows with no qualifying match."""
+    import datetime
+
+    from lexmapr_spark.ops import joins
+
+    base = tempfile.mkdtemp()
+    landing = os.path.join(base, "purchases")
+    out = os.path.join(base, "joined")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+        def ts(m):
+            return t0 + datetime.timedelta(minutes=m)
+
+        purchases = spark.createDataFrame(
+            [(1, 7, ts(5)), (2, 7, ts(0)), (3, 8, ts(9)), (4, 9, ts(3))],
+            "pid LONG, user_id LONG, ts TIMESTAMP")
+        clicks = spark.createDataFrame(
+            [(7, ts(1), 100), (7, ts(5), 101), (7, ts(5), 102),
+             (8, ts(2), 200)],
+            "user_id LONG, ts TIMESTAMP, click_id LONG")
+        purchases.write.parquet(landing)
+        stream = (spark.readStream.schema(purchases.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(landing))
+        q = streaming.stream_asof_joined(
+            stream, clicks, "user_id", out, ckpt,
+            payload_cols=["click_id"], tiebreak_col="click_id")
+        q.awaitTermination(120)
+        got = {r.pid: r.click_id_matched
+               for r in spark.read.parquet(out).collect()}
+        want = {r.pid: r.click_id_matched
+                for r in joins.asof_join(
+                    purchases, clicks, "user_id",
+                    payload_cols=["click_id"],
+                    tiebreak_col="click_id").collect()}
+        assert got == want
+        assert got == {1: 102, 2: None, 3: 200, 4: None}
+        # restart over the same checkpoint: no duplicate rows appear
+        q2 = streaming.stream_asof_joined(
+            (spark.readStream.schema(purchases.schema)
+             .option("maxFilesPerTrigger", "1").parquet(landing)),
+            clicks, "user_id", out, ckpt,
+            payload_cols=["click_id"], tiebreak_col="click_id")
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 4
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
