@@ -101,6 +101,11 @@ def _docs_with_clones(spark, sf_dir):
     return d.unionByName(clone)
 
 
+# one threshold constant shared by the dedup_* query lambdas AND the
+# oracle template (bound derivation + verify WHERE) — r7 review: a
+# drifted literal would desync the engine pre-filter from the oracle
+_LSH_THRESHOLD = 0.7
+
 _CLONES_SQL = ("(SELECT doc_id, text FROM documents "
                "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)")
 
@@ -117,26 +122,37 @@ _TOKEN_DIM = [("spark", "TECH_0001"), ("join", "REL_0002"),
               ("stream", "TECH_0005")]
 
 
-def _previous_round_window() -> set | None:
-    """Names with a row in the latest CORRECTNESS_r*.json next to this
-    file, or None when no artifact exists (fresh checkout / round 1).
-    Backs the two-round coverage invariant in :func:`queries`."""
+def _previous_round_window(current_window: set | None = None) -> set | None:
+    """Names with a row in the newest CORRECTNESS_r*.json next to this
+    file whose name-set DIFFERS from ``current_window``, or None when
+    no such artifact exists (fresh checkout / round 1). Backs the
+    two-round coverage invariant in :func:`queries`.
+
+    Skipping same-as-window artifacts matters (r7 review finding):
+    the driver writes this round's artifact mid-round, containing
+    exactly the current window's names — comparing against THAT would
+    flag every out-of-window query as stale on unchanged code the
+    moment the file lands. The artifact we must check is the newest
+    one recorded under a *different* (i.e. previous round's) window."""
     import glob
     import json
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
+    numbered: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p))
-        if m and int(m.group(1)) > best_n:
-            best, best_n = p, int(m.group(1))
-    if best is None:
-        return None
-    try:
-        return set(json.load(open(best)))
-    except (OSError, ValueError):
-        return None
+        if m:
+            numbered.append((int(m.group(1)), p))
+    for _n, path in sorted(numbered, reverse=True):
+        try:
+            names = set(json.load(open(path)))
+        except (OSError, ValueError):
+            continue
+        if current_window is not None and names == current_window:
+            continue
+        return names
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -418,11 +434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents").select("doc_id", "text"))
 
     q["dedup_minhash_lsh"] = lambda spark, sf: dedup.jaccard_near_duplicates(
-        _docs_with_clones(spark, sf), threshold=0.7)
+        _docs_with_clones(spark, sf), threshold=_LSH_THRESHOLD)
 
     q["dedup_near_dup_filter"] = lambda spark, sf: (
         dedup.near_duplicate_filter(_docs_with_clones(spark, sf),
-                                    threshold=0.7)
+                                    threshold=_LSH_THRESHOLD)
         .select("doc_id"))
 
     # cluster-consistent keeper: connected components (pointer-doubling)
@@ -430,13 +446,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cluster — the C4/RefinedWeb policy
     q["dedup_near_dup_components"] = lambda spark, sf: (
         dedup.near_duplicate_filter(_docs_with_clones(spark, sf),
-                                    threshold=0.7, keeper="component")
+                                    threshold=_LSH_THRESHOLD, keeper="component")
         .select("doc_id"))
 
     # the materialized dup graph: (doc, cluster representative)
     q["dedup_near_dup_clusters"] = lambda spark, sf: (
         dedup.near_duplicate_clusters(_docs_with_clones(spark, sf),
-                                      threshold=0.7))
+                                      threshold=_LSH_THRESHOLD))
 
     q["dedup_simhash"] = lambda spark, sf: dedup.simhash_near_duplicates(
         _docs_with_clones(spark, sf), max_hamming=3)
@@ -1094,7 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # out of this round's window MUST have a row in the previous
     # round's CORRECTNESS artifact — no query goes two consecutive
     # rounds without a driver-verified row
-    prev = _previous_round_window()
+    prev = _previous_round_window(current_window=set(priority))
     if prev is not None:
         stale = [k for k in unverified if k not in prev]
         assert not stale, (
@@ -1592,7 +1608,15 @@ def oracle_sql() -> dict[str, str]:
         for b in range(4))
     mh_cols = ",".join(f"mh{j}" for j in range(8))
     from lexmapr_spark.ops.dedup import signature_prefilter_bound
-    lsh_min_match = signature_prefilter_bound(0.7)
+    # identical integer bound to the engine's
+    # jaccard_near_duplicates(threshold=_LSH_THRESHOLD); None means the
+    # engine skips the pre-filter, so the oracle must emit NO clause
+    # (r7 review: an unconditional interpolation would render '>= None')
+    lsh_min_match = signature_prefilter_bound(_LSH_THRESHOLD)
+    lsh_prefilter_sql = "" if lsh_min_match is None else (
+        " AND ("
+        + " + ".join(f"(a.mh{j} = b.mh{j})::INT" for j in range(8))
+        + f") >= {lsh_min_match}")
 
     _LSH_PAIRS_SQL_TEMPLATE = (
         "WITH docs2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
@@ -1605,13 +1629,12 @@ def oracle_sql() -> dict[str, str]:
             "concat('0:', band0), concat('1:', band1), "
             "concat('2:', band2), concat('3:', band3)]) AS band_key "
             "FROM banded), "
-            # r7: estimated-Jaccard pre-filter, identical integer bound
-            # to dedup.signature_prefilter_bound(0.7) engine-side
+            # r7: estimated-Jaccard pre-filter (or nothing, when the
+            # engine-side bound is None)
             "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
             "FROM stacked a JOIN stacked b USING (band_key) "
-            "WHERE a.doc_id < b.doc_id AND ("
-            + " + ".join(f"(a.mh{j} = b.mh{j})::INT" for j in range(8))
-            + f") >= {lsh_min_match}), "
+            "WHERE a.doc_id < b.doc_id"
+            f"{lsh_prefilter_sql}), "
             # r7: Jaccard verify runs over 60-bit md5-prefix HASHED
             # shingles (engine: dedup.jaccard_near_duplicates) — hash
             # construction identical on both sides
@@ -1627,7 +1650,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN tsets tb ON id_b = tb.doc_id "
             "WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)"
             " / (len(ta.toks) + len(tb.toks) - "
-            "len(list_intersect(ta.toks, tb.toks))), 6) >= 0.7")
+            f"len(list_intersect(ta.toks, tb.toks))), 6) >= {_LSH_THRESHOLD}")
 
     oracles = {
         "kg_text_extraction":

@@ -274,6 +274,52 @@ def _in_set_repr(token: Column, elems: Column) -> Column:
                                    token) > 0))
 
 
+def not_covered_hn_col(head_nouns: Column, covered_tokens: Column) -> Column:
+    """Distinct head nouns absent from the covered-token set repr."""
+    return F.array_distinct(
+        F.filter(head_nouns, lambda t: ~_in_set_repr(t, covered_tokens)))
+
+
+def not_covered_col(sample_tokens: Column, covered_tokens: Column,
+                    not_covered_hn: Column) -> Column:
+    """Distinct sample tokens covered by neither the covered-token set
+    repr nor the not-covered head nouns (the reference double-counts
+    head nouns out of this bucket)."""
+    return F.array_distinct(
+        F.filter(sample_tokens,
+                 lambda t: ~_in_set_repr(t, covered_tokens)
+                 & ~_in_set_repr(t, not_covered_hn)))
+
+
+def confidence_score_col(match_status: Column, penalty: Column,
+                         not_covered: Column,
+                         not_covered_hn: Column) -> Column:
+    """The reference's ``assign_confidence_level`` arithmetic — the
+    SINGLE definition of the 100/90/-6/-10 scoring contract (r7
+    review: :func:`confidence_cols` and :func:`with_confidence` each
+    carried a copy; a tweak to one would silently strand the other)."""
+    return (
+        F.when(match_status.contains("Full Term Match"),
+               F.lit(100.0) - penalty)
+         .when(match_status.contains("Component Match"),
+               F.lit(90.0) - penalty
+               - F.size(not_covered) * 6.0
+               - F.size(not_covered_hn) * 10.0)
+         .otherwise(F.lit(0.0)))
+
+
+def rendered_confidence_col(match_status: Column, score: Column) -> Column:
+    """The reference's confidence string, including the ``"Low (0%)"``
+    int-format quirk for No Match vs ``"...(90.0%)"`` elsewhere —
+    single definition, same rationale as
+    :func:`confidence_score_col`."""
+    return F.when(
+        match_status.contains("Full Term Match")
+        | match_status.contains("Component Match"),
+        F.format_string("%s (%.1f%%)", confidence_level_col(score), score)
+    ).otherwise(F.lit("Low (0%)"))
+
+
 def confidence_cols(sample_tokens: Column | str,
                     match_status: Column | str,
                     micro_status: Column | str,
@@ -285,9 +331,11 @@ def confidence_cols(sample_tokens: Column | str,
 
     The exact arithmetic of ``assign_confidence_level`` as JVM
     expressions: penalty fold + distinct-not-covered counts for the
-    Component Match branch. ``confidence`` matches the reference's
-    string format, including ``"Low (0%)"`` (int) for No Match vs
-    ``"...(90.0%)"`` (float) elsewhere.
+    Component Match branch, composed from the shared single-definition
+    builders above. NOTE this inline form re-evaluates the interpreted
+    HOFs per reference; prefer :func:`with_confidence` (which stages
+    them as attribute columns) when adding both output columns to a
+    frame.
     """
     sample_tokens = F.col(sample_tokens) \
         if isinstance(sample_tokens, str) else sample_tokens
@@ -299,29 +347,12 @@ def confidence_cols(sample_tokens: Column | str,
         else head_nouns
 
     penalty = penalty_weight_col(micro_status, penalty_dict)
-
-    not_covered_hn = F.array_distinct(
-        F.filter(head_nouns, lambda t: ~_in_set_repr(t, covered_tokens)))
-    not_covered = F.array_distinct(
-        F.filter(sample_tokens,
-                 lambda t: ~_in_set_repr(t, covered_tokens)
-                 & ~_in_set_repr(t, not_covered_hn)))
-
-    score = (
-        F.when(match_status.contains("Full Term Match"),
-               F.lit(100.0) - penalty)
-         .when(match_status.contains("Component Match"),
-               F.lit(90.0) - penalty
-               - F.size(not_covered) * 6.0
-               - F.size(not_covered_hn) * 10.0)
-         .otherwise(F.lit(0.0)))
-
-    rendered = F.when(
-        match_status.contains("Full Term Match")
-        | match_status.contains("Component Match"),
-        F.format_string("%s (%.1f%%)", confidence_level_col(score), score)
-    ).otherwise(F.lit("Low (0%)"))
-    return score, rendered
+    not_covered_hn = not_covered_hn_col(head_nouns, covered_tokens)
+    not_covered = not_covered_col(sample_tokens, covered_tokens,
+                                  not_covered_hn)
+    score = confidence_score_col(match_status, penalty, not_covered,
+                                 not_covered_hn)
+    return score, rendered_confidence_col(match_status, score)
 
 
 def head_nouns_col(text: Column | str) -> Column:
@@ -378,27 +409,15 @@ def with_confidence(mentions: DataFrame,
     penalty_dict = penalty_dict if penalty_dict is not None \
         else load_penalty_dict()
     macro = F.col("macro_status")
-    nc_hn = F.array_distinct(
-        F.filter(F.col("_head_nouns"),
-                 lambda t: ~_in_set_repr(t, F.col("covered_tokens"))))
-    nc = F.array_distinct(
-        F.filter(F.col("sample_tokens"),
-                 lambda t: ~_in_set_repr(t, F.col("covered_tokens"))
-                 & ~_in_set_repr(t, F.col("_nc_hn"))))
-    score = (
-        F.when(macro.contains("Full Term Match"),
-               F.lit(100.0) - F.col("_penalty"))
-         .when(macro.contains("Component Match"),
-               F.lit(90.0) - F.col("_penalty")
-               - F.size(F.col("_nc")) * 6.0
-               - F.size(F.col("_nc_hn")) * 10.0)
-         .otherwise(F.lit(0.0)))
-    sc = F.col("confidence_score")
-    rendered = F.when(
-        macro.contains("Full Term Match")
-        | macro.contains("Component Match"),
-        F.format_string("%s (%.1f%%)", confidence_level_col(sc), sc)
-    ).otherwise(F.lit("Low (0%)"))
+    # same single-definition builders as confidence_cols, fed STAGED
+    # attribute columns so each interpreted HOF evaluates once per row
+    nc_hn = not_covered_hn_col(F.col("_head_nouns"),
+                               F.col("covered_tokens"))
+    nc = not_covered_col(F.col("sample_tokens"), F.col("covered_tokens"),
+                         F.col("_nc_hn"))
+    score = confidence_score_col(macro, F.col("_penalty"), F.col("_nc"),
+                                 F.col("_nc_hn"))
+    rendered = rendered_confidence_col(macro, F.col("confidence_score"))
     return (mentions
             .withColumn("_head_nouns", head_nouns_col(text_col))
             .withColumn("_penalty",

@@ -94,6 +94,11 @@ def build_spark(cpus: int | str = "*", app: str = "lexmapr_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # pin the session timezone: timestamp rendering/epoch functions
+        # (date_format, unix_timestamp) must agree with the DuckDB
+        # oracles' naive-UTC reading of the same parquet on ANY host,
+        # not just one whose system TZ happens to be UTC (r7 review)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -70,13 +70,25 @@ def asof_join(left: DataFrame, right: DataFrame,
         raise ValueError(f"asof_join: output columns {clash} already "
                          "exist on the left side; pick another suffix")
 
+    # The payload travels as ONE struct, not per-column (r7 review
+    # fix): per-column last(ignorenulls) fills would tear rows — a
+    # matched right row's genuinely-NULL payload value would be
+    # backfilled from an OLDER right row, and a right row whose
+    # payload columns were all NULL would be skipped entirely. A
+    # struct literal is non-null whenever the right ROW exists, so
+    # one fill picks the whole matched row atomically, exactly like
+    # pandas merge_asof / SQL ASOF JOIN.
+    payload_struct = F.struct(*[
+        F.col(c).alias(o) for c, o in zip(payload_cols, out_cols)])
+    payload_type = right.select(payload_struct.alias("_p")).schema["_p"] \
+        .dataType
     # side 0 = right (sorts first at equal time -> inclusive match)
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(time_col).alias("_t"),
         F.lit(0).alias("_side"),
         F.col(tiebreak_col).alias("_tie"),
-        *[F.col(c).alias(o) for c, o in zip(payload_cols, out_cols)],
+        payload_struct.alias("_p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left.columns],
     )
@@ -85,8 +97,7 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(right.schema[tiebreak_col].dataType).alias("_tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
-          for c, o in zip(payload_cols, out_cols)],
+        F.lit(None).cast(payload_type).alias("_p"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     if direction == "backward":
@@ -99,12 +110,11 @@ def asof_join(left: DataFrame, right: DataFrame,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     unioned = r_tagged.unionByName(l_tagged)
     filled = unioned.select(
-        "*", *[F.last(o, ignorenulls=True).over(w).alias(f"_f_{o}")
-               for o in out_cols])
+        "*", F.last("_p", ignorenulls=True).over(w).alias("_f_p"))
     return (
         filled.where(F.col("_side") == 1)
         .select(*[F.col(f"_l_{c}").alias(c) for c in left.columns],
-                *[F.col(f"_f_{o}").alias(o) for o in out_cols])
+                *[F.col(f"_f_p.{o}").alias(o) for o in out_cols])
     )
 
 

@@ -114,6 +114,28 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert got == want
 
 
+def test_asof_null_payload_no_row_tearing(spark):
+    # the matched right row's values must come from THAT row even when
+    # some (or all) of its payload columns are NULL — per-column fills
+    # would backfill px from the older row (row tearing)
+    right = spark.createDataFrame(
+        [("k", _ts(1), 1, 5.0), ("k", _ts(2), 2, None),
+         ("k", _ts(4), None, None)],
+        "k STRING, ts TIMESTAMP, rid LONG, px DOUBLE")
+    left = spark.createDataFrame(
+        [("k", _ts(3), 10), ("k", _ts(5), 11), ("k", _ts(0), 12)],
+        "k STRING, ts TIMESTAMP, lid LONG")
+    got = {r.lid: (r.rid_matched, r.px_matched)
+           for r in joins.asof_join(left, right, "k",
+                                    payload_cols=["rid", "px"],
+                                    tiebreak_col="rid").collect()}
+    assert got == {
+        10: (2, None),      # matched row's NULL px stays NULL
+        11: (None, None),   # all-NULL payload row still matches
+        12: (None, None),   # genuinely unmatched
+    }
+
+
 def test_asof_rejects_bad_args(quotes, trades):
     with pytest.raises(ValueError, match="direction"):
         joins.asof_join(trades, quotes, "k", direction="sideways")
