@@ -358,13 +358,20 @@ def deep():
     t0 = time.time()
     n_cand = similarity.srp_band_candidates(emb).count()
     cand_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_pairs = similarity.embedding_near_duplicates(
-        emb, threshold=0.99).count()
+    # cold + steady, like every other deep row (r7: the single-run
+    # number mixed Arrow-worker spin-up and codegen into the wall and
+    # read as a 50% regression that an isolated A/B disproved)
+    emb_walls = []
+    for _ in range(2):
+        t0 = time.time()
+        n_pairs = similarity.embedding_near_duplicates(
+            emb, threshold=0.99, corpus_count=n_vec).count()
+        emb_walls.append(round(time.time() - t0, 3))
     out["emb_near_duplicates_deep"] = {
         "corpus": n_vec, "candidates": n_cand,
         "candidate_sec": cand_sec, "pairs": n_pairs,
-        "verify_wall_sec": round(time.time() - t0, 3),
+        "verify_cold_sec": emb_walls[0],
+        "verify_wall_sec": emb_walls[1],
     }
 
     # IVF: amortized serving shape — train/assign ONCE, then query

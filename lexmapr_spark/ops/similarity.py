@@ -703,11 +703,21 @@ def srp_band_candidates(embeds: DataFrame, n_bands: int = 4,
         F.col(id_col),
         srp_signature_exact_arrow(F.col(vec_col), planes).alias("sig")) \
         .localCheckpoint(eager=False)
-    # the full sig rides along (36-80 chars — still a narrow row)
-    # so the optional hamming pre-filter can run straight off the
-    # band join output without re-joining the signature frame
+    # For the optional hamming pre-filter, the per-band INTEGER codes
+    # are decoded ONCE PER SIGNATURE ROW before the explode (r7
+    # second-pass fix: decoding `conv(substring(sig, ...), 2, 10)`
+    # inside the join filter re-ran the string work per CANDIDATE —
+    # millions of times at deep scale instead of n_docs times). The
+    # band join output then needs only long xor + bit_count per pair.
+    code_cols = []
+    if max_mismatch is not None:
+        code_cols = [
+            F.conv(F.substring("sig", i * bits_per_band + 1,
+                               bits_per_band), 2, 10)
+            .cast("long").alias(f"_bc{i}")
+            for i in range(n_bands)]
     bands = sig.select(
-        F.col(id_col), "sig",
+        F.col(id_col), *code_cols,
         F.posexplode(F.array(*[
             F.substring("sig", b * bits_per_band + 1, bits_per_band)
             for b in range(n_bands)
@@ -720,12 +730,8 @@ def srp_band_candidates(embeds: DataFrame, n_bands: int = 4,
     if max_mismatch is not None:
         ham = None
         for i in range(n_bands):
-            piece = F.expr(
-                f"bit_count(cast(conv(substring(a.sig, "
-                f"{i * bits_per_band + 1}, {bits_per_band}), 2, 10) "
-                f"as bigint) ^ cast(conv(substring(b.sig, "
-                f"{i * bits_per_band + 1}, {bits_per_band}), 2, 10) "
-                f"as bigint))")
+            piece = F.bit_count(
+                F.col(f"a._bc{i}").bitwiseXOR(F.col(f"b._bc{i}")))
             ham = piece if ham is None else ham + piece
         joined = joined.where(ham <= F.lit(int(max_mismatch)))
     return (
