@@ -318,6 +318,55 @@ def deep():
               docs, min_count=5, k=100).count())
     docs.unpersist()
 
+    # ---- temporal joins at depth (r7): 2M-event as-of enrichment
+    # against 500k reference ticks over 10k keys (one key shuffle +
+    # window — the plan a stream backfill or attribution job runs),
+    # and a 1M-point x 100k-interval containment join (bucket
+    # equi-join, never a nested loop). Both deterministic from
+    # spark.range.
+    from lexmapr_spark.ops import joins as joinops
+
+    n_left, n_right, n_keys = 2_000_000, 500_000, 10_000
+    jleft = spark.range(n_left).select(
+        F.pmod(F.xxhash64("id", F.lit("k")), n_keys).alias("k"),
+        F.timestamp_seconds(1_700_000_000
+                            + F.pmod(F.xxhash64("id", F.lit("t")),
+                                     86_400 * 30)).alias("ts"),
+        F.col("id").alias("lid"))
+    jright = spark.range(n_right).select(
+        F.pmod(F.xxhash64("id", F.lit("rk")), n_keys).alias("k"),
+        F.timestamp_seconds(1_700_000_000
+                            + F.pmod(F.xxhash64("id", F.lit("rt")),
+                                     86_400 * 30)).alias("ts"),
+        F.col("id").alias("rid"),
+        (F.pmod(F.xxhash64("id", F.lit("v")), 1000) / 10.0).alias("px"))
+    timed("asof_join_2m_x_500k",
+          lambda: joinops.asof_join(jleft, jright, "k",
+                                    payload_cols=["rid", "px"],
+                                    tiebreak_col="rid")
+          .where(F.col("rid_matched").isNotNull()).count(),
+          denom=n_left, rate_key="left_rows_per_sec")
+
+    n_pts, n_iv = 1_000_000, 100_000
+    jpts = spark.range(n_pts).select(
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(1_700_000_000
+                            + F.pmod(F.xxhash64("id", F.lit("p")),
+                                     86_400 * 30)).alias("ts"))
+    jiv = spark.range(n_iv).select(
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(1_700_000_000
+                            + F.pmod(F.xxhash64("id", F.lit("s")),
+                                     86_400 * 30)).alias("start_ts"))
+    jiv = jiv.withColumn(
+        "end_ts", F.timestamp_seconds(
+            F.unix_timestamp("start_ts")
+            + 60 + F.pmod(F.xxhash64("iid"), 1800)))
+    timed("range_join_1m_x_100k",
+          lambda: joinops.range_join(jpts, jiv, bucket_seconds=1800)
+          .count(),
+          denom=n_pts, rate_key="points_per_sec")
+
     # ---- ANN recall at depth (r6): 200k deterministic clustered
     # vectors (2k centroids x 100 members, hash-derived — no RNG
     # state, reproducible anywhere), recall@10 vs exact brute-force

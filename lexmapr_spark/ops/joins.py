@@ -28,7 +28,9 @@ def asof_join(left: DataFrame, right: DataFrame,
     """For every left row, attach the payload of the single right row
     with the greatest ``time_col`` <= the left row's (``backward``;
     ``forward`` = smallest >=), per key. LEFT-join semantics: left
-    rows with no qualifying right row keep NULL payloads.
+    rows with no qualifying right row keep NULL payloads. NULL keys
+    and NULL times never match on either side (SQL/merge_asof
+    comparison semantics), they don't pair up with each other.
 
     Implementation is the union-window form, not a join: tag the two
     inputs, union them, and take ``last(payload, ignorenulls=True)``
@@ -82,8 +84,20 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.col(c).alias(o) for c, o in zip(payload_cols, out_cols)])
     payload_type = right.select(payload_struct.alias("_p")).schema["_p"] \
         .dataType
+    # NULL semantics pinned to merge_asof / SQL ASOF JOIN: a NULL key
+    # or NULL time NEVER matches. Spark's window would group NULL keys
+    # into one partition (NULL-key lefts matching NULL-key rights) and
+    # a NULL-time left row sorts last under the forward ordering
+    # (desc = nulls last) where it would wrongly see every right row —
+    # so right rows with a NULL key or time are dropped up front (they
+    # can match nothing), which also leaves NULL-key left rows alone
+    # in their window partition with no payload to pick up; the
+    # remaining left-NULL-time case is masked at fill time below.
+    right_valid = right
+    for k in [*keys, time_col]:
+        right_valid = right_valid.where(F.col(k).isNotNull())
     # side 0 = right (sorts first at equal time -> inclusive match)
-    r_tagged = right.select(
+    r_tagged = right_valid.select(
         *[F.col(k) for k in keys],
         F.col(time_col).alias("_t"),
         F.lit(0).alias("_side"),
@@ -110,7 +124,11 @@ def asof_join(left: DataFrame, right: DataFrame,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     unioned = r_tagged.unionByName(l_tagged)
     filled = unioned.select(
-        "*", F.last("_p", ignorenulls=True).over(w).alias("_f_p"))
+        "*",
+        F.when(F.col("_t").isNull(),
+               F.lit(None).cast(payload_type))
+        .otherwise(F.last("_p", ignorenulls=True).over(w))
+        .alias("_f_p"))
     return (
         filled.where(F.col("_side") == 1)
         .select(*[F.col(f"_l_{c}").alias(c) for c in left.columns],
@@ -156,6 +174,13 @@ def range_join(points: DataFrame, intervals: DataFrame,
     if clash:
         raise ValueError(f"range_join: column names {clash} appear on "
                          "both sides; alias before joining")
+    # inverted (start > end) intervals can match nothing, but Spark's
+    # sequence() COUNTS DOWN for descending bounds — without this
+    # guard an inverted interval would fan out to every bucket between
+    # its ends and die only at the exact filter, pure wasted shuffle.
+    # NULL bounds/timestamps drop out of the bucket equi-join on their
+    # own, matching SQL BETWEEN's never-match semantics.
+    intervals = intervals.where(F.col(start_col) <= F.col(end_col))
     iv = intervals.withColumn(
         "_bucket",
         F.explode(F.sequence(

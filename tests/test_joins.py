@@ -136,6 +136,42 @@ def test_asof_null_payload_no_row_tearing(spark):
     }
 
 
+def test_asof_null_keys_and_times_never_match(spark):
+    # SQL / merge_asof semantics: NULL never equals NULL — a NULL-key
+    # purchase must NOT pick up a NULL-key click (Spark's window would
+    # happily group them), and NULL-time rows match nothing in either
+    # direction (the forward ordering sorts NULL times last, where an
+    # unmasked fill would see every right row)
+    right = spark.createDataFrame(
+        [(None, _ts(1), 1), ("k", None, 2), ("k", _ts(2), 3)],
+        "k STRING, ts TIMESTAMP, rid LONG")
+    left = spark.createDataFrame(
+        [(None, _ts(5), 10), ("k", None, 11), ("k", _ts(5), 12)],
+        "k STRING, ts TIMESTAMP, lid LONG")
+    for direction, want12 in (("backward", 3), ("forward", None)):
+        got = {r.lid: r.rid_matched
+               for r in joins.asof_join(left, right, "k",
+                                        payload_cols=["rid"],
+                                        tiebreak_col="rid",
+                                        direction=direction).collect()}
+        assert got == {10: None, 11: None, 12: want12}, direction
+
+
+def test_range_join_inverted_and_null_intervals(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(5)), (2, None)], "pid LONG, ts TIMESTAMP")
+    intervals = spark.createDataFrame(
+        [(100, _ts(0), _ts(10)),    # valid, catches point 1
+         (200, _ts(10), _ts(0)),    # inverted -> matches nothing
+         (300, None, _ts(10)),      # NULL bound -> matches nothing
+         (400, _ts(0), None)],
+        "iid LONG, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    got = {(r.pid, r.iid)
+           for r in joins.range_join(points, intervals,
+                                     bucket_seconds=60).collect()}
+    assert got == {(1, 100)}
+
+
 def test_asof_rejects_bad_args(quotes, trades):
     with pytest.raises(ValueError, match="direction"):
         joins.asof_join(trades, quotes, "k", direction="sideways")
