@@ -327,19 +327,30 @@ def deep():
     from lexmapr_spark.ops import joins as joinops
 
     n_left, n_right, n_keys = 2_000_000, 500_000, 10_000
-    jleft = spark.range(n_left).select(
+    _jframes = []
+
+    def _mat(df):
+        # materialize synth inputs before timing, like every other
+        # deep row (persist + count) — else the walls include xxhash64
+        # generation cost and understate the operators' throughput
+        df = df.persist()
+        df.count()
+        _jframes.append(df)
+        return df
+
+    jleft = _mat(spark.range(n_left).select(
         F.pmod(F.xxhash64("id", F.lit("k")), n_keys).alias("k"),
         F.timestamp_seconds(1_700_000_000
                             + F.pmod(F.xxhash64("id", F.lit("t")),
                                      86_400 * 30)).alias("ts"),
-        F.col("id").alias("lid"))
-    jright = spark.range(n_right).select(
+        F.col("id").alias("lid")))
+    jright = _mat(spark.range(n_right).select(
         F.pmod(F.xxhash64("id", F.lit("rk")), n_keys).alias("k"),
         F.timestamp_seconds(1_700_000_000
                             + F.pmod(F.xxhash64("id", F.lit("rt")),
                                      86_400 * 30)).alias("ts"),
         F.col("id").alias("rid"),
-        (F.pmod(F.xxhash64("id", F.lit("v")), 1000) / 10.0).alias("px"))
+        (F.pmod(F.xxhash64("id", F.lit("v")), 1000) / 10.0).alias("px")))
     timed("asof_join_2m_x_500k",
           lambda: joinops.asof_join(jleft, jright, "k",
                                     payload_cols=["rid", "px"],
@@ -348,24 +359,26 @@ def deep():
           denom=n_left, rate_key="left_rows_per_sec")
 
     n_pts, n_iv = 1_000_000, 100_000
-    jpts = spark.range(n_pts).select(
+    jpts = _mat(spark.range(n_pts).select(
         F.col("id").alias("pid"),
         F.timestamp_seconds(1_700_000_000
                             + F.pmod(F.xxhash64("id", F.lit("p")),
-                                     86_400 * 30)).alias("ts"))
+                                     86_400 * 30)).alias("ts")))
     jiv = spark.range(n_iv).select(
         F.col("id").alias("iid"),
         F.timestamp_seconds(1_700_000_000
                             + F.pmod(F.xxhash64("id", F.lit("s")),
                                      86_400 * 30)).alias("start_ts"))
-    jiv = jiv.withColumn(
+    jiv = _mat(jiv.withColumn(
         "end_ts", F.timestamp_seconds(
             F.unix_timestamp("start_ts")
-            + 60 + F.pmod(F.xxhash64("iid"), 1800)))
+            + 60 + F.pmod(F.xxhash64("iid"), 1800))))
     timed("range_join_1m_x_100k",
           lambda: joinops.range_join(jpts, jiv, bucket_seconds=1800)
           .count(),
           denom=n_pts, rate_key="points_per_sec")
+    for f in _jframes:
+        f.unpersist()
 
     # ---- ANN recall at depth (r6): 200k deterministic clustered
     # vectors (2k centroids x 100 members, hash-derived — no RNG

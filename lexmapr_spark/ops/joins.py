@@ -89,13 +89,22 @@ def asof_join(left: DataFrame, right: DataFrame,
     # into one partition (NULL-key lefts matching NULL-key rights) and
     # a NULL-time left row sorts last under the forward ordering
     # (desc = nulls last) where it would wrongly see every right row —
-    # so right rows with a NULL key or time are dropped up front (they
-    # can match nothing), which also leaves NULL-key left rows alone
-    # in their window partition with no payload to pick up; the
-    # remaining left-NULL-time case is masked at fill time below.
-    right_valid = right
+    # so BOTH sides split their predetermined non-matches off before
+    # the union: right ones are dropped outright (they can match
+    # nothing), left ones bypass the shuffle+window entirely and union
+    # back with NULL payloads at the end (an anonymous-traffic-heavy
+    # left table would otherwise funnel every NULL-key row through one
+    # straggler NULL partition just to compute a known answer).
+    null_cond = None
     for k in [*keys, time_col]:
-        right_valid = right_valid.where(F.col(k).isNotNull())
+        c = F.col(k).isNull()
+        null_cond = c if null_cond is None else null_cond | c
+    right_valid = right.where(~null_cond)
+    left_valid = left.where(~null_cond)
+    left_bypass = left.where(null_cond).select(
+        *left.columns,
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in payload_type.fields])
     # side 0 = right (sorts first at equal time -> inclusive match)
     r_tagged = right_valid.select(
         *[F.col(k) for k in keys],
@@ -106,7 +115,7 @@ def asof_join(left: DataFrame, right: DataFrame,
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left.columns],
     )
-    l_tagged = left.select(
+    l_tagged = left_valid.select(
         *[F.col(k) for k in keys],
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_side"),
@@ -124,16 +133,13 @@ def asof_join(left: DataFrame, right: DataFrame,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     unioned = r_tagged.unionByName(l_tagged)
     filled = unioned.select(
-        "*",
-        F.when(F.col("_t").isNull(),
-               F.lit(None).cast(payload_type))
-        .otherwise(F.last("_p", ignorenulls=True).over(w))
-        .alias("_f_p"))
-    return (
+        "*", F.last("_p", ignorenulls=True).over(w).alias("_f_p"))
+    matched = (
         filled.where(F.col("_side") == 1)
         .select(*[F.col(f"_l_{c}").alias(c) for c in left.columns],
                 *[F.col(f"_f_p.{o}").alias(o) for o in out_cols])
     )
+    return matched.unionByName(left_bypass)
 
 
 def range_join(points: DataFrame, intervals: DataFrame,
@@ -178,8 +184,10 @@ def range_join(points: DataFrame, intervals: DataFrame,
     # sequence() COUNTS DOWN for descending bounds — without this
     # guard an inverted interval would fan out to every bucket between
     # its ends and die only at the exact filter, pure wasted shuffle.
-    # NULL bounds/timestamps drop out of the bucket equi-join on their
-    # own, matching SQL BETWEEN's never-match semantics.
+    # This same where() also removes NULL-bound intervals (NULL <=
+    # comparison -> filtered), and point-side NULL timestamps drop out
+    # of the bucket equi-join on their own — together matching SQL
+    # BETWEEN's never-match semantics.
     intervals = intervals.where(F.col(start_col) <= F.col(end_col))
     iv = intervals.withColumn(
         "_bucket",
