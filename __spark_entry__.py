@@ -408,7 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (pairs.groupBy("iv_user", "day")
                 .agg(F.count("*").alias("n_events"),
                      F.sum(F.col("value").cast("decimal(18,2)"))
-                     .alias("value_sum")))
+                     .cast("double").alias("value_sum")))
     q["events_range_join"] = events_range_join
 
     # ---- §2.5 set ops
@@ -1762,7 +1762,7 @@ def oracle_sql() -> dict[str, str]:
             "iv2 AS (SELECT iv_user, day, start_ts, "
             "start_ts + INTERVAL 30 MINUTE AS end_ts FROM iv) "
             "SELECT iv_user, day, count(*) AS n_events, "
-            "sum(CAST(e.value AS DECIMAL(18,2))) AS value_sum "
+            "CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum "
             "FROM iv2 JOIN events e ON e.ts >= iv2.start_ts "
             "AND e.ts <= iv2.end_ts GROUP BY 1, 2",
 

@@ -67,6 +67,24 @@ def test_oracled_queries_are_scalar_only(spark):
     assert not offenders, offenders
 
 
+def test_no_decimal_outputs(spark):
+    """r7 verdict: Spark.toPandas() renders DECIMAL columns as
+    decimal.Decimal objects while DuckDB .df() yields float64 — hash
+    normalizers that stringify rather than coerce see them differ even
+    when values are identical (events_range_join was driver hash-red
+    for exactly this). DECIMAL is an internal order-independence tool
+    only: every queries() entry must cast decimal sums back to DOUBLE
+    in its final projection."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = []
+    for name, fn in sorted(entrymod.queries().items()):
+        for field in fn(spark, SF).schema.fields:
+            if isinstance(field.dataType, DecimalType):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", FAST_ORACLE_SUBSET)
 def test_fast_oracle_parity(spark, duck, name):
     from tools.check_contract import normalize
