@@ -411,6 +411,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .cast("double").alias("value_sum")))
     q["events_range_join"] = events_range_join
 
+    # nearest-direction as-of (r8): each purchase takes the click with
+    # the smallest ABSOLUTE time distance (either direction), exact
+    # ties going backward — pandas merge_asof(direction="nearest")
+    # semantics, same single-shuffle union-window plan with two frames
+    def events_asof_nearest(spark, sf):
+        from lexmapr_spark.ops import joins
+        ev = _t(spark, sf, "events")
+        purchases = ev.where(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+        clicks = ev.where(F.col("event_type") == "click") \
+            .select("user_id", "ts", F.col("event_id").alias("click_id"))
+        out = joins.asof_join(purchases, clicks, "user_id",
+                              payload_cols=["click_id"],
+                              tiebreak_col="click_id",
+                              direction="nearest")
+        return out.select("event_id", "user_id",
+                          F.col("click_id_matched").alias("click_id"))
+    q["events_asof_nearest"] = events_asof_nearest
+
     # ---- §2.5 set ops
     q["set_customers_without_orders"] = lambda spark, sf: (
         _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
@@ -1050,53 +1069,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The contract driver records correctness rows for the FIRST
     # DRIVER_SLOTS dict entries only, so dict order decides which
-    # queries get a driver-verified row this round. Round-7 window
+    # queries get a driver-verified row this round. Round-8 window
     # (exactly 50 names, asserted below so a future addition that
     # silently pushes a query out of verification fails loudly —
-    # r5 ADVICE): [1-35] every query absent from the round-6 driver
-    # window (r6 verdict item 4: nothing may go two rounds without a
-    # driver row — enforced below against the previous round's
-    # CORRECTNESS artifact); [36-50] queries whose code paths round 7
-    # touched (confidence staging, mixture_sample NULL-key contract,
-    # BM25 batch explode_outer validation, connected_components
-    # run-dir layout, emb_near_duplicates retune) plus the flagship
-    # kg family.
+    # r5 ADVICE): [1-38] every query absent from the round-7 driver
+    # window (the two-round invariant: nothing goes two rounds
+    # without a driver row) plus the NEW events_asof_nearest;
+    # [39-50] queries whose code paths round 8 touched (range-join
+    # DOUBLE cast + auto-bucket, asof payload-struct tiebreak +
+    # reserved-name guards, dedup prefilter kwarg threading,
+    # with_confidence staging guard) plus the flagship kg family.
     priority = [
-        # 35 queries with no CORRECTNESS_r06 row — every one of these
-        # was hash-green in the fresh r6 85/85 sweep; the driver now
-        # re-certifies them
-        "dedup_exact", "dedup_near_dup_filter",
-        "dedup_near_dup_components", "dedup_near_dup_clusters",
-        "dedup_simhash", "ann_cosine_topk", "ann_quantized_topk",
-        "ann_srp_batch_topk", "ann_ivf_topk", "ann_ivf_batch_topk",
-        "text_token_count", "text_quality", "text_langid",
-        "curation_pipeline", "text_fingerprint", "corpus_stats",
-        "text_pii_redaction", "text_contamination", "sample_hash_10pct",
-        "sample_domain_cap", "multimodal_features",
-        "multimodal_frame_plan", "multimodal_features_docs",
-        "multimodal_frame_plan_docs", "multimodal_real_decode",
-        "dedup_global_lines", "dedup_exact_substring",
-        "dedup_incremental", "curation_pipeline_v2", "text_repetition",
-        "text_perplexity", "web_host_filter", "web_host_rollup",
-        "web_url_normalize", "conf_scoring",
-        # 15 round-7-touched paths + flagship kg family. Rotated out
-        # vs the draft list (all r6 hash-green, untouched this round):
-        # sample_mixture, sample_split_assign, kg_match_histogram —
-        # replaced by the two NEW r7 queries (events_asof_attribution,
-        # events_range_join) and dedup_minhash_lsh (its candidate
-        # stage gained the estimated-Jaccard pre-filter this round)
-        "kg_confidence_histogram",     # with_confidence staging fix
-        "sample_mixture_upsample",     # NULL-key drop contract
-        "events_asof_attribution",     # NEW r7: as-of join
-        "events_range_join",           # NEW r7: bucketized range join
-        "search_bm25_batch",           # explode_outer validation
-        "search_bm25_batch_indexed",
-        "emb_near_duplicates",         # banding + hamming pre-filter
-        "kg_canonical_triples",        # CC star contraction + run dirs
-        "kg_triples", "kg_classification_histogram",
-        "dedup_minhash_lsh",           # estimated-Jaccard pre-filter
-        "emb_semantic_dedup", "search_bm25_merged",
-        "dedup_incremental_merged", "dedup_exact_substring_cdc",
+        # 37 queries with no CORRECTNESS_r07 row — every one of these
+        # was hash-green in the fresh r7 87/87 sweep; the driver now
+        # re-certifies them — plus the NEW nearest-direction as-of
+        "kg_match_histogram", "kg_text_extraction",
+        "s2_multicol_coalesce", "p1_p2_lower_punct",
+        "p5_numeric_token_filter", "p6_preprocess",
+        "p11_stopword_filter", "j1_broadcast_token_match",
+        "agg_event_histogram", "agg_tpch_pricing",
+        "join_orders_customer", "agg_distinct_customers",
+        "agg_rollup_pricing", "agg_value_quantiles",
+        "set_customers_with_orders", "set_multi_lineitem_orders",
+        "window_user_event_seq", "sessionize_events_batch",
+        "json_extract_props", "events_asof_nearest",
+        "set_customers_without_orders", "sort_topk_orders",
+        "dedup_minhash_signatures", "ann_srp_bucketed_topk",
+        "ann_quantized_srp_topk", "ann_ivf_stored_batch_topk",
+        "text_ngram_counts", "text_ngram_topk", "graph_pagerank",
+        "search_bm25_topk", "search_bm25_indexed",
+        "text_pmi_collocations", "sample_mixture",
+        "sample_split_assign", "text_token_count_bpe",
+        "pack_sequences_bpe", "pack_sequences_2k", "pack_examples_512",
+        # 12 round-8-touched paths + flagship kg family (all r7
+        # hash-green; the 38 other r7-window queries rotate out —
+        # each keeps its r7 row, satisfying the two-round invariant)
+        "events_range_join",           # r8 FIX: DOUBLE value_sum
+        "events_asof_attribution",     # joins.py tiebreak + guards
+        "dedup_minhash_lsh",           # prefilter kwarg threading
+        "dedup_near_dup_filter",
+        "dedup_near_dup_components",
+        "dedup_near_dup_clusters",
+        "kg_confidence_histogram",     # with_confidence staging guard
+        "conf_scoring",
+        "kg_triples", "kg_canonical_triples",
+        "kg_classification_histogram",
+        "emb_near_duplicates",
     ]
     DRIVER_SLOTS = 50
     assert len(priority) == DRIVER_SLOTS, (
@@ -1765,6 +1783,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum "
             "FROM iv2 JOIN events e ON e.ts >= iv2.start_ts "
             "AND e.ts <= iv2.end_ts GROUP BY 1, 2",
+
+        # nearest = smallest |delta| in exact integer microseconds;
+        # ties: backward preferred ((c.ts > p.ts) ASC), then largest
+        # id among backward candidates / smallest among forward — the
+        # pinned asof_join(direction="nearest") rule
+        "events_asof_nearest":
+            "SELECT p.event_id, p.user_id, "
+            "(SELECT c.event_id FROM events c WHERE "
+            "c.event_type = 'click' AND c.user_id = p.user_id "
+            "AND c.ts IS NOT NULL "
+            "ORDER BY abs(date_diff('microsecond', p.ts, c.ts)) ASC, "
+            "(c.ts > p.ts) ASC, "
+            "CASE WHEN c.ts <= p.ts THEN -c.event_id "
+            "ELSE c.event_id END ASC LIMIT 1) AS click_id "
+            "FROM events p WHERE p.event_type = 'purchase' "
+            "AND p.ts IS NOT NULL "
+            "UNION ALL "
+            "SELECT p.event_id, p.user_id, NULL AS click_id "
+            "FROM events p WHERE p.event_type = 'purchase' "
+            "AND p.ts IS NULL",
 
         "json_extract_props":
             "SELECT event_id, try_cast(json_extract_string(props, '$.k') "

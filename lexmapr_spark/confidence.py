@@ -406,6 +406,15 @@ def with_confidence(mentions: DataFrame,
     """
     from lexmapr_spark.engine import ship_package
     ship_package(mentions.sparkSession)
+    # staging names are created via withColumn, which silently
+    # OVERWRITES an existing column of the same name and would then
+    # drop it — reject colliding inputs instead (r7 ADVICE)
+    staged = {"_head_nouns", "_penalty", "_nc_hn", "_nc"}
+    clash = sorted(staged & set(mentions.columns))
+    if clash:
+        raise ValueError(
+            f"with_confidence: input columns {clash} collide with "
+            "internal staging names; rename before calling")
     penalty_dict = penalty_dict if penalty_dict is not None \
         else load_penalty_dict()
     macro = F.col("macro_status")

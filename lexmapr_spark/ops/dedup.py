@@ -208,7 +208,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            prefilter: bool = True) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard
     (n-gram Jaccard, n=3 word shingles).
 
@@ -224,12 +225,16 @@ def jaccard_near_duplicates(docs: DataFrame, threshold: float = 0.7,
     conditioned on the band collision it already has) — far below the
     banding recall haircut itself — and the DuckDB oracle applies the
     identical integer bound, so cross-engine parity is exact.
+    ``prefilter=False`` restores the pre-r7 exact-verify-all-collisions
+    behavior for back-compat runs whose outputs are compared against
+    older kept sets (r7 ADVICE).
     """
     docs = fan_out(docs)
     sigs = minhash_signatures(docs, id_col, text_col)
     pairs = lsh_candidate_pairs(
         sigs, id_col,
-        min_matching_hashes=signature_prefilter_bound(threshold))
+        min_matching_hashes=(signature_prefilter_bound(threshold)
+                             if prefilter else None))
     # verify on 60-bit HASHED shingles, not shingle strings (r7): the
     # per-pair array_intersect hashes every element of both arrays, and
     # doing that over ~40-char strings for millions of candidate pairs
@@ -262,7 +267,8 @@ def near_duplicate_filter(docs: DataFrame, threshold: float = 0.7,
                           id_col: str = "doc_id",
                           text_col: str = "text",
                           keeper: str = "pairwise",
-                          pairs: DataFrame | None = None) -> DataFrame:
+                          pairs: DataFrame | None = None,
+                          prefilter: bool = True) -> DataFrame:
     """The curation consumer's view of near-dup detection: the KEPT
     corpus, not the pair list.
 
@@ -293,7 +299,8 @@ def near_duplicate_filter(docs: DataFrame, threshold: float = 0.7,
     ignored in that case.
     """
     if pairs is None:
-        pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col)
+        pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col,
+                                        prefilter=prefilter)
     if keeper == "component":
         from lexmapr_spark.engine import connected_components
         comps = connected_components(pairs.select(
@@ -312,7 +319,8 @@ def near_duplicate_filter(docs: DataFrame, threshold: float = 0.7,
 def near_duplicate_clusters(docs: DataFrame, threshold: float = 0.7,
                             id_col: str = "doc_id",
                             text_col: str = "text",
-                            pairs: DataFrame | None = None) -> DataFrame:
+                            pairs: DataFrame | None = None,
+                            prefilter: bool = True) -> DataFrame:
     """Cluster assignments over the verified near-dup graph:
     (doc_id, cluster_id) for every document in at least one verified
     pair, where ``cluster_id`` is the component's min doc id — the
@@ -324,7 +332,8 @@ def near_duplicate_clusters(docs: DataFrame, threshold: float = 0.7,
     frame, as in :func:`near_duplicate_filter`."""
     from lexmapr_spark.engine import connected_components
     if pairs is None:
-        pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col)
+        pairs = jaccard_near_duplicates(docs, threshold, id_col, text_col,
+                                        prefilter=prefilter)
     comps = connected_components(pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     return comps.select(F.col("node").alias(id_col),

@@ -11,11 +11,36 @@ surface (`events` table) the way published stream/batch engines do
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "range_join"]
+
+# Internal staging names the union-window construction creates via
+# select; an input KEY or time column with one of these names (or the
+# left-column rename prefix) would produce duplicate/ambiguous
+# attributes mid-plan, so reject up front (r7 ADVICE).
+_ASOF_RESERVED = frozenset({"_t", "_side", "_tie", "_p", "_f_p",
+                            "_b", "_f", "_w"})
+_ASOF_LEFT_PREFIX = "_l_"
+
+
+def _contains_map(dtype) -> bool:
+    """True when ``dtype`` nests a MapType anywhere — maps are the one
+    Spark type the window ORDER BY cannot sort, so a payload containing
+    one cannot take part in the full-payload determinism tiebreak."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return True
+    if isinstance(dtype, ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
 
 
 def asof_join(left: DataFrame, right: DataFrame,
@@ -27,20 +52,33 @@ def asof_join(left: DataFrame, right: DataFrame,
               suffix: str = "_matched") -> DataFrame:
     """For every left row, attach the payload of the single right row
     with the greatest ``time_col`` <= the left row's (``backward``;
-    ``forward`` = smallest >=), per key. LEFT-join semantics: left
-    rows with no qualifying right row keep NULL payloads. NULL keys
-    and NULL times never match on either side (SQL/merge_asof
-    comparison semantics), they don't pair up with each other.
+    ``forward`` = smallest >=; ``nearest`` = smallest absolute time
+    delta, exact ties going backward — pinned to pandas
+    ``merge_asof(direction="nearest")``), per key. LEFT-join
+    semantics: left rows with no qualifying right row keep NULL
+    payloads. NULL keys and NULL times never match on either side
+    (SQL/merge_asof comparison semantics), they don't pair up with
+    each other.
 
     Implementation is the union-window form, not a join: tag the two
     inputs, union them, and take ``last(payload, ignorenulls=True)``
     over a running window ordered by (time, side, tiebreak) within
     each key — one shuffle on the key, no per-key loops, no range
-    self-join blowup. At equal timestamps the right row sorts BEFORE
-    the left row, so a tick at exactly the query time matches in both
-    directions (inclusive); among right rows tied on time the largest
-    ``tiebreak_col`` wins (backward) / smallest (forward), making the
-    result deterministic.
+    self-join blowup. ``nearest`` adds a second frame (``first`` over
+    the following rows) over the SAME partitioning and sort — still
+    one shuffle — and picks the per-row winner by absolute delta. At
+    equal timestamps the right row sorts BEFORE the left row, so a
+    tick at exactly the query time matches in all directions
+    (inclusive); among right rows tied on time the largest
+    ``tiebreak_col`` wins (backward) / smallest (forward/nearest-
+    forward-leg).
+
+    Determinism: when the payload contains no MapType anywhere, the
+    full payload struct is the final ORDER BY tiebreaker, so the
+    result is deterministic even when ``(key, time, tiebreak)`` is
+    not unique on the right side. Map-typed payloads cannot be sorted
+    by Spark — there the caller must keep ``(key, time,
+    tiebreak_col)`` unique on the right for a deterministic pick.
 
     100-TB posture: cost is one repartition by key + an in-partition
     sort — the same shape as any windowed aggregation; skewed keys are
@@ -52,11 +90,22 @@ def asof_join(left: DataFrame, right: DataFrame,
     ``tiebreak_col``: right column ordering ties on time (default:
     first payload column).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"asof_join: unknown direction {direction!r} "
-            "(expected 'backward' or 'forward')")
+            "(expected 'backward', 'forward' or 'nearest')")
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    bad = [c for c in [*keys, time_col]
+           if c in _ASOF_RESERVED or c.startswith(_ASOF_LEFT_PREFIX)]
+    if bad:
+        raise ValueError(
+            f"asof_join: key/time column names {bad} collide with "
+            "internal staging names (reserved: "
+            f"{sorted(_ASOF_RESERVED)} and the '{_ASOF_LEFT_PREFIX}' "
+            "prefix); rename before joining")
+    if direction == "nearest" and "_w" in left.columns:
+        raise ValueError("asof_join: left column '_w' collides with an "
+                         "internal staging name; rename before joining")
     if payload_cols is None:
         payload_cols = [c for c in right.columns
                         if c not in keys and c != time_col]
@@ -84,6 +133,15 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.col(c).alias(o) for c, o in zip(payload_cols, out_cols)])
     payload_type = right.select(payload_struct.alias("_p")).schema["_p"] \
         .dataType
+    # nearest needs the matched row's own time to compute the delta,
+    # so the carried struct wraps (match time, payload)
+    if direction == "nearest":
+        carried = F.struct(F.col(time_col).alias("_mt"),
+                           payload_struct.alias("_pp"))
+        carried_type = right.select(carried.alias("_p")).schema["_p"] \
+            .dataType
+    else:
+        carried, carried_type = payload_struct, payload_type
     # NULL semantics pinned to merge_asof / SQL ASOF JOIN: a NULL key
     # or NULL time NEVER matches. Spark's window would group NULL keys
     # into one partition (NULL-key lefts matching NULL-key rights) and
@@ -111,7 +169,7 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.col(time_col).alias("_t"),
         F.lit(0).alias("_side"),
         F.col(tiebreak_col).alias("_tie"),
-        payload_struct.alias("_p"),
+        carried.alias("_p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left.columns],
     )
@@ -120,32 +178,82 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(right.schema[tiebreak_col].dataType).alias("_tie"),
-        F.lit(None).cast(payload_type).alias("_p"),
+        F.lit(None).cast(carried_type).alias("_p"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
-    if direction == "backward":
-        order = [F.col("_t").asc(), F.col("_side").asc(),
-                 F.col("_tie").asc_nulls_first()]
-    else:
+    # full-payload final tiebreaker (when sortable) makes the pick
+    # deterministic even for right rows tied on (key, time, tiebreak)
+    orderable = not _contains_map(payload_type)
+    if direction == "forward":
         order = [F.col("_t").desc(), F.col("_side").asc(),
                  F.col("_tie").desc_nulls_first()]
-    w = (Window.partitionBy(*keys).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        if orderable:
+            order.append(F.col("_p").desc_nulls_first())
+    else:  # backward and nearest share the ascending layout
+        order = [F.col("_t").asc(), F.col("_side").asc(),
+                 F.col("_tie").asc_nulls_first()]
+        if orderable:
+            order.append(F.col("_p").asc_nulls_first())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned = r_tagged.unionByName(l_tagged)
+    if direction != "nearest":
+        filled = unioned.select(
+            "*", F.last("_p", ignorenulls=True).over(w_back).alias("_f_p"))
+        matched = (
+            filled.where(F.col("_side") == 1)
+            .select(*[F.col(f"_l_{c}").alias(c) for c in left.columns],
+                    *[F.col(f"_f_p.{o}").alias(o) for o in out_cols])
+        )
+        return matched.unionByName(left_bypass)
+    # nearest: a backward fill and a forward fill over the SAME key
+    # partitioning and sort order (the exchange is shared; only the
+    # frame differs), then a per-row winner by absolute time delta.
+    # Equal-ts right rows sort before the left row, so they land in
+    # the backward leg with delta 0 and win any cross-side tie —
+    # matching pandas merge_asof(direction="nearest"), which prefers
+    # the prior row on exact-distance ties.
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     filled = unioned.select(
-        "*", F.last("_p", ignorenulls=True).over(w).alias("_f_p"))
-    matched = (
-        filled.where(F.col("_side") == 1)
-        .select(*[F.col(f"_l_{c}").alias(c) for c in left.columns],
-                *[F.col(f"_f_p.{o}").alias(o) for o in out_cols])
-    )
+        "*",
+        F.last("_p", ignorenulls=True).over(w_back).alias("_b"),
+        F.first("_p", ignorenulls=True).over(w_fwd).alias("_f"))
+
+    # exact-integer microsecond deltas for timestamps: a double cast
+    # carries ~0.2 µs representation error at current epochs, enough
+    # to flip a near-tie (and break the pinned backward-on-tie rule
+    # for exact ties); numeric time columns pass through as double
+    def _num(col):
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+        t = left.schema[time_col].dataType
+        if isinstance(t, TimestampType):
+            return F.unix_micros(col)
+        if isinstance(t, TimestampNTZType):
+            # engine pins spark.sql.session.timeZone=UTC, so NTZ ->
+            # TZ is an exact bijection and unix_micros stays integer
+            return F.unix_micros(col.cast("timestamp"))
+        return col.cast("double")
+
+    lt = _num(F.col("_t"))
+    d_back = lt - _num(F.col("_b._mt"))
+    d_fwd = _num(F.col("_f._mt")) - lt
+    winner = (F.when(F.col("_b").isNull(), F.col("_f"))
+              .when(F.col("_f").isNull(), F.col("_b"))
+              .when(d_back <= d_fwd, F.col("_b"))
+              .otherwise(F.col("_f")))
+    staged = (filled.where(F.col("_side") == 1)
+              .select(*[F.col(f"_l_{c}").alias(c) for c in left.columns],
+                      winner.alias("_w")))
+    matched = staged.select(
+        *left.columns,
+        *[F.col(f"_w._pp.{o}").alias(o) for o in out_cols])
     return matched.unionByName(left_bypass)
 
 
 def range_join(points: DataFrame, intervals: DataFrame,
                ts_col: str = "ts",
                start_col: str = "start_ts", end_col: str = "end_ts",
-               bucket_seconds: int = 3600) -> DataFrame:
+               bucket_seconds: int | None = None) -> DataFrame:
     """Big-big interval-containment join: every (point, interval)
     pair with ``start_col <= ts_col <= end_col`` (inclusive), with no
     join key required on either side.
@@ -160,12 +268,18 @@ def range_join(points: DataFrame, intervals: DataFrame,
     point has a single bucket, no dedup pass is needed — each
     qualifying pair is produced exactly once.
 
-    Pick ``bucket_seconds`` near the median interval length: the
+    ``bucket_seconds`` should sit near the median interval length: the
     interval explode emits ``span/bucket_seconds + 1`` rows per
     interval (fan-out cost), while buckets much wider than the
     intervals make the equi-join degenerate toward all-pairs within a
     bucket (filter cost). Both failure modes are visible in the plan
-    as row-count blowups, not as silent wrong answers.
+    as row-count blowups, not as silent wrong answers. When the caller
+    doesn't pass one (the default), it is DERIVED from the data as the
+    median interval span via one bounded aggregate over the interval
+    side (column-pruned to the two bound columns — cheap even at
+    100 TB), and the estimated explode fan-out is logged so the cost
+    is never silent; hot-path callers with a known workload should
+    pass an explicit value to skip the extra pass.
 
     Bucket ids come from second-truncated epochs, which is
     containment-safe: truncation is monotone, so
@@ -174,12 +288,18 @@ def range_join(points: DataFrame, intervals: DataFrame,
     filter never loses a pair. Column names must not collide across
     the two inputs (alias before calling).
     """
-    if bucket_seconds <= 0:
+    if bucket_seconds is not None and bucket_seconds <= 0:
         raise ValueError("range_join: bucket_seconds must be positive")
     clash = sorted(set(points.columns) & set(intervals.columns))
     if clash:
         raise ValueError(f"range_join: column names {clash} appear on "
                          "both sides; alias before joining")
+    reserved = [c for c in ("_bucket",)
+                if c in points.columns or c in intervals.columns]
+    if reserved:
+        raise ValueError(f"range_join: column names {reserved} collide "
+                         "with internal staging names; rename before "
+                         "joining")
     # inverted (start > end) intervals can match nothing, but Spark's
     # sequence() COUNTS DOWN for descending bounds — without this
     # guard an inverted interval would fan out to every bucket between
@@ -189,6 +309,21 @@ def range_join(points: DataFrame, intervals: DataFrame,
     # of the bucket equi-join on their own — together matching SQL
     # BETWEEN's never-match semantics.
     intervals = intervals.where(F.col(start_col) <= F.col(end_col))
+    if bucket_seconds is None:
+        span = (F.unix_timestamp(F.col(end_col))
+                - F.unix_timestamp(F.col(start_col)))
+        stats = intervals.agg(
+            F.percentile_approx(span, 0.5).alias("p50"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(span).alias("total")).collect()[0]
+        bucket_seconds = (max(1, int(stats["p50"]))
+                          if stats["p50"] is not None else 3600)
+        fanout = (int(stats["total"] or 0) // bucket_seconds
+                  + int(stats["n"] or 0))
+        logging.getLogger("lexmapr_spark.joins").info(
+            "range_join: derived bucket_seconds=%d (median interval "
+            "span) over %d intervals; estimated explode fan-out ~%d "
+            "rows", bucket_seconds, stats["n"], fanout)
     iv = intervals.withColumn(
         "_bucket",
         F.explode(F.sequence(

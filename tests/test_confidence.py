@@ -10,6 +10,7 @@ comparison pins the surrounding logic byte-for-byte.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from lexmapr_spark import confidence as C
 from lexmapr_spark import engine
@@ -215,6 +216,18 @@ def test_with_confidence_stages_hofs_once(spark):
     # confidence must be rendered from the staged attribute, not a
     # fresh copy of the score expression
     assert re.search(r"AS confidence_score#\d+", plan)
+
+
+def test_with_confidence_rejects_staging_name_collision(spark):
+    # withColumn would silently overwrite (then drop) a user column
+    # named like an internal staging attribute — must raise instead
+    lex_bc = engine.broadcast_lexicon(spark)
+    pages = spark.createDataFrame(
+        [("u1", "chicken breast")], "url STRING, text STRING")
+    m = engine.annotate(pages, lex_bc, confidence=True) \
+        .withColumn("_penalty", F.lit("user data"))
+    with pytest.raises(ValueError, match="staging"):
+        C.with_confidence(m)
 
 
 def test_annotate_default_schema_unchanged(spark):

@@ -114,6 +114,99 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert got == want
 
 
+def test_asof_nearest_picks_smallest_abs_delta(quotes, trades):
+    out = joins.asof_join(trades, quotes, "k",
+                          payload_cols=["quote_id"],
+                          tiebreak_col="quote_id",
+                          direction="nearest")
+    got = {r.trade_id: r.quote_id_matched for r in out.collect()}
+    assert got == {
+        10: 100,    # nothing before; forward to minute 1
+        11: 102,    # exact-ts tie -> backward leg, largest tiebreak
+        12: 102,    # 2 min back vs 2 min fwd -> exact tie -> backward
+        13: 103,    # after all -> backward
+        14: 200,    # exact equal
+        15: None,   # key with no quotes
+    }
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    # randomized differential vs pandas merge_asof(direction="nearest")
+    # — same corpus shape as the backward differential; right side
+    # deduped to one row per (k, ts) because pandas picks the LAST
+    # among exact-ts duplicates on the backward leg but the FIRST on
+    # the forward leg of nearest, an order-of-insertion artifact we
+    # deliberately replace with the pinned tiebreak rule
+    import pandas as pd
+
+    n_l, n_r = 200, 120
+    lrows = [("k%d" % (i % 7), _ts(i % 50, (i * 13) % 60), i)
+             for i in range(n_l)]
+    rrows = {}
+    for i in range(n_r):
+        key = ("k%d" % (i % 7), _ts((i * 3) % 50, (i * 29) % 60))
+        rrows[key] = (*key, i, i * 1.5)
+    rrows = sorted(rrows.values(), key=lambda r: r[2])
+    left = spark.createDataFrame(lrows, "k STRING, ts TIMESTAMP, lid LONG")
+    right = spark.createDataFrame(
+        rrows, "k STRING, ts TIMESTAMP, rid LONG, v DOUBLE")
+    got = {r.lid: r.rid_matched
+           for r in joins.asof_join(left, right, "k",
+                                    payload_cols=["rid", "v"],
+                                    tiebreak_col="rid",
+                                    direction="nearest").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lid"]) \
+        .sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "rid", "v"]) \
+        .sort_values(["ts", "rid"], kind="stable")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in ref.itertuples()}
+    assert got == want
+
+
+def test_asof_nearest_null_keys_times_and_plan(spark):
+    right = spark.createDataFrame(
+        [(None, _ts(1), 1), ("k", None, 2), ("k", _ts(2), 3)],
+        "k STRING, ts TIMESTAMP, rid LONG")
+    left = spark.createDataFrame(
+        [(None, _ts(5), 10), ("k", None, 11), ("k", _ts(5), 12)],
+        "k STRING, ts TIMESTAMP, lid LONG")
+    out = joins.asof_join(left, right, "k", payload_cols=["rid"],
+                          tiebreak_col="rid", direction="nearest")
+    got = {r.lid: r.rid_matched for r in out.collect()}
+    assert got == {10: None, 11: None, 12: 3}
+    # both fills ride the ONE key exchange — no join operators, and a
+    # single Exchange feeding the window(s)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_deterministic_on_full_right_ties(spark):
+    # two right rows tied on (key, ts, tiebreak) but different payload
+    # values: the full-payload ORDER BY tiebreaker must pick the same
+    # one every run (largest payload struct for backward)
+    right = spark.createDataFrame(
+        [("k", _ts(1), 1, "a"), ("k", _ts(1), 1, "z")],
+        "k STRING, ts TIMESTAMP, rid LONG, v STRING")
+    left = spark.createDataFrame(
+        [("k", _ts(2), 10)], "k STRING, ts TIMESTAMP, lid LONG")
+    for _ in range(3):
+        got = joins.asof_join(left, right, "k",
+                              payload_cols=["rid", "v"],
+                              tiebreak_col="rid").collect()
+        assert [(r.rid_matched, r.v_matched) for r in got] == [(1, "z")]
+
+
+def test_asof_rejects_reserved_staging_names(spark, quotes):
+    left = spark.createDataFrame(
+        [("k", _ts(1), 5)], "_side STRING, ts TIMESTAMP, lid LONG")
+    with pytest.raises(ValueError, match="staging"):
+        joins.asof_join(left, quotes.withColumnRenamed("k", "_side"),
+                        "_side", payload_cols=["px"])
+
+
 def test_asof_null_payload_no_row_tearing(spark):
     # the matched right row's values must come from THAT row even when
     # some (or all) of its payload columns are NULL — per-column fills
@@ -256,6 +349,39 @@ def test_range_join_plan_is_equi_join_not_nested_loop(spark):
     assert "_bucket" in plan
     # and it actually matches: every point inside some interval
     assert out.count() > 0
+
+
+def test_range_join_auto_bucket_mixed_lengths(spark):
+    # no bucket_seconds passed: derived from the median interval span.
+    # Mixed lengths (30 s spikes + 2 h slabs) must still produce the
+    # exact containment set — the derived width only shifts cost, not
+    # answers
+    import random
+    rng = random.Random(11)
+    points = [(i, _ts(rng.randrange(55), rng.randrange(60)))
+              for i in range(200)]
+    ivs = []
+    for i in range(40):
+        s = dt.datetime(2024, 1, 1, 0, rng.randrange(50), rng.randrange(60))
+        span = rng.choice([30, 30, 30, 7200])  # skewed length mix
+        ivs.append((i, s, s + dt.timedelta(seconds=span)))
+    p = spark.createDataFrame(points, "pid LONG, ts TIMESTAMP")
+    iv = spark.createDataFrame(
+        ivs, "iid LONG, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    got = {(r.pid, r.iid) for r in joins.range_join(p, iv).collect()}
+    want = {(pid, iid) for pid, ts in points for iid, s, e in ivs
+            if s <= ts <= e}
+    assert got == want
+
+
+def test_range_join_rejects_reserved_bucket_column(spark):
+    p = spark.createDataFrame(
+        [(1, _ts(1), 9)], "pid LONG, ts TIMESTAMP, _bucket LONG")
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(2))], "iid LONG, start_ts TIMESTAMP, "
+        "end_ts TIMESTAMP")
+    with pytest.raises(ValueError, match="staging"):
+        joins.range_join(p, iv, bucket_seconds=60)
 
 
 def test_range_join_rejects_colliding_columns(spark):

@@ -75,6 +75,20 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert not any({a, b} == {1, 4} for a, b in pairs)
 
 
+def test_jaccard_prefilter_kwarg_back_compat(docs):
+    # prefilter=False restores the pre-r7 exact-verify-all-collisions
+    # recall: every pre-filtered pair must also appear in the
+    # unfiltered run (the screen only ever removes candidates)
+    with_pf = {(r.id_a, r.id_b)
+               for r in dedup.jaccard_near_duplicates(
+                   docs, 0.7, prefilter=True).collect()}
+    without = {(r.id_a, r.id_b)
+               for r in dedup.jaccard_near_duplicates(
+                   docs, 0.7, prefilter=False).collect()}
+    assert with_pf <= without
+    assert (1, 2) in without and (1, 3) in without
+
+
 def test_simhash_near_dup(docs):
     pairs = {(r.id_a, r.id_b)
              for r in dedup.simhash_near_duplicates(docs, 8).collect()}
