@@ -27,6 +27,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def wait_for_calm(threshold: float = 0.5, timeout_sec: int = 600,
+                  poll_sec: int = 10) -> float:
+    """Block until the 1-min loadavg drops below ``threshold`` (bounded
+    by ``timeout_sec``), returning the final pre-bench load. Every r7
+    capture ran at load >= 5 on this steal-prone host and the numbers
+    were garbage (r7 verdict item 2) — waiting for a calm window is
+    cheaper than re-adjudicating phantom regressions. Skippable via
+    SPARK_GRAFT_NO_WAIT=1 (the in-round A/B case, where both arms see
+    the same noise)."""
+    if os.environ.get("SPARK_GRAFT_NO_WAIT"):
+        return round(os.getloadavg()[0], 2)
+    deadline = time.time() + timeout_sec
+    load = os.getloadavg()[0]
+    while load >= threshold and time.time() < deadline:
+        time.sleep(poll_sec)
+        load = os.getloadavg()[0]
+    return round(load, 2)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -37,6 +56,7 @@ def main():
     from pyspark.sql import functions as F
     from lexmapr_spark.pages import synth_pages
 
+    load_at_start = wait_for_calm()
     spark = engine.build_spark(cpus=cpus, app="lexmapr_bench",
                                shuffle_partitions=max(cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,7 +81,18 @@ def main():
         return time.time() - t0, n
 
     cold_wall, n_triples = run_pipeline()   # populates per-worker memos
-    wall, n_triples = run_pipeline()        # steady state (what scale sees)
+    # headline = min of THREE steady runs with per-run load brackets
+    # (r7 verdict item 3): the driver's capture window on this
+    # oversubscribed host can hit load 8-18 mid-run, and a single
+    # steady run let one noisy window masquerade as a 32% regression —
+    # min-of-3 plus the recorded loads makes steal mechanically
+    # separable from plan changes
+    steady_walls, steady_loads = [], []
+    for _ in range(3):
+        steady_loads.append(round(os.getloadavg()[0], 2))
+        w, n_triples = run_pipeline()
+        steady_walls.append(round(w, 3))
+    wall = min(steady_walls)
     pages.unpersist()
 
     # realistic-size pages: 8 sentences each (~8x the text per page)
@@ -116,6 +147,9 @@ def main():
         "pages": n_rows,
         "triples": n_triples,
         "cold_run_sec": round(cold_wall, 3),
+        "steady_runs_sec": steady_walls,
+        "steady_runs_load_1min": steady_loads,
+        "load_at_start": load_at_start,
         "queries_cold": timings_cold,
         "queries_load_1min": loads,
         "triples_per_sec": round(n_triples / wall, 1),
@@ -145,6 +179,7 @@ def deep():
     from lexmapr_spark.ops import dedup
     from lexmapr_spark.pages import synth_pages
 
+    load_at_start = wait_for_calm()
     spark = engine.build_spark(cpus=cpus, app="lexmapr_bench_deep",
                                shuffle_partitions=max(cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
@@ -152,7 +187,8 @@ def deep():
     engine.annotate(synth_pages(spark, 2000), lex_bc) \
         .write.format("noop").mode("overwrite").save()   # warmup
 
-    out = {"metric": "kg_deep_bench", "unit": "sec", "cpus": cpus}
+    out = {"metric": "kg_deep_bench", "unit": "sec", "cpus": cpus,
+           "load_at_start": load_at_start}
 
     # ---- 1.2M-page pipeline (30x the default headline)
     n_pages = 1_200_000
@@ -358,6 +394,29 @@ def deep():
           .where(F.col("rid_matched").isNotNull()).count(),
           denom=n_left, rate_key="left_rows_per_sec")
 
+    # hot-key variant (r7 verdict item 6): ~10% of BOTH sides funnel
+    # onto key 0 — the head-domain analogue. The asof exchange feeds a
+    # Window, and AQE's skew split only applies to joins, so the hot
+    # partition IS the wall; this row measures exactly how much, and
+    # the plan capture records whether any skew handling engaged.
+    def _hot(col_id, salt):
+        return F.when(F.pmod(F.xxhash64(col_id, F.lit(salt)), 10) == 0,
+                      F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(col_id, F.lit(salt + "k")), n_keys))
+
+    hleft = _mat(jleft.withColumn("k", _hot(F.col("lid"), "hl")))
+    hright = _mat(jright.withColumn("k", _hot(F.col("rid"), "hr")))
+    hot_out = joinops.asof_join(hleft, hright, "k",
+                                payload_cols=["rid", "px"],
+                                tiebreak_col="rid") \
+        .where(F.col("rid_matched").isNotNull())
+    timed("asof_join_2m_x_500k_hotkey",
+          lambda: hot_out.count(),
+          denom=n_left, rate_key="left_rows_per_sec")
+    out["asof_join_2m_x_500k_hotkey"]["aqe_skew_split_engaged"] = (
+        "skew=true" in hot_out._jdf.queryExecution().executedPlan()
+        .toString())
+
     n_pts, n_iv = 1_000_000, 100_000
     jpts = _mat(spark.range(n_pts).select(
         F.col("id").alias("pid"),
@@ -377,6 +436,25 @@ def deep():
           lambda: joinops.range_join(jpts, jiv, bucket_seconds=1800)
           .count(),
           denom=n_pts, rate_key="points_per_sec")
+
+    # auto-derived bucket (r8): no bucket_seconds passed — the op
+    # derives it from the median interval span. Record the derived
+    # width and the EXACT explode fan-out (no silent caps rule: the
+    # fan-out is the cost the derivation is choosing).
+    span = (F.unix_timestamp("end_ts") - F.unix_timestamp("start_ts"))
+    derived = max(1, int(jiv.agg(
+        F.percentile_approx(span, 0.5)).collect()[0][0]))
+    fanout = jiv.agg(F.sum(
+        F.floor(F.unix_timestamp("end_ts") / derived)
+        - F.floor(F.unix_timestamp("start_ts") / derived)
+        + 1)).collect()[0][0]
+    timed("range_join_1m_x_100k_autobucket",
+          lambda: joinops.range_join(jpts, jiv).count(),
+          denom=n_pts, rate_key="points_per_sec")
+    out["range_join_1m_x_100k_autobucket"].update(
+        derived_bucket_seconds=derived,
+        interval_explode_rows=int(fanout),
+        explode_rows_per_interval=round(fanout / n_iv, 2))
     for f in _jframes:
         f.unpersist()
 
