@@ -506,5 +506,21 @@ def test_stream_asof_joined_matches_batch_twin(spark):
             payload_cols=["click_id"], tiebreak_col="click_id")
         q2.awaitTermination(120)
         assert spark.read.parquet(out).count() == 4
+
+        # nearest direction rides the same verbatim-batch-op twin:
+        # pid 2 at minute 0 has no prior click but minute-1 click 100
+        # is nearest; pid 4 (user 9) still has nothing
+        out_n = os.path.join(base, "joined_nearest")
+        ckpt_n = os.path.join(base, "ckpt_nearest")
+        qn = streaming.stream_asof_joined(
+            (spark.readStream.schema(purchases.schema)
+             .option("maxFilesPerTrigger", "1").parquet(landing)),
+            clicks, "user_id", out_n, ckpt_n,
+            payload_cols=["click_id"], tiebreak_col="click_id",
+            direction="nearest")
+        qn.awaitTermination(120)
+        got_n = {r.pid: r.click_id_matched
+                 for r in spark.read.parquet(out_n).collect()}
+        assert got_n == {1: 102, 2: 100, 3: 200, 4: None}
     finally:
         shutil.rmtree(base, ignore_errors=True)
