@@ -49,7 +49,9 @@ def asof_join(left: DataFrame, right: DataFrame,
               payload_cols: list[str] | None = None,
               tiebreak_col: str | None = None,
               direction: str = "backward",
-              suffix: str = "_matched") -> DataFrame:
+              suffix: str = "_matched",
+              tolerance: float | None = None,
+              allow_exact_matches: bool = True) -> DataFrame:
     """For every left row, attach the payload of the single right row
     with the greatest ``time_col`` <= the left row's (``backward``;
     ``forward`` = smallest >=; ``nearest`` = smallest absolute time
@@ -89,6 +91,17 @@ def asof_join(left: DataFrame, right: DataFrame,
     columns except keys and time), each renamed with ``suffix``.
     ``tiebreak_col``: right column ordering ties on time (default:
     first payload column).
+    ``tolerance``: like pandas merge_asof — a match is kept only if
+    |left time − matched time| <= tolerance (SECONDS for timestamp
+    columns, the column's own units for numeric ones); beyond it the
+    payload is NULL. Applied post-fill with the same exact-integer
+    microsecond arithmetic as ``nearest``, so the cost is a
+    projection, not a new shuffle.
+    ``allow_exact_matches``: False makes the comparison strict
+    (``<`` / ``>``), again per merge_asof — implemented purely by
+    flipping which side sorts first at equal timestamps (the
+    ``nearest`` strict variant needs a second in-partition sort for
+    its forward leg; still ONE exchange).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -103,7 +116,10 @@ def asof_join(left: DataFrame, right: DataFrame,
             "internal staging names (reserved: "
             f"{sorted(_ASOF_RESERVED)} and the '{_ASOF_LEFT_PREFIX}' "
             "prefix); rename before joining")
-    if direction == "nearest" and "_w" in left.columns:
+    if tolerance is not None and tolerance <= 0:
+        raise ValueError("asof_join: tolerance must be positive")
+    carry_mt = direction == "nearest" or tolerance is not None
+    if carry_mt and "_w" in left.columns:
         raise ValueError("asof_join: left column '_w' collides with an "
                          "internal staging name; rename before joining")
     if payload_cols is None:
@@ -133,15 +149,41 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.col(c).alias(o) for c, o in zip(payload_cols, out_cols)])
     payload_type = right.select(payload_struct.alias("_p")).schema["_p"] \
         .dataType
-    # nearest needs the matched row's own time to compute the delta,
-    # so the carried struct wraps (match time, payload)
-    if direction == "nearest":
+    # nearest (and any tolerance check) needs the matched row's own
+    # time to compute the delta, so the carried struct wraps
+    # (match time, payload)
+    if carry_mt:
         carried = F.struct(F.col(time_col).alias("_mt"),
                            payload_struct.alias("_pp"))
         carried_type = right.select(carried.alias("_p")).schema["_p"] \
             .dataType
     else:
         carried, carried_type = payload_struct, payload_type
+
+    # exact-integer microsecond deltas for timestamps: a double cast
+    # carries ~0.2 µs representation error at current epochs, enough
+    # to flip a near-tie (and break the pinned backward-on-tie rule
+    # for exact ties); numeric time columns pass through as double
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+    _tdtype = left.schema[time_col].dataType
+
+    def _num(col):
+        if isinstance(_tdtype, TimestampType):
+            return F.unix_micros(col)
+        if isinstance(_tdtype, TimestampNTZType):
+            # engine pins spark.sql.session.timeZone=UTC, so NTZ ->
+            # TZ is an exact bijection and unix_micros stays integer
+            return F.unix_micros(col.cast("timestamp"))
+        return col.cast("double")
+
+    # tolerance is SECONDS for timestamp columns (scaled to the same
+    # integer microseconds as the deltas), column units otherwise
+    tol_units = None
+    if tolerance is not None:
+        tol_units = (F.lit(int(round(tolerance * 1_000_000)))
+                     if isinstance(_tdtype, (TimestampType,
+                                             TimestampNTZType))
+                     else F.lit(tolerance))
     # NULL semantics pinned to merge_asof / SQL ASOF JOIN: a NULL key
     # or NULL time NEVER matches. Spark's window would group NULL keys
     # into one partition (NULL-key lefts matching NULL-key rights) and
@@ -182,68 +224,91 @@ def asof_join(left: DataFrame, right: DataFrame,
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     # full-payload final tiebreaker (when sortable) makes the pick
-    # deterministic even for right rows tied on (key, time, tiebreak)
+    # deterministic even for right rows tied on (key, time, tiebreak).
+    # Inclusive matches (allow_exact_matches, the default) come from
+    # the RIGHT side sorting first at equal time (_side asc: 0 < 1);
+    # strict matches flip that (_side desc), so the running fill never
+    # sees an equal-time right row — the comparison operator itself
+    # never appears, only sort position.
     orderable = not _contains_map(payload_type)
+    side = (F.col("_side").asc() if allow_exact_matches
+            else F.col("_side").desc())
     if direction == "forward":
-        order = [F.col("_t").desc(), F.col("_side").asc(),
+        order = [F.col("_t").desc(), side,
                  F.col("_tie").desc_nulls_first()]
         if orderable:
             order.append(F.col("_p").desc_nulls_first())
     else:  # backward and nearest share the ascending layout
-        order = [F.col("_t").asc(), F.col("_side").asc(),
+        order = [F.col("_t").asc(), side,
                  F.col("_tie").asc_nulls_first()]
         if orderable:
             order.append(F.col("_p").asc_nulls_first())
     w = Window.partitionBy(*keys).orderBy(*order)
     w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned = r_tagged.unionByName(l_tagged)
+    lt = _num(F.col("_t"))
+    left_restore = [F.col(f"_l_{c}").alias(c) for c in left.columns]
     if direction != "nearest":
         filled = unioned.select(
             "*", F.last("_p", ignorenulls=True).over(w_back).alias("_f_p"))
-        matched = (
-            filled.where(F.col("_side") == 1)
-            .select(*[F.col(f"_l_{c}").alias(c) for c in left.columns],
-                    *[F.col(f"_f_p.{o}").alias(o) for o in out_cols])
-        )
+        if tolerance is None:
+            matched = (
+                filled.where(F.col("_side") == 1)
+                .select(*left_restore,
+                        *[F.col(f"_f_p.{o}").alias(o) for o in out_cols])
+            )
+            return matched.unionByName(left_bypass)
+        delta = (lt - _num(F.col("_f_p._mt")) if direction == "backward"
+                 else _num(F.col("_f_p._mt")) - lt)
+        staged = (filled.where(F.col("_side") == 1)
+                  .select(*left_restore,
+                          F.when(F.col("_f_p").isNotNull()
+                                 & (delta <= tol_units),
+                                 F.col("_f_p._pp")).alias("_w")))
+        matched = staged.select(
+            *left.columns,
+            *[F.col(f"_w.{o}").alias(o) for o in out_cols])
         return matched.unionByName(left_bypass)
     # nearest: a backward fill and a forward fill over the SAME key
-    # partitioning and sort order (the exchange is shared; only the
-    # frame differs), then a per-row winner by absolute time delta.
-    # Equal-ts right rows sort before the left row, so they land in
-    # the backward leg with delta 0 and win any cross-side tie —
-    # matching pandas merge_asof(direction="nearest"), which prefers
-    # the prior row on exact-distance ties.
-    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # partitioning (the exchange is shared), then a per-row winner by
+    # absolute time delta. Inclusive: one sort order serves both legs
+    # — equal-ts right rows sort before the left row, landing in the
+    # backward leg with delta 0 and winning any cross-side tie,
+    # matching pandas merge_asof(direction="nearest") which prefers
+    # the prior row on exact-distance ties (the forward frame is then
+    # strictly-greater by construction). Strict (allow_exact_matches=
+    # False): the backward leg keeps the flipped (_side desc) sort so
+    # equal-ts rows fall out of its running frame, but the forward
+    # frame under that sort would RE-ADMIT them — its leg gets its own
+    # inclusive-sorted window (same partitioning: one exchange, two
+    # in-partition sorts).
+    w_fwd_base = w if allow_exact_matches else Window.partitionBy(
+        *keys).orderBy(F.col("_t").asc(), F.col("_side").asc(),
+                       F.col("_tie").asc_nulls_first(),
+                       *([F.col("_p").asc_nulls_first()]
+                         if orderable else []))
+    w_fwd = w_fwd_base.rowsBetween(Window.currentRow,
+                                   Window.unboundedFollowing)
     filled = unioned.select(
         "*",
         F.last("_p", ignorenulls=True).over(w_back).alias("_b"),
         F.first("_p", ignorenulls=True).over(w_fwd).alias("_f"))
-
-    # exact-integer microsecond deltas for timestamps: a double cast
-    # carries ~0.2 µs representation error at current epochs, enough
-    # to flip a near-tie (and break the pinned backward-on-tie rule
-    # for exact ties); numeric time columns pass through as double
-    def _num(col):
-        from pyspark.sql.types import TimestampNTZType, TimestampType
-        t = left.schema[time_col].dataType
-        if isinstance(t, TimestampType):
-            return F.unix_micros(col)
-        if isinstance(t, TimestampNTZType):
-            # engine pins spark.sql.session.timeZone=UTC, so NTZ ->
-            # TZ is an exact bijection and unix_micros stays integer
-            return F.unix_micros(col.cast("timestamp"))
-        return col.cast("double")
-
-    lt = _num(F.col("_t"))
     d_back = lt - _num(F.col("_b._mt"))
     d_fwd = _num(F.col("_f._mt")) - lt
-    winner = (F.when(F.col("_b").isNull(), F.col("_f"))
-              .when(F.col("_f").isNull(), F.col("_b"))
+    b_ok = F.col("_b").isNotNull()
+    f_ok = F.col("_f").isNotNull()
+    if tolerance is not None:
+        # per-leg validity is equivalent to nearest-then-check: if the
+        # farther leg is within tolerance, the nearer one always is too
+        b_ok = b_ok & (d_back <= tol_units)
+        f_ok = f_ok & (d_fwd <= tol_units)
+    winner = (F.when(~b_ok & ~f_ok, F.lit(None).cast(carried_type))
+              .when(~b_ok, F.col("_f"))
+              .when(~f_ok, F.col("_b"))
               .when(d_back <= d_fwd, F.col("_b"))
               .otherwise(F.col("_f")))
     staged = (filled.where(F.col("_side") == 1)
-              .select(*[F.col(f"_l_{c}").alias(c) for c in left.columns],
-                      winner.alias("_w")))
+              .select(*left_restore, winner.alias("_w")))
     matched = staged.select(
         *left.columns,
         *[F.col(f"_w._pp.{o}").alias(o) for o in out_cols])

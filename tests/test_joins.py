@@ -183,6 +183,71 @@ def test_asof_nearest_null_keys_times_and_plan(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
 
 
+def test_asof_tolerance_and_exact_match_unit(quotes, trades):
+    # tolerance: trade 13 (minute 30) is 21 min past the last quote
+    # (minute 9) -> NULL under a 10-min tolerance; trade 12 (minute 7)
+    # is 2 min past minute-5 quotes -> kept
+    out = joins.asof_join(trades, quotes, "k", payload_cols=["quote_id"],
+                          tiebreak_col="quote_id", tolerance=600.0)
+    got = {r.trade_id: r.quote_id_matched for r in out.collect()}
+    assert got == {10: None, 11: 102, 12: 102, 13: None, 14: 200, 15: None}
+    # strict: the equal-ts matches (trades 11, 14) fall back to the
+    # previous strictly-earlier quote (11 -> minute 1) or nothing (14)
+    out = joins.asof_join(trades, quotes, "k", payload_cols=["quote_id"],
+                          tiebreak_col="quote_id",
+                          allow_exact_matches=False)
+    got = {r.trade_id: r.quote_id_matched for r in out.collect()}
+    assert got == {10: None, 11: 100, 12: 102, 13: 103, 14: None, 15: None}
+    # strict nearest: trade 11 at minute 5 must skip the minute-5 tie
+    # pair entirely — nearest among {1, 9} is minute-1 quote... both
+    # are 4 min away -> exact tie -> backward -> 100
+    out = joins.asof_join(trades, quotes, "k", payload_cols=["quote_id"],
+                          tiebreak_col="quote_id", direction="nearest",
+                          allow_exact_matches=False)
+    got = {r.trade_id: r.quote_id_matched for r in out.collect()}
+    assert got == {10: 100, 11: 100, 12: 102, 13: 103, 14: None, 15: None}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+@pytest.mark.parametrize("tol_s", [None, 120.0])
+def test_asof_differential_grid_vs_pandas(spark, direction, exact, tol_s):
+    # the full merge_asof parameter surface: direction x
+    # allow_exact_matches x tolerance, randomized corpus, right side
+    # deduped per (k, ts) so pandas' insertion-order pick among
+    # exact-ts duplicates can't differ from the pinned tiebreak rule
+    import pandas as pd
+
+    n_l, n_r = 150, 90
+    lrows = [("k%d" % (i % 5), _ts(i % 40, (i * 13) % 60), i)
+             for i in range(n_l)]
+    rdict = {}
+    for i in range(n_r):
+        key = ("k%d" % (i % 5), _ts((i * 3) % 40, (i * 29) % 60))
+        rdict[key] = (*key, i)
+    rrows = sorted(rdict.values(), key=lambda r: r[2])
+    left = spark.createDataFrame(lrows, "k STRING, ts TIMESTAMP, lid LONG")
+    right = spark.createDataFrame(rrows, "k STRING, ts TIMESTAMP, rid LONG")
+    got = {r.lid: r.rid_matched
+           for r in joins.asof_join(
+               left, right, "k", payload_cols=["rid"],
+               tiebreak_col="rid", direction=direction,
+               tolerance=tol_s,
+               allow_exact_matches=exact).collect()}
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lid"]) \
+        .sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "rid"]) \
+        .sort_values(["ts", "rid"], kind="stable")
+    ref = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        allow_exact_matches=exact,
+        tolerance=None if tol_s is None else pd.Timedelta(seconds=tol_s))
+    want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in ref.itertuples()}
+    assert got == want
+
+
 def test_asof_deterministic_on_full_right_ties(spark):
     # two right rows tied on (key, ts, tiebreak) but different payload
     # values: the full-payload ORDER BY tiebreaker must pick the same

@@ -329,6 +329,15 @@ def main():
             "NO join operator anywhere in the plan (a range self-join "
             "would blow up on hot users). Cost shape identical to any "
             "windowed aggregation, so skew is AQE's existing problem.",
+        "events_asof_nearest":
+            "Nearest as-of (round 8): the SAME single union + one "
+            "hash exchange on user_id as the backward form, with TWO "
+            "window frames over one sort (running last for the "
+            "backward leg, following first for the forward leg) and a "
+            "per-row winner by exact-integer-microsecond |delta| — "
+            "still NO join operator; the only acceptable cost over "
+            "backward is the second frame's evaluation, never a "
+            "second exchange.",
         "events_range_join":
             "Range join (round 7): both sides mapped to 1800-s epoch "
             "buckets (the interval side explodes to the buckets it "
