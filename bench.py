@@ -92,6 +92,10 @@ def main():
         steady_loads.append(round(os.getloadavg()[0], 2))
         w, n_triples = run_pipeline()
         steady_walls.append(round(w, 3))
+    # closing bracket: runs 1-2 get an implicit one from the next
+    # run's pre-load, but a spike that starts DURING the last run
+    # (often the min) would otherwise be invisible in the artifact
+    steady_loads.append(round(os.getloadavg()[0], 2))
     wall = min(steady_walls)
     pages.unpersist()
 
@@ -413,9 +417,21 @@ def deep():
     timed("asof_join_2m_x_500k_hotkey",
           lambda: hot_out.count(),
           denom=n_left, rate_key="left_rows_per_sec")
+    # the skew capture must read the FINAL adaptive plan of an
+    # execution of THIS Dataset: count() wraps the plan in its own
+    # QueryExecution, leaving hot_out's un-executed (isFinalPlan=false
+    # — where runtime skew handling can never appear). Executing the
+    # Dataset's own AdaptiveSparkPlanExec JVM-side (InternalRow RDD
+    # count, no Python serialization) finalizes its AQE plan; match
+    # both markers Spark prints ("skew=true" on skewed SMJ/SHJ nodes,
+    # "skewed" on AQEShuffleRead).
+    hot_qe = hot_out._jdf.queryExecution()
+    hot_qe.executedPlan().execute().count()
+    hot_plan = hot_qe.executedPlan().toString()
     out["asof_join_2m_x_500k_hotkey"]["aqe_skew_split_engaged"] = (
-        "skew=true" in hot_out._jdf.queryExecution().executedPlan()
-        .toString())
+        "skew=true" in hot_plan or "skewed" in hot_plan)
+    out["asof_join_2m_x_500k_hotkey"]["plan_is_final"] = (
+        "isFinalPlan=true" in hot_plan)
 
     n_pts, n_iv = 1_000_000, 100_000
     jpts = _mat(spark.range(n_pts).select(
@@ -439,11 +455,11 @@ def deep():
 
     # auto-derived bucket (r8): no bucket_seconds passed — the op
     # derives it from the median interval span. Record the derived
-    # width and the EXACT explode fan-out (no silent caps rule: the
-    # fan-out is the cost the derivation is choosing).
-    span = (F.unix_timestamp("end_ts") - F.unix_timestamp("start_ts"))
-    derived = max(1, int(jiv.agg(
-        F.percentile_approx(span, 0.5)).collect()[0][0]))
+    # width via the op's OWN derivation helper (shared code — the
+    # recorded value cannot drift from what the timed run uses) and
+    # the EXACT explode fan-out at that width (no silent caps rule:
+    # the fan-out is the cost the derivation is choosing).
+    derived, iv_stats = joinops.derive_bucket_seconds(jiv)
     fanout = jiv.agg(F.sum(
         F.floor(F.unix_timestamp("end_ts") / derived)
         - F.floor(F.unix_timestamp("start_ts") / derived)
@@ -453,6 +469,7 @@ def deep():
           denom=n_pts, rate_key="points_per_sec")
     out["range_join_1m_x_100k_autobucket"].update(
         derived_bucket_seconds=derived,
+        estimated_fanout_rows=iv_stats["estimated_fanout_rows"],
         interval_explode_rows=int(fanout),
         explode_rows_per_interval=round(fanout / n_iv, 2))
     for f in _jframes:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "derive_bucket_seconds"]
 
 # Internal staging names the union-window construction creates via
 # select; an input KEY or time column with one of these names (or the
@@ -166,13 +166,30 @@ def asof_join(left: DataFrame, right: DataFrame,
     # for exact ties); numeric time columns pass through as double
     from pyspark.sql.types import TimestampNTZType, TimestampType
     _tdtype = left.schema[time_col].dataType
+    if carry_mt and isinstance(_tdtype, TimestampNTZType):
+        # NTZ -> TIMESTAMP goes through the SESSION time zone; in a
+        # DST-observing zone the wall-clock->epoch map is non-affine
+        # around transitions and the nearest/tolerance deltas would be
+        # silently wrong (e.g. a spring-forward hour shrinks a forward
+        # delta by 60 min). Only fixed-offset sessions are safe; the
+        # engine's build_spark pins UTC, but asof_join is public —
+        # fail loudly for anything else.
+        tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
+        fixed = (tz in ("UTC", "GMT", "Z", "Etc/UTC", "Etc/GMT", "UT")
+                 or tz.startswith(("+", "-", "GMT+", "GMT-", "Etc/GMT")))
+        if not fixed:
+            raise ValueError(
+                "asof_join: nearest/tolerance over a TIMESTAMP_NTZ "
+                f"column requires a fixed-offset session time zone "
+                f"(got {tz!r}); set spark.sql.session.timeZone=UTC or "
+                "cast the column to TIMESTAMP yourself")
 
     def _num(col):
         if isinstance(_tdtype, TimestampType):
             return F.unix_micros(col)
         if isinstance(_tdtype, TimestampNTZType):
-            # engine pins spark.sql.session.timeZone=UTC, so NTZ ->
-            # TZ is an exact bijection and unix_micros stays integer
+            # fixed-offset session (validated above): NTZ -> TZ is an
+            # exact bijection and unix_micros stays integer
             return F.unix_micros(col.cast("timestamp"))
         return col.cast("double")
 
@@ -315,6 +332,29 @@ def asof_join(left: DataFrame, right: DataFrame,
     return matched.unionByName(left_bypass)
 
 
+def derive_bucket_seconds(intervals: DataFrame,
+                          start_col: str = "start_ts",
+                          end_col: str = "end_ts") -> tuple[int, dict]:
+    """The single definition of :func:`range_join`'s auto bucket-width
+    rule: the median interval span in whole seconds (floor 1 s; 3600 s
+    when the interval side is empty), via one bounded two-column
+    aggregate. Returns ``(bucket_seconds, stats)`` where ``stats``
+    carries ``n_intervals`` and ``estimated_fanout_rows`` (the explode
+    row count the chosen width implies, ``sum(span)/width + n``).
+    Exposed so benches/operators that need to RECORD the derived width
+    share this code instead of re-implementing it and drifting."""
+    span = (F.unix_timestamp(F.col(end_col))
+            - F.unix_timestamp(F.col(start_col)))
+    row = (intervals.where(F.col(start_col) <= F.col(end_col))
+           .agg(F.percentile_approx(span, 0.5).alias("p50"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(span).alias("total")).collect()[0])
+    bucket = max(1, int(row["p50"])) if row["p50"] is not None else 3600
+    fanout = int(row["total"] or 0) // bucket + int(row["n"] or 0)
+    return bucket, {"n_intervals": int(row["n"] or 0),
+                    "estimated_fanout_rows": fanout}
+
+
 def range_join(points: DataFrame, intervals: DataFrame,
                ts_col: str = "ts",
                start_col: str = "start_ts", end_col: str = "end_ts",
@@ -340,11 +380,15 @@ def range_join(points: DataFrame, intervals: DataFrame,
     bucket (filter cost). Both failure modes are visible in the plan
     as row-count blowups, not as silent wrong answers. When the caller
     doesn't pass one (the default), it is DERIVED from the data as the
-    median interval span via one bounded aggregate over the interval
-    side (column-pruned to the two bound columns — cheap even at
-    100 TB), and the estimated explode fan-out is logged so the cost
-    is never silent; hot-path callers with a known workload should
-    pass an explicit value to skip the extra pass.
+    median interval span (:func:`derive_bucket_seconds` — one bounded
+    aggregate over the interval side, column-pruned to the two bound
+    columns), and the estimated explode fan-out is logged so the cost
+    is never silent. Auto mode is EAGER — constructing the DataFrame
+    runs that aggregate as a Spark job — and the filtered interval
+    side is lazily localCheckpoint'ed so the join explode reuses the
+    derivation's scan instead of recomputing the lineage; hot-path
+    callers with a known workload should pass an explicit value to
+    stay fully lazy.
 
     Bucket ids come from second-truncated epochs, which is
     containment-safe: truncation is monotone, so
@@ -375,20 +419,19 @@ def range_join(points: DataFrame, intervals: DataFrame,
     # BETWEEN's never-match semantics.
     intervals = intervals.where(F.col(start_col) <= F.col(end_col))
     if bucket_seconds is None:
-        span = (F.unix_timestamp(F.col(end_col))
-                - F.unix_timestamp(F.col(start_col)))
-        stats = intervals.agg(
-            F.percentile_approx(span, 0.5).alias("p50"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(span).alias("total")).collect()[0]
-        bucket_seconds = (max(1, int(stats["p50"]))
-                          if stats["p50"] is not None else 3600)
-        fanout = (int(stats["total"] or 0) // bucket_seconds
-                  + int(stats["n"] or 0))
+        # auto mode is EAGER (the derivation is a blocking aggregate
+        # job at construction time) and the filtered interval side is
+        # lazily localCheckpoint'ed so the derivation scan materializes
+        # blocks the join explode then reuses — the interval lineage is
+        # never computed twice
+        intervals = intervals.localCheckpoint(eager=False)
+        bucket_seconds, stats = derive_bucket_seconds(
+            intervals, start_col, end_col)
         logging.getLogger("lexmapr_spark.joins").info(
             "range_join: derived bucket_seconds=%d (median interval "
             "span) over %d intervals; estimated explode fan-out ~%d "
-            "rows", bucket_seconds, stats["n"], fanout)
+            "rows", bucket_seconds, stats["n_intervals"],
+            stats["estimated_fanout_rows"])
     iv = intervals.withColumn(
         "_bucket",
         F.explode(F.sequence(

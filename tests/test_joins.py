@@ -439,6 +439,49 @@ def test_range_join_auto_bucket_mixed_lengths(spark):
     assert got == want
 
 
+def test_asof_ntz_requires_fixed_offset_session(spark):
+    # nearest/tolerance deltas over TIMESTAMP_NTZ go through the
+    # session time zone; a DST-observing zone bends the wall->epoch
+    # map around transitions, so anything but a fixed offset raises
+    right = spark.createDataFrame(
+        [("k", dt.datetime(2024, 3, 10, 0, 45), 1)],
+        "k STRING, ts TIMESTAMP_NTZ, rid LONG")
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2024, 3, 10, 1, 30), 10)],
+        "k STRING, ts TIMESTAMP_NTZ, lid LONG")
+    # engine session is UTC-pinned: fine
+    got = joins.asof_join(left, right, "k", payload_cols=["rid"],
+                          direction="nearest").collect()
+    assert got[0].rid_matched == 1
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="fixed-offset"):
+            joins.asof_join(left, right, "k", payload_cols=["rid"],
+                            direction="nearest")
+        # plain backward never computes deltas -> no restriction
+        joins.asof_join(left, right, "k", payload_cols=["rid"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_derive_bucket_seconds_is_the_op_rule(spark):
+    # the helper IS range_join's auto rule: equal-width 90 s intervals
+    # -> width 90, fanout = sum(span)/90 + n = n + n = 2n
+    iv = spark.range(50).select(
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 600)
+        .alias("start_ts"))
+    iv = iv.withColumn("end_ts", F.timestamp_seconds(
+        F.unix_timestamp("start_ts") + 90))
+    b, stats = joins.derive_bucket_seconds(iv)
+    assert b == 90
+    assert stats == {"n_intervals": 50, "estimated_fanout_rows": 100}
+    # empty interval side falls back to the old fixed default
+    b2, stats2 = joins.derive_bucket_seconds(iv.where(F.lit(False)))
+    assert b2 == 3600 and stats2["n_intervals"] == 0
+
+
 def test_range_join_rejects_reserved_bucket_column(spark):
     p = spark.createDataFrame(
         [(1, _ts(1), 9)], "pid LONG, ts TIMESTAMP, _bucket LONG")
