@@ -516,12 +516,16 @@ def stream_asof_joined(left_stream, right_static, key_cols,
                        payload_cols: list | None = None,
                        tiebreak_col: str | None = None,
                        direction: str = "backward",
+                       tolerance: float | None = None,
+                       allow_exact_matches: bool = True,
                        available_now: bool = True):
     """Streaming as-of enrichment against a STATIC right side: every
-    arriving left row gets the latest (or, ``forward``, earliest)
-    right row at-or-before (-after) its timestamp, per key — e.g. a
-    live purchase stream stamped with the most recent click from a
-    reference click table.
+    arriving left row gets the latest (or, ``forward``, earliest;
+    ``nearest``, closest-by-|delta|) right row at-or-before (-after)
+    its timestamp, per key — e.g. a live purchase stream stamped with
+    the most recent click from a reference click table. ``tolerance``
+    and ``allow_exact_matches`` pass through to the batch operator
+    unchanged (merge_asof semantics).
 
     Scope is deliberately stream-static: because the right side is
     fixed, a left row's match never changes once computed, so no
@@ -545,7 +549,9 @@ def stream_asof_joined(left_stream, right_static, key_cols,
     def write_batch(batch_df, batch_id):
         joined = asof_join(batch_df, right_static, key_cols,
                            time_col=time_col, payload_cols=payload_cols,
-                           tiebreak_col=tiebreak_col, direction=direction)
+                           tiebreak_col=tiebreak_col, direction=direction,
+                           tolerance=tolerance,
+                           allow_exact_matches=allow_exact_matches)
         (joined.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
