@@ -368,12 +368,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id",
             F.get_json_object("props", "$.k").cast("bigint").alias("k")))
 
-    # as-of join (r7): last-click attribution — every purchase gets
-    # the latest same-user click at-or-before its timestamp. Union +
-    # running-window form (ops/joins.py), one shuffle on user_id; the
-    # oracle is a correlated ORDER BY ... LIMIT 1 with the identical
-    # (ts DESC, event_id DESC) tie rule.
-    def events_asof_attribution(spark, sf):
+    # as-of joins (r7/r8): click attribution per purchase. Union +
+    # running-window form (ops/joins.py), one shuffle on user_id.
+    # "backward" = latest same-user click at-or-before the purchase
+    # (oracle: correlated ORDER BY ... LIMIT 1 with the identical
+    # (ts DESC, event_id DESC) tie rule); "nearest" = smallest
+    # ABSOLUTE time distance in either direction, exact ties going
+    # backward — pandas merge_asof(direction="nearest") semantics,
+    # same single-shuffle plan with two window frames.
+    def _asof_click_attribution(spark, sf, direction):
         from lexmapr_spark.ops import joins
         ev = _t(spark, sf, "events")
         purchases = ev.where(F.col("event_type") == "purchase") \
@@ -382,10 +385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("user_id", "ts", F.col("event_id").alias("click_id"))
         out = joins.asof_join(purchases, clicks, "user_id",
                               payload_cols=["click_id"],
-                              tiebreak_col="click_id")
+                              tiebreak_col="click_id",
+                              direction=direction)
         return out.select("event_id", "user_id",
                           F.col("click_id_matched").alias("click_id"))
-    q["events_asof_attribution"] = events_asof_attribution
+
+    q["events_asof_attribution"] = \
+        lambda spark, sf: _asof_click_attribution(spark, sf, "backward")
 
     # range join (r7): per-(user, day) half-hour activity windows
     # (start = the user's first event that day) joined against ALL
@@ -411,24 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .cast("double").alias("value_sum")))
     q["events_range_join"] = events_range_join
 
-    # nearest-direction as-of (r8): each purchase takes the click with
-    # the smallest ABSOLUTE time distance (either direction), exact
-    # ties going backward — pandas merge_asof(direction="nearest")
-    # semantics, same single-shuffle union-window plan with two frames
-    def events_asof_nearest(spark, sf):
-        from lexmapr_spark.ops import joins
-        ev = _t(spark, sf, "events")
-        purchases = ev.where(F.col("event_type") == "purchase") \
-            .select("event_id", "user_id", "ts")
-        clicks = ev.where(F.col("event_type") == "click") \
-            .select("user_id", "ts", F.col("event_id").alias("click_id"))
-        out = joins.asof_join(purchases, clicks, "user_id",
-                              payload_cols=["click_id"],
-                              tiebreak_col="click_id",
-                              direction="nearest")
-        return out.select("event_id", "user_id",
-                          F.col("click_id_matched").alias("click_id"))
-    q["events_asof_nearest"] = events_asof_nearest
+    q["events_asof_nearest"] = \
+        lambda spark, sf: _asof_click_attribution(spark, sf, "nearest")
 
     # ---- §2.5 set ops
     q["set_customers_without_orders"] = lambda spark, sf: (

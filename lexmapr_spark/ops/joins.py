@@ -248,18 +248,23 @@ def asof_join(left: DataFrame, right: DataFrame,
     # sees an equal-time right row — the comparison operator itself
     # never appears, only sort position.
     orderable = not _contains_map(payload_type)
-    side = (F.col("_side").asc() if allow_exact_matches
-            else F.col("_side").desc())
-    if direction == "forward":
-        order = [F.col("_t").desc(), side,
-                 F.col("_tie").desc_nulls_first()]
+
+    def _order(t_asc: bool, side_asc: bool) -> list:
+        # one definition of the sort layout: time direction drives the
+        # tie/payload directions; side direction encodes exact-match
+        # inclusivity (right-first = inclusive)
+        cols = [F.col("_t").asc() if t_asc else F.col("_t").desc(),
+                F.col("_side").asc() if side_asc else F.col("_side").desc(),
+                F.col("_tie").asc_nulls_first() if t_asc
+                else F.col("_tie").desc_nulls_first()]
         if orderable:
-            order.append(F.col("_p").desc_nulls_first())
-    else:  # backward and nearest share the ascending layout
-        order = [F.col("_t").asc(), side,
-                 F.col("_tie").asc_nulls_first()]
-        if orderable:
-            order.append(F.col("_p").asc_nulls_first())
+            cols.append(F.col("_p").asc_nulls_first() if t_asc
+                        else F.col("_p").desc_nulls_first())
+        return cols
+
+    # backward and nearest share the ascending layout
+    order = _order(t_asc=direction != "forward",
+                   side_asc=allow_exact_matches)
     w = Window.partitionBy(*keys).orderBy(*order)
     w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned = r_tagged.unionByName(l_tagged)
@@ -300,10 +305,7 @@ def asof_join(left: DataFrame, right: DataFrame,
     # inclusive-sorted window (same partitioning: one exchange, two
     # in-partition sorts).
     w_fwd_base = w if allow_exact_matches else Window.partitionBy(
-        *keys).orderBy(F.col("_t").asc(), F.col("_side").asc(),
-                       F.col("_tie").asc_nulls_first(),
-                       *([F.col("_p").asc_nulls_first()]
-                         if orderable else []))
+        *keys).orderBy(*_order(t_asc=True, side_asc=True))
     w_fwd = w_fwd_base.rowsBetween(Window.currentRow,
                                    Window.unboundedFollowing)
     filled = unioned.select(
