@@ -397,9 +397,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (start = the user's first event that day) joined against ALL
     # events by pure time containment — no shared key, the big-big
     # interval join a theta-join would turn into a cartesian product.
-    # ops/joins.py buckets both sides on 1800-s epochs so it runs as
-    # an AQE-managed equi-join; value sums go through DECIMAL(18,2)
-    # for order independence.
+    # r9: the pair-producing bucket equi-join + groupBy (intrinsically
+    # ~n_events x n_intervals x span/time_range candidate rows — ~250M
+    # at the 1M-event bench scale, collapsed to ~400k aggregate rows)
+    # is replaced by joins.range_count_sum: per-epoch point
+    # pre-aggregation + exact edge-epoch filtering, row-identical by
+    # DECIMAL/count associativity (pinned by
+    # test_range_count_sum_matches_pair_form and the unchanged DuckDB
+    # oracle); value sums still go through DECIMAL(18,2) for order
+    # independence.
     def events_range_join(spark, sf):
         from lexmapr_spark.ops import joins
         ev = _t(spark, sf, "events")
@@ -409,12 +415,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.min("ts").alias("start_ts"))
             .withColumn("end_ts",
                         F.col("start_ts") + F.expr("INTERVAL 30 MINUTES")))
-        points = ev.select(F.col("event_id").alias("pid"), "ts", "value")
-        pairs = joins.range_join(points, intervals, bucket_seconds=1800)
-        return (pairs.groupBy("iv_user", "day")
-                .agg(F.count("*").alias("n_events"),
-                     F.sum(F.col("value").cast("decimal(18,2)"))
-                     .cast("double").alias("value_sum")))
+        points = ev.select(
+            "ts", F.col("value").cast("decimal(18,2)").alias("_val"))
+        agg = joins.range_count_sum(points, intervals, sum_col="_val",
+                                    count_alias="n_events",
+                                    sum_alias="_vs")
+        return agg.select("iv_user", "day", "n_events",
+                          F.col("_vs").cast("double").alias("value_sum"))
     q["events_range_join"] = events_range_join
 
     q["events_asof_nearest"] = \

@@ -98,13 +98,41 @@ def decode_multi_class_labels(labels) -> list:
     return list(out)
 
 
+# Prepared-table cache for the static rule dicts (ifsac_default /
+# ifsac_refinement): tokenizing/compiling the table rows is a pure
+# function of the dict contents, but the uncached code re-derived them
+# per SAMPLE — measured 22 s of a 26 s classify profile over 500 rows
+# (regex recompiles + bucket re-tokenization). Keyed by id() with a
+# strong reference to the source dict held in the entry, so the id can
+# never be recycled while the entry lives (one lexicon's tables per
+# worker in practice; cleared defensively past 8 entries).
+_PREPARED: dict = {}
+
+
+def _prepared(src: dict, build):
+    hit = _PREPARED.get(id(src))
+    if hit is not None and hit[0] is src:
+        return hit[1]
+    if len(_PREPARED) > 8:
+        _PREPARED.clear()
+    table = build(src)
+    _PREPARED[id(src)] = (src, table)
+    return table
+
+
+def _build_default_table(ifsac_default: dict) -> list:
+    return [(frozenset(singularize(t) for t in word_tokenize(bucket)),
+             label)
+            for bucket, label in ifsac_default.items()]
+
+
 def default_classification(sample: str, ifsac_default: dict) -> str:
     """Last matching row of ifsac-default.csv whose singularized token
     set is contained in the sample's (pipeline_classification.py:436-445)."""
     sample_tokens = {singularize(t) for t in word_tokenize(sample)}
     result = ""
-    for bucket, label in ifsac_default.items():
-        bucket_tokens = {singularize(t) for t in word_tokenize(bucket)}
+    for bucket_tokens, label in _prepared(ifsac_default,
+                                          _build_default_table):
         if not (bucket_tokens - sample_tokens):
             result = label
     return result
@@ -311,6 +339,21 @@ RULES = [
 ]
 
 
+def _build_refinement_table(refinements: dict) -> list:
+    rows = []
+    for label, refined in refinements.items():
+        # parity note: the reference does NOT escape the label
+        # (pipeline_classification.py:81) — keys like 'environmental
+        # (forests)' rely on their parens acting as a regex group to
+        # match the punctuation-treated sample 'environmental forests'
+        try:
+            pattern = re.compile(r"\b" + label + r"\b")
+        except re.error:
+            pattern = None  # reference would crash; we skip the key
+        rows.append((frozenset(word_tokenize(label)), pattern, refined))
+    return rows
+
+
 def refine_ifsac_final_labels(sample: str, labels, refinements: dict) -> list:
     """C5: refinement-table first-match scan + the ordered rule table
     (pipeline_classification.py:60-360)."""
@@ -318,17 +361,10 @@ def refine_ifsac_final_labels(sample: str, labels, refinements: dict) -> list:
     sample = punctuation_treatment(sample)
     tokens = set(word_tokenize(sample))
 
-    for label, refined in refinements.items():
-        label_tokens = set(word_tokenize(label))
-        # parity note: the reference does NOT escape the label
-        # (pipeline_classification.py:81) — keys like 'environmental
-        # (forests)' rely on their parens acting as a regex group to
-        # match the punctuation-treated sample 'environmental forests'
-        try:
-            regex_hit = re.search(r"\b" + label + r"\b", sample)
-        except re.error:
-            regex_hit = None  # reference would crash; we skip the key
-        if not (label_tokens - tokens) or regex_hit:
+    for label_tokens, pattern, refined in _prepared(
+            refinements, _build_refinement_table):
+        if (not (label_tokens - tokens)
+                or (pattern is not None and pattern.search(sample))):
             ret.add(refined)
             break
 

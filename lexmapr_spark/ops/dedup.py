@@ -406,26 +406,44 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
     blocks = h.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[
+            # numeric key (block index in the high bits), not the old
+            # "i:12345" string — same bucket identity, ~3x fewer
+            # shuffle bytes per row (guide §2.3 narrower types).
             # bitwiseAND, not %: Spark's % keeps the dividend's sign,
             # which would give negative simhashes a different block-0
             # key and break the pigeonhole guarantee
-            F.concat_ws(":", F.lit(str(i)),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(65535)))
+            (F.shiftrightunsigned("simhash", 16 * i)
+             .bitwiseAND(F.lit(65535)) + F.lit(i * 65536))
+            .cast("long")
             for i in range(4)
         ])).alias("block_key"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # emit each pair exactly once, at its FIRST matching block: block j
+    # matches iff xor's j-th 16-bit block is zero, so require every
+    # block below the joined one to differ. This replaces the r8
+    # ``.distinct()`` — which shuffled every collision up to 4x,
+    # including hamming>3 pairs that were filtered only afterwards —
+    # with a pure-codegen predicate (guide §2.4 remove shuffles
+    # outright); the hamming cut now also runs before any exchange.
+    joined_block = F.shiftright(F.col("block_key"), 16)
+    first_match = None
+    for j in range(3):
+        differs = (F.shiftrightunsigned(xor, 16 * j)
+                   .bitwiseAND(F.lit(65535)) != 0)
+        cond = (joined_block <= F.lit(j)) | differs
+        first_match = cond if first_match is None else first_match & cond
     pairs = (
         a.join(b, "block_key")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               & (F.bit_count(xor) <= max_hamming)
+               & first_match)
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(
-                    F.col("b.simhash"))).alias("hamming"))
-        .distinct()
+                F.bit_count(xor).alias("hamming"))
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -76,7 +76,8 @@ def token_adjacency_edges(docs: DataFrame,
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
-             iters: int = 5) -> DataFrame:
+             iters: int = 5, state: str = "auto",
+             state_broadcast_max: int = 2_000_000) -> DataFrame:
     """Weighted PageRank power iteration, fixed ``iters`` rounds:
     ``(node, rank)`` with ``rank`` rounded to 6 dp.
 
@@ -85,11 +86,36 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     weighted edges. ``N`` counts all distinct nodes (union of both
     endpoints); nodes with no in-edges hold the teleport floor
     ``(1-d)/N``.
+
+    Join strategy (guide §3.1, r9): the rank/out-weight state is
+    O(nodes) while the edge list is the big side. When the node count
+    is bounded (``state="broadcast"``, or ``"auto"`` with a bounded
+    ``limit(max+1).count()`` probe — token/keyword graphs have a
+    vocabulary-sized state), each iteration BROADCASTS the state into
+    the edge scan instead of shuffling the edge list by ``src`` — the
+    per-iteration cost drops from two sort-merge exchanges of the
+    edges to one small aggregate exchange of per-``dst`` partial sums
+    (map-side combined, bounded by nodes x partitions). For graphs
+    whose state exceeds ``state_broadcast_max`` (host-level link
+    graphs), ``"shuffle"`` keeps the original sort-merge form which
+    spills gracefully. ``"auto"`` makes the probe EAGER (one bounded
+    job at construction, same precedent as range_join's auto bucket
+    derivation); pass an explicit state to stay fully lazy.
+
+    Plan growth (r8 verdict item 3): the rank lineage is truncated
+    with a lazy localCheckpoint every iteration, so the final plan is
+    O(1) operators per iteration instead of nesting every prior
+    round's joins (249 plan nodes at iters=5 before; the checkpoint
+    blocks also make round k+1 read round k's materialized state
+    instead of re-deriving it through ReuseExchange luck).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if state not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"pagerank: unknown state mode {state!r} "
+                         "(expected 'auto', 'broadcast' or 'shuffle')")
     d = float(damping)
 
     # lineage truncation (same precedent as connected_components'
@@ -103,19 +129,34 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     edges = edges.select("src", "dst", "weight").localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()).localCheckpoint(eager=False)
+    if state == "auto":
+        # bounded probe: scans at most max+1 node rows, and doubles as
+        # the materialization of the edge/node checkpoints the loop
+        # reads anyway
+        small = nodes.limit(state_broadcast_max + 1).count() \
+            <= state_broadcast_max
+    else:
+        small = state == "broadcast"
+
+    def _state(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     # O(1)-row frames ride along as broadcast cross joins — no driver
     # action, the whole loop stays one lazy DAG
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_weight"))
+    out_w = (edges.groupBy("src")
+             .agg(F.sum("weight").alias("out_weight"))
+             .localCheckpoint(eager=False))
 
     ranks = (nodes.crossJoin(F.broadcast(n_nodes))
              .select("node",
                      (F.lit(1.0) / F.col("n_nodes")).alias("rank")))
     for _ in range(iters):
+        r = _state(ranks).withColumnRenamed("node", "_r_node")
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(out_w, "src")
+            edges.join(r, edges.src == r._r_node)
+            .join(_state(out_w), "src")
             .groupBy("dst")
             # ONE fixed IEEE shape ((rank * w) / out_w), summed as
             # exact DECIMAL so shuffle order can't perturb the value
@@ -123,13 +164,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                         / F.col("out_weight"))
                        .cast("decimal(38,18)")).alias("contrib")))
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(_state(contrib), nodes.node == contrib.dst, "left")
             .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
                 ((F.lit(1.0) - F.lit(d)) / F.col("n_nodes")
                  + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0))
-                   .cast("double")).alias("rank")))
+                   .cast("double")).alias("rank"))
+        ).localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -139,7 +181,12 @@ def pagerank_topk(docs: DataFrame, k: int = 100, damping: float = 0.85,
     TextRank-style corpus keyword extraction as one declarative plan.
     Ordered by (rank desc, node asc); ties deterministic because the
     sort key is the 6-dp ROUNDED rank both engines agree on.
+
+    ``state="broadcast"`` is safe by construction here: the node set
+    is the corpus token VOCABULARY (bounded — it grows with the
+    language, not the corpus), so the rank state always fits a
+    broadcast and the probe job of ``"auto"`` would be wasted work.
     """
     ranks = pagerank(token_adjacency_edges(docs, text_col=text_col),
-                     damping=damping, iters=iters)
+                     damping=damping, iters=iters, state="broadcast")
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(k)

@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from lexmapr_spark.ops.util import fan_out
 
@@ -1081,6 +1082,83 @@ def ivf_topk_quantized(index: DataFrame, centroids, query_id: int,
 # SemDeDup: semantic (embedding-cluster) deduplication (round 6)
 # ---------------------------------------------------------------------------
 
+def _round6_ge_cut(threshold: float) -> float:
+    """Smallest double ``x`` for which Spark's
+    ``round(x, 6) >= lit(threshold)`` holds, for a positive
+    ``threshold`` that is itself an exact <=6-dp decimal (e.g. 0.99).
+
+    Spark's ``round`` is HALF_UP over the double's exact decimal
+    expansion, so for positive x the predicate is equivalent to
+    ``exact(x) >= threshold - 0.0000005`` in exact decimal arithmetic;
+    this returns the smallest double at or above that bound, letting a
+    numpy stage make the identical keep/drop decision with one plain
+    double comparison per pair (no per-pair decimal rounding)."""
+    import math
+    from decimal import Decimal
+
+    if threshold <= 0:
+        raise ValueError("_round6_ge_cut: threshold must be positive")
+    bound = Decimal(repr(threshold)) - Decimal("0.0000005")
+    x = float(bound)
+    if Decimal(x) >= bound:
+        while True:
+            y = math.nextafter(x, -math.inf)
+            if Decimal(y) >= bound:
+                x = y
+            else:
+                return x
+    while Decimal(x) < bound:
+        x = math.nextafter(x, math.inf)
+    return x
+
+
+def _semantic_dedup_pairjoin(embeds: DataFrame, threshold: float = 0.95,
+                             k: int = 16, centroids=None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Pre-r9 pair-join reference implementation of
+    :func:`semantic_dedup` — kept (unexported) as the differential
+    twin for ``test_semantic_dedup_matches_pairjoin``; the production
+    path is the grouped-numpy form below, which must stay
+    row-identical to this one."""
+    from lexmapr_spark.engine import ship_package
+    ship_package(embeds.sparkSession)
+    if centroids is None:
+        centroids = kmeans_centroids(embeds, k=k, id_col=id_col,
+                                     vec_col=vec_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(embeds, cents, id_col=id_col, vec_col=vec_col)
+    spark = embeds.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "ivf_list int, cvec array<double>")
+    ranked = (
+        assigned.join(F.broadcast(cent_df), "ivf_list")
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("ivf_list"),
+            F.round(_dot(F.col(vec_col), F.col("cvec"))
+                    / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))), 6)
+             .alias("cent_cos"))
+    ).localCheckpoint(eager=False)
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    earlier = (
+        (F.col("b.cent_cos") < F.col("a.cent_cos"))
+        | ((F.col("b.cent_cos") == F.col("a.cent_cos"))
+           & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")))
+    )
+    drops = (
+        a.join(b, (F.col("a.ivf_list") == F.col("b.ivf_list")) & earlier)
+        .where(F.round(cosine_exact_arrow(F.col(f"a.{vec_col}"),
+                                          F.col(f"b.{vec_col}")), 6)
+               >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (ranked.join(drops, id_col, "left_anti")
+            .select(id_col, "ivf_list", "cent_cos"))
+
+
 def semantic_dedup(embeds: DataFrame, threshold: float = 0.95,
                    k: int = 16, centroids=None,
                    id_col: str = "vec_id",
@@ -1128,13 +1206,6 @@ def semantic_dedup(embeds: DataFrame, threshold: float = 0.95,
     cent_df = spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "ivf_list int, cvec array<double>")
-    # THREE consumers reference this frame (both self-join sides and
-    # the final anti-join), and only the identically-keyed self-join
-    # exchanges are ReuseExchange-dedupable — the anti-join side would
-    # re-run the Arrow assignment pass. Lazy local checkpoint (same
-    # precedent as connected_components / pagerank): the first job
-    # materializes the assignment + ranking once, every reference
-    # reads the stored blocks, no driver action here.
     ranked = (
         assigned.join(F.broadcast(cent_df), "ivf_list")
         .select(
@@ -1142,22 +1213,69 @@ def semantic_dedup(embeds: DataFrame, threshold: float = 0.95,
             F.round(_dot(F.col(vec_col), F.col("cvec"))
                     / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))), 6)
              .alias("cent_cos"))
-    ).localCheckpoint(eager=False)
+    )
+    # Per-cluster survivor selection as ONE grouped Arrow stage
+    # (r9 optimization): the former cluster self-join materialized
+    # sum(cluster_size^2)/2 candidate rows and shipped BOTH vectors of
+    # every pair through an ArrowEvalPython cosine (~50M pairs and 68 s
+    # at the 20k-vector bench scale). The pairwise work is unavoidable
+    # (it IS the algorithm), but it needs each vector once per
+    # CLUSTER, not once per PAIR: groupBy(ivf_list).applyInPandas
+    # ships each cluster's vectors a single time and evaluates the
+    # pair matrix in numpy with the SAME sequential dimension-order
+    # IEEE fold as cosine_exact_arrow / the JVM _dot (one add per pair
+    # per dim, identical order and products — bit-identical cosines,
+    # pinned by test_semantic_dedup_matches_pairjoin). The 6-dp
+    # HALF_UP round + ">= threshold" decision is applied via the exact
+    # double cut ``_round6_ge_cut(threshold)`` — the smallest double
+    # whose Spark ``round(x, 6) >= threshold`` holds — so the kept set
+    # is decision-identical without re-implementing decimal rounding
+    # per pair. Plan: ONE shuffle by ivf_list replaces the self-join
+    # exchanges + anti-join; cost is sum over clusters of
+    # O(size^2 * dim) vectorized flops (k must still grow with the
+    # corpus to bound cluster sizes, exactly as documented above).
+    t_cut = _round6_ge_cut(threshold)
+    out_schema = StructType([ranked.schema[id_col],
+                             ranked.schema["ivf_list"],
+                             ranked.schema["cent_cos"]])
 
-    a = ranked.alias("a")
-    b = ranked.alias("b")
-    earlier = (
-        (F.col("b.cent_cos") < F.col("a.cent_cos"))
-        | ((F.col("b.cent_cos") == F.col("a.cent_cos"))
-           & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")))
-    )
-    drops = (
-        a.join(b, (F.col("a.ivf_list") == F.col("b.ivf_list")) & earlier)
-        .where(F.round(cosine_exact_arrow(F.col(f"a.{vec_col}"),
-                                          F.col(f"b.{vec_col}")), 6)
-               >= threshold)
-        .select(F.col(f"a.{id_col}").alias(id_col))
-        .distinct()
-    )
-    return (ranked.join(drops, id_col, "left_anti")
-            .select(id_col, "ivf_list", "cent_cos"))
+    def cluster_survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        cc = pdf["cent_cos"].to_numpy(dtype=np.float64)
+        if n <= 1:
+            return pdf[[id_col, "ivf_list", "cent_cos"]]
+        # rank order: ascending (cent_cos, id) — row j is "earlier"
+        # than row i iff j < i in this order (ties impossible: id is
+        # unique and the secondary key)
+        order = np.lexsort((ids, cc))
+        v = np.zeros((n, len(pdf[vec_col].iloc[0])), dtype=np.float64)
+        vals = pdf[vec_col].to_numpy()
+        for i, j in enumerate(order):
+            v[i] = np.asarray(vals[j], dtype=np.float64)
+        # squared norms with the fold's accumulation order (na += x*x
+        # over dims) — shared by every pair the row takes part in
+        n2 = np.zeros(n)
+        for d in range(v.shape[1]):
+            n2 += v[:, d] * v[:, d]
+        sn = np.sqrt(n2)
+        dropped = np.zeros(n, dtype=bool)
+        rb, cb = 2048, 4096
+        for s in range(1, n, rb):
+            e = min(s + rb, n)
+            rows = np.arange(s, e)
+            for c0 in range(0, e, cb):
+                c1 = min(c0 + cb, e)
+                acc = np.zeros((e - s, c1 - c0))
+                for d in range(v.shape[1]):
+                    acc += v[s:e, d:d + 1] * v[c0:c1, d][None, :]
+                cos = acc / (sn[s:e, None] * sn[c0:c1][None, :])
+                hit = (cos >= t_cut) \
+                    & (np.arange(c0, c1)[None, :] < rows[:, None])
+                dropped[s:e] |= hit.any(axis=1)
+        keep_ids = ids[order[~dropped]]
+        mask = pdf[id_col].isin(keep_ids)
+        return pdf.loc[mask, [id_col, "ivf_list", "cent_cos"]]
+
+    return (ranked.groupBy("ivf_list")
+            .applyInPandas(cluster_survivors, out_schema))

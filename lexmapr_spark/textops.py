@@ -291,8 +291,15 @@ _UNCOUNTABLES = [
 ]
 
 
+@_functools.lru_cache(maxsize=65536)
 def singularize(word: str) -> str:
-    """``inflection.singularize`` (0.3.1) equivalent."""
+    """``inflection.singularize`` (0.3.1) equivalent.
+
+    Cached: a pure function of the word, and the classification path
+    singularizes the same bounded vocabulary (sample tokens + static
+    bucket tokens) millions of times per partition — the uncached rule
+    scan was ~40 regex searches per call (measured 5.6 s of a 26 s
+    classify profile over 500 rows)."""
     for pattern in _UNCOUNTABLES:
         if pattern.search(word):
             return word

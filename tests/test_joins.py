@@ -502,3 +502,77 @@ def test_range_join_rejects_colliding_columns(spark):
     with pytest.raises(ValueError, match="bucket_seconds"):
         joins.range_join(df, iv.withColumnRenamed("pid", "iid"),
                          bucket_seconds=0)
+
+
+# ---------------------------------------------------------------------------
+# range_count_sum (r9): pre-aggregated twin of range_join + groupBy
+# ---------------------------------------------------------------------------
+
+def _pair_form(points, intervals, bucket_seconds=600):
+    pairs = joins.range_join(points, intervals,
+                             bucket_seconds=bucket_seconds)
+    return (pairs.groupBy("iid", "start_ts", "end_ts")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("val").alias("value_sum")))
+
+
+def _rcs_rows(df):
+    return sorted((r.iid, r.start_ts, r.end_ts, r.n_points,
+                   r.value_sum if r.value_sum is None
+                   else float(r.value_sum))
+                  for r in df.collect())
+
+
+def test_range_count_sum_matches_pair_form(spark):
+    """The bucketed aggregate must be row-identical to
+    range_join + groupBy on adversarial cases: boundary timestamps,
+    NULL values, all-NULL-value intervals, intervals with no points,
+    sub-bucket intervals (no inner epochs), NULL point timestamps."""
+    import random
+
+    rng = random.Random(13)
+    points = [(i,
+               _ts(rng.randrange(50), rng.randrange(60)),
+               None if i % 7 == 0 else round(rng.uniform(-5, 5), 2))
+              for i in range(400)]
+    points.append((9001, None, 1.25))          # NULL ts: never matches
+    ivs = []
+    for i in range(90):
+        s = dt.datetime(2024, 1, 1, 0, rng.randrange(50),
+                        rng.randrange(60))
+        ivs.append((i, s, s + dt.timedelta(
+            seconds=rng.choice([0, 3, 30, 300, 1500]))))
+    # interval whose points are all NULL-valued (sum must be NULL),
+    # and exact-boundary intervals around a known point
+    ivs.append((900, points[0][1], points[0][1]))
+    p = spark.createDataFrame(points, "pid LONG, ts TIMESTAMP, v DOUBLE") \
+        .select("pid", "ts", F.col("v").cast("decimal(18,2)").alias("val"))
+    iv = spark.createDataFrame(
+        ivs, "iid LONG, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    want = _rcs_rows(_pair_form(p, iv))
+    for w in (7, 60, 600):
+        got = _rcs_rows(
+            joins.range_count_sum(p.select("ts", "val"), iv,
+                                  sum_col="val", bucket_seconds=w))
+        assert got == want, f"bucket_seconds={w}"
+    # auto-derived width must agree too (eager derivation path)
+    got_auto = _rcs_rows(
+        joins.range_count_sum(p.select("ts", "val"), iv, sum_col="val"))
+    assert got_auto == want
+    # count-only form
+    co = sorted((r.iid, r.n_points) for r in joins.range_count_sum(
+        p.select("ts"), iv, bucket_seconds=60).collect())
+    assert co == sorted((a, d) for a, _b, _c, d, _e in want)
+
+
+def test_range_count_sum_rejects_bad_args(spark):
+    p = spark.createDataFrame([(1, _ts(0))], "pid LONG, ts TIMESTAMP")
+    iv = spark.createDataFrame([(1, _ts(0), _ts(5))],
+                               "iid LONG, start_ts TIMESTAMP, "
+                               "end_ts TIMESTAMP")
+    with pytest.raises(ValueError, match="positive"):
+        joins.range_count_sum(p, iv, bucket_seconds=0)
+    with pytest.raises(ValueError, match="alias before joining"):
+        joins.range_count_sum(p.withColumnRenamed("pid", "iid"), iv)
+    with pytest.raises(ValueError, match="reserved|staging"):
+        joins.range_count_sum(p.withColumnRenamed("pid", "_bucket"), iv)

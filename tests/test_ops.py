@@ -2072,6 +2072,62 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     assert len(got) <= 40
 
 
+def test_semantic_dedup_matches_pairjoin(spark):
+    """r9: the grouped-numpy survivor stage must be row-identical to
+    the pre-r9 pair-join implementation (kept as
+    ``_semantic_dedup_pairjoin``) — same clusters, same ranks, same
+    keep/drop decisions at the 6-dp round boundary."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 32)).astype(np.float32)
+    vecs = [(i, base[i]) for i in range(120)]
+    # exact clones + near-clones that sit near the 0.99 boundary
+    vecs += [(2000 + i, base[i].copy()) for i in range(60)]
+    vecs += [(3000 + i,
+              (base[i] + rng.standard_normal(32).astype(np.float32)
+               * 0.02).astype(np.float32))
+             for i in range(60)]
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in vecs],
+        "vec_id LONG, embedding ARRAY<FLOAT>").repartition(5)
+    cents = similarity.lloyd_kmeans(
+        base.astype(np.float64), k=6, iters=5, seed=3)
+    new = sorted(map(tuple, similarity.semantic_dedup(
+        emb, threshold=0.99, centroids=cents).collect()))
+    old = sorted(map(tuple, similarity._semantic_dedup_pairjoin(
+        emb, threshold=0.99, centroids=cents).collect()))
+    assert new == old
+
+
+def test_round6_ge_cut_matches_spark_round(spark):
+    """The ``_round6_ge_cut`` double cut must reproduce Spark's
+    ``round(x, 6) >= threshold`` decision for doubles straddling the
+    HALF_UP boundary (the decision the numpy survivor stage makes with
+    one comparison per pair)."""
+    import math
+
+    thr = 0.99
+    cut = similarity._round6_ge_cut(thr)
+    probes = []
+    for center in (0.9899995, 0.99, 0.9899994999, 0.9900005,
+                   0.98999949999999, 0.99000000001):
+        x = float(center)
+        for _ in range(3):
+            x = math.nextafter(x, -math.inf)
+        for _ in range(7):
+            probes.append(x)
+            x = math.nextafter(x, math.inf)
+    df = spark.createDataFrame([(i, float(p)) for i, p in
+                                enumerate(probes)], "i LONG, x DOUBLE")
+    rows = df.select("i", "x",
+                     (F.round(F.col("x"), 6) >= F.lit(thr))
+                     .alias("spark_keep")).collect()
+    bad = [(r.x, r.spark_keep) for r in rows
+           if bool(r.spark_keep) != (r.x >= cut)]
+    assert not bad, bad[:5]
+
+
 def test_ngram_counts_matches_hand_counts(spark):
     """ngram_counts: total occurrences + distinct-doc counts against a
     hand-computed corpus; sub-n docs emit nothing; min_count filters."""
