@@ -633,7 +633,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         e1.write.mode("overwrite").parquet(f"{run_dir}/edges")
         e1 = spark.read.parquet(f"{run_dir}/edges")
     else:
-        e1 = e1.localCheckpoint(eager=True)
+        # lazy (r9): the first consumer's job materializes the blocks;
+        # eager=True added one BLOCKING driver job per checkpoint (4+
+        # serialized jobs per call measured as pure overhead on small
+        # dup graphs) with no extra reuse — every later reference
+        # still reads the same stored blocks
+        e1 = e1.localCheckpoint(eager=False)
     # --- star contraction (r7): collapse every node onto the min of
     # its closed neighborhood (rep(v) = min(v, min(neighbors(v))) —
     # one groupBy over both edge directions) and run the loop on the
@@ -658,7 +663,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         star.write.mode("overwrite").parquet(f"{run_dir}/starmap")
         star = spark.read.parquet(f"{run_dir}/starmap")
     else:
-        star = star.localCheckpoint(eager=True)
+        star = star.localCheckpoint(eager=False)
     # relabel the ONE-SIDED pairs (half the join volume of a
     # symmetrized relabel), dedup the tiny surviving set, THEN
     # symmetrize it for the neighbor-min loop
@@ -683,7 +688,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         # the next run
         _delete_path(spark, f"{run_dir}/edges")
     else:
-        csym = csym.localCheckpoint(eager=True)
+        csym = csym.localCheckpoint(eager=False)
     sym = csym
     labels = (
         sym.select("src").union(sym.select("dst"))
@@ -723,7 +728,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
             new_labels.write.mode("overwrite").parquet(path)
             new_labels = spark.read.parquet(path)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # materialized by the convergence count just below
+            new_labels = new_labels.localCheckpoint(eager=False)
         # convergence check over materialized rounds only: with a
         # checkpoint_dir both sides are parquet scans of what was just
         # written — nothing upstream re-executes

@@ -74,13 +74,21 @@ def shingles_col(text: str | Column = "text") -> Column:
 
 
 def _shingles_from_tokens(toks: Column) -> Column:
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_N - 1),
-                                          F.lit(1)))
+    # shifted-slice zip, NOT per-index try_element_at (r9): the old
+    # transform(sequence(...), i -> element_at(toks, i+j)) re-evaluated
+    # the WHOLE ``toks`` expression (filter+split over the text) inside
+    # every lambda element — O(tokens^2) splits per row once callers
+    # pass the usual inline tokens_col(...) expression. Three shifted
+    # slices evaluate ``toks`` a constant number of times and zip pads
+    # the tail with NULLs, which concat_ws skips — byte-identical
+    # shingle strings (same windows, same short-doc whole-doc shingle,
+    # same empty-doc empty list; pinned by test_shingles_slice_form).
+    n = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, n)
+                            for j in range(SHINGLE_N)])
     return F.filter(
-        F.transform(idx, lambda i: F.concat_ws(
-            # try_element_at: out-of-range -> NULL (ANSI-safe; matches
-            # DuckDB's list[i] semantics), concat_ws skips NULLs
-            " ", *[F.try_element_at(toks, i + j) for j in range(SHINGLE_N)])),
+        F.transform(zipped, lambda s: F.concat_ws(
+            " ", *[s[str(j)] for j in range(SHINGLE_N)])),
         lambda s: s != F.lit(""))
 
 
@@ -795,8 +803,15 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
                             lambda j: F.col(f"mh{j}"),
                             n_hashes, rows_per_band))).alias("band_key")))
 
-    exact_hits = (new_idx.join(index.select("text_md5"), "text_md5",
-                               "left_semi")
+    # exact screen straight off the text (r9): it needs only
+    # (id, md5(text)) — routing it through new_idx dragged the whole
+    # shingle explode + min-aggregate into this branch a second time
+    # (Catalyst prunes the mh columns but cannot eliminate the
+    # explode/groupBy), doubling the new batch's signature work
+    exact_hits = (new_docs
+                  .select(F.col(id_col),
+                          F.md5(F.col(text_col)).alias("text_md5"))
+                  .join(index.select("text_md5"), "text_md5", "left_semi")
                   .select(F.col(id_col)))
     est = sum(
         F.when(F.col(f"sig_new.mh{j}") == F.col(f"sig_old.mh{j}"), 1)

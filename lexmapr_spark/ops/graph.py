@@ -62,15 +62,19 @@ def token_adjacency_edges(docs: DataFrame,
     real adjacencies and PageRank handles them like any edge.
     """
     toks = tokens_col(F.col(text_col))
+    # shifted-slice zip, NOT per-index try_element_at (r9, same fix as
+    # dedup._shingles_from_tokens): element_at lambdas re-evaluated the
+    # inline tokens_col expression per ELEMENT — O(tokens^2) splits per
+    # row, the dominant cost of the whole pagerank query at bench
+    # scale. Zip pads the last pair's dst with NULL; the filter drops
+    # it exactly like the old dst-IsNotNull filter.
+    n = F.greatest(F.size(toks) - 1, F.lit(1))
     pairs = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.try_element_at(toks, i).alias("src"),
-                F.try_element_at(toks, i + 1).alias("dst"))),
-        lambda s: s["dst"].isNotNull())
+        F.arrays_zip(F.slice(toks, 1, n), F.slice(toks, 2, n)),
+        lambda s: s["1"].isNotNull())
     return (docs.select(F.explode(pairs).alias("p"))
-            .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+            .select(F.col("p").getField("0").alias("src"),
+                    F.col("p").getField("1").alias("dst"))
             .groupBy("src", "dst")
             .agg(F.count(F.lit(1)).alias("weight")))
 

@@ -255,11 +255,18 @@ def ngrams_col(text_col: str, n: int):
     silently compare a truncated gram that no ``n``-gram of a probe
     can ever equal. The CASE guard matters because Spark's
     ``sequence(1, 0)`` counts DOWN, not empty."""
+    # the token array is BOUND ONCE as a lambda variable ``t`` via a
+    # single-element transform (r9): inlining the filter+split
+    # expression into the per-gram slice() re-tokenized the text once
+    # per gram — O(tokens * grams) string splitting per row (the same
+    # pathology as dedup._shingles_from_tokens, fixed the SQL-string
+    # way here). Same gram strings, same guards.
     toks = f"filter(split({text_col}, ' '), x -> x != '')"
     return F.expr(
-        f"CASE WHEN size({toks}) < {n} THEN CAST(array() AS ARRAY<STRING>) "
-        f"ELSE filter(transform(sequence(1, size({toks}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({toks}, i, {n}))), s -> s != '') END")
+        f"element_at(transform(array({toks}), t -> "
+        f"CASE WHEN size(t) < {n} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE filter(transform(sequence(1, size(t) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(t, i, {n}))), s -> s != '') END), 1)")
 
 
 def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,

@@ -2332,3 +2332,28 @@ def test_pmi_collocations_no_broadcast_of_unigram_vocab(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     # exactly one hint survives: the 1-row totals frame
     assert optimized.count("ResolvedHint") <= 1
+
+
+def test_shingles_slice_form_matches_elementat_form(spark):
+    """r9: shingles_col's shifted-slice zip must produce byte-identical
+    shingle lists to the per-index try_element_at form it replaced, on
+    short/empty/whitespace/unicode docs and the real corpus shape."""
+    rows = [(0, ""), (1, " "), (2, "a"), (3, "a b"), (4, "a b c"),
+            (5, "a b c d e"), (6, "  x   y  "), (7, "tok " * 40),
+            (8, "é 中 b c")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def old_sh(toks):
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.size(toks) - 2, F.lit(1)))
+        return F.filter(
+            F.transform(idx, lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(3)])),
+            lambda s: s != F.lit(""))
+
+    both = df.select(
+        "doc_id", dedup.shingles_col("text").alias("new"),
+        old_sh(dedup.tokens_col("text")).alias("old")).collect()
+    bad = [(r.doc_id, list(r.new), list(r.old))
+           for r in both if list(r.new) != list(r.old)]
+    assert not bad, bad[:3]
