@@ -232,11 +232,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("processed")))
 
     # ---- §2.2 P5: numeric-token predicate
+    # r9: try_cast on a non-castable string throws+catches a JVM
+    # exception internally (~6 s over this corpus, where NO token is
+    # numeric), so a cheap prescreen gates it: a string double-cast
+    # can succeed only if it contains an ASCII digit or its letter
+    # content is exactly inf/infinity/nan (Spark's special literals,
+    # case-insensitive, optional sign/space trim) — a strict SUPERSET
+    # of castable tokens, so try_cast still makes every decision and
+    # the result is unchanged (pinned by
+    # test_p5_prescreen_matches_bare_try_cast + the untouched oracle).
     q["p5_numeric_token_filter"] = lambda spark, sf: (
         _t(spark, sf, "documents").select(
             "doc_id",
             F.expr("size(filter(split(text, ' '), "
-                   "x -> try_cast(x AS DOUBLE) IS NOT NULL))"
+                   "x -> CASE WHEN translate(x, '0123456789', '') != x "
+                   "OR lower(regexp_replace(x, '[^a-zA-Z]', '')) "
+                   "IN ('inf', 'infinity', 'nan') "
+                   "THEN try_cast(x AS DOUBLE) IS NOT NULL "
+                   "ELSE false END))"
                    ).alias("n_numeric_tokens"),
             F.size(dedup.tokens_col("text")).alias("n_tokens")))
 

@@ -25,7 +25,8 @@ __all__ = ["asof_join", "range_join", "range_count_sum",
 # left-column rename prefix) would produce duplicate/ambiguous
 # attributes mid-plan, so reject up front (r7 ADVICE).
 _ASOF_RESERVED = frozenset({"_t", "_side", "_tie", "_p", "_f_p",
-                            "_b", "_f", "_w"})
+                            "_b", "_f", "_w",
+                            "_sb", "_cbi", "_cfi", "_cbp", "_cfn"})
 _ASOF_LEFT_PREFIX = "_l_"
 
 
@@ -52,7 +53,8 @@ def asof_join(left: DataFrame, right: DataFrame,
               direction: str = "backward",
               suffix: str = "_matched",
               tolerance: float | None = None,
-              allow_exact_matches: bool = True) -> DataFrame:
+              allow_exact_matches: bool = True,
+              skew_buckets: int | None = None) -> DataFrame:
     """For every left row, attach the payload of the single right row
     with the greatest ``time_col`` <= the left row's (``backward``;
     ``forward`` = smallest >=; ``nearest`` = smallest absolute time
@@ -103,6 +105,29 @@ def asof_join(left: DataFrame, right: DataFrame,
     flipping which side sorts first at equal timestamps (the
     ``nearest`` strict variant needs a second in-partition sort for
     its forward leg; still ONE exchange).
+    ``skew_buckets``: hot-key pre-split (r9, guide §2.5). AQE's skew
+    split applies only to JOINS — this operator's window can never be
+    split at runtime, so a single pathological key (more rows than
+    one executor partition) serializes in one task. Passing ``B >= 2``
+    sub-buckets every key's rows into ``B`` contiguous time ranges
+    (width from one bounded eager min/max pass over both sides), runs
+    the identical union-window per ``(key, sub-bucket)``, and restores
+    cross-bucket visibility with a carry pass: per (key, bucket) the
+    last right row under the backward sort / first under the forward
+    sort is aggregated (lexicographic struct min/max reproducing the
+    window's exact null-ordering tie rules), a tiny per-key window
+    over the B bucket summaries computes each bucket's
+    carried-in row, and rows whose in-bucket fill is NULL take the
+    carry. Row-identical to the unsplit path for every direction x
+    strictness x tolerance cell (pinned by the skew differential
+    grid); cross-bucket rows are always strictly earlier/later in
+    time, so strictness and tie rules stay purely in-bucket. Requires
+    an orderable payload (no MapType anywhere — the carry aggregation
+    sorts payload structs exactly like the window's final
+    tiebreaker). Costs one aggregate over the unioned frame + a
+    bucket-summary window + one (key, bucket) join; leave it None
+    unless a key-frequency probe says one key holds more rows than a
+    healthy partition.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -178,6 +203,20 @@ def asof_join(left: DataFrame, right: DataFrame,
         tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
         fixed = (tz in ("UTC", "GMT", "Z", "Etc/UTC", "Etc/GMT", "UT")
                  or tz.startswith(("+", "-", "GMT+", "GMT-", "Etc/GMT")))
+        if not fixed:
+            # r8 ADVICE: the prefix allowlist rejected genuinely
+            # fixed-offset ids ('EST', 'UTC+05:30', ...). Ask the
+            # JVM's own zone rules — the same resolution Spark applies
+            # to the session zone (ZoneId.of with SHORT_IDS) — whether
+            # the zone has transitions; any failure keeps fail-loud.
+            try:
+                jvm = left.sparkSession._jvm
+                fixed = bool(
+                    jvm.java.time.ZoneId
+                    .of(tz, jvm.java.time.ZoneId.SHORT_IDS)
+                    .getRules().isFixedOffset())
+            except Exception:
+                fixed = False
         if not fixed:
             raise ValueError(
                 "asof_join: nearest/tolerance over a TIMESTAMP_NTZ "
@@ -266,14 +305,72 @@ def asof_join(left: DataFrame, right: DataFrame,
     # backward and nearest share the ascending layout
     order = _order(t_asc=direction != "forward",
                    side_asc=allow_exact_matches)
-    w = Window.partitionBy(*keys).orderBy(*order)
-    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned = r_tagged.unionByName(l_tagged)
+    part_cols: list = list(keys)
+    carry = None
+    if skew_buckets is not None:
+        if not isinstance(skew_buckets, int) or skew_buckets < 2:
+            raise ValueError("asof_join: skew_buckets must be an int "
+                             ">= 2")
+        if not orderable:
+            raise ValueError(
+                "asof_join: skew_buckets requires an orderable payload "
+                "(no MapType) — the carry pass aggregates rows by the "
+                "window's full sort key, payload struct included")
+        # bucket width from one bounded eager pass (same precedent as
+        # range_join auto mode); empty/degenerate inputs collapse to a
+        # single bucket, which is exactly the unsplit behavior
+        srow = unioned.agg(
+            F.min(_num(F.col("_t"))).alias("t0"),
+            F.max(_num(F.col("_t"))).alias("t1")).collect()[0]
+        t0 = int(srow["t0"]) if srow["t0"] is not None else 0
+        t1 = int(srow["t1"]) if srow["t1"] is not None else 0
+        width = max(1, (t1 - t0) // skew_buckets + 1)
+        unioned = unioned.withColumn(
+            "_sb", F.floor((_num(F.col("_t")) - F.lit(t0))
+                           / F.lit(width)).cast("long"))
+        part_cols = [*keys, "_sb"]
+        # per-(key, bucket) pick of the right row the NEXT buckets
+        # would have filled from: lexicographic struct max/min
+        # reproduces the window's (time, side, tie, payload) order —
+        # backward's asc_nulls_first tie rule matches struct-max
+        # directly (NULL sorts smallest), forward's desc_nulls_first
+        # needs the explicit is-null flag so non-null ties win the min
+        bpick = F.when(F.col("_side") == 0, F.struct(
+            F.col("_t").alias("t"), F.col("_tie").alias("tb"),
+            F.col("_p").alias("p")))
+        fpick = F.when(F.col("_side") == 0, F.struct(
+            F.col("_t").alias("t"),
+            F.col("_tie").isNull().alias("tn"),
+            F.col("_tie").alias("tb"), F.col("_p").alias("p")))
+        # grouped over ALL rows (not just right ones) so every (key,
+        # bucket) the frame contains gets a carry row — a left-only
+        # bucket still needs the running fill from earlier buckets
+        univ = unioned.groupBy(*keys, "_sb").agg(
+            F.max(bpick).alias("_cbi"), F.min(fpick).alias("_cfi"))
+        wsum = Window.partitionBy(*keys).orderBy("_sb")
+        carry = univ.select(
+            *keys, "_sb",
+            F.max("_cbi").over(
+                wsum.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("_cbp"),
+            F.min("_cfi").over(
+                wsum.rowsBetween(1, Window.unboundedFollowing))
+            .alias("_cfn"))
+    w = Window.partitionBy(*part_cols).orderBy(*order)
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lt = _num(F.col("_t"))
     left_restore = [F.col(f"_l_{c}").alias(c) for c in left.columns]
     if direction != "nearest":
         filled = unioned.select(
             "*", F.last("_p", ignorenulls=True).over(w_back).alias("_f_p"))
+        if carry is not None:
+            cexpr = (F.col("_cbp").getField("p")
+                     if direction == "backward"
+                     else F.col("_cfn").getField("p"))
+            filled = (filled.join(carry, [*keys, "_sb"], "left")
+                      .withColumn("_f_p",
+                                  F.coalesce(F.col("_f_p"), cexpr)))
         if tolerance is None:
             matched = (
                 filled.where(F.col("_side") == 1)
@@ -306,13 +403,19 @@ def asof_join(left: DataFrame, right: DataFrame,
     # inclusive-sorted window (same partitioning: one exchange, two
     # in-partition sorts).
     w_fwd_base = w if allow_exact_matches else Window.partitionBy(
-        *keys).orderBy(*_order(t_asc=True, side_asc=True))
+        *part_cols).orderBy(*_order(t_asc=True, side_asc=True))
     w_fwd = w_fwd_base.rowsBetween(Window.currentRow,
                                    Window.unboundedFollowing)
     filled = unioned.select(
         "*",
         F.last("_p", ignorenulls=True).over(w_back).alias("_b"),
         F.first("_p", ignorenulls=True).over(w_fwd).alias("_f"))
+    if carry is not None:
+        filled = (filled.join(carry, [*keys, "_sb"], "left")
+                  .withColumn("_b", F.coalesce(
+                      F.col("_b"), F.col("_cbp").getField("p")))
+                  .withColumn("_f", F.coalesce(
+                      F.col("_f"), F.col("_cfn").getField("p"))))
     d_back = lt - _num(F.col("_b._mt"))
     d_fwd = _num(F.col("_f._mt")) - lt
     b_ok = F.col("_b").isNotNull()
@@ -361,7 +464,8 @@ def derive_bucket_seconds(intervals: DataFrame,
 def range_join(points: DataFrame, intervals: DataFrame,
                ts_col: str = "ts",
                start_col: str = "start_ts", end_col: str = "end_ts",
-               bucket_seconds: int | None = None) -> DataFrame:
+               bucket_seconds: int | None = None,
+               whale_factor: int = 32) -> DataFrame:
     """Big-big interval-containment join: every (point, interval)
     pair with ``start_col <= ts_col <= end_col`` (inclusive), with no
     join key required on either side.
@@ -399,6 +503,21 @@ def range_join(points: DataFrame, intervals: DataFrame,
     ``bucket(start) <= bucket(ts) <= bucket(end)`` and the exact
     filter never loses a pair. Column names must not collide across
     the two inputs (alias before calling).
+
+    **Whale intervals** (r9): a median-derived (or workload-tuned)
+    width cannot protect against a p99.9 outlier interval — one
+    1000x-median interval would explode into ~1000 bucket rows.
+    Intervals longer than ``whale_factor`` x ``bucket_seconds`` are
+    routed through a SECOND, coarse bucket tier of width
+    ``whale_factor * bucket_seconds``: each whale explodes to at most
+    ``span / (whale_factor * bucket_seconds) + 1`` rows, points land
+    in exactly one bucket of EACH tier, and every interval lives in
+    exactly one tier — so each qualifying pair is still produced
+    exactly once and the union of the two tier joins is row-identical
+    to the single-tier form (pinned by
+    ``test_range_join_whale_tier_identical``). Both tiers' explode
+    row counts are logged. Set ``whale_factor=0`` to disable the
+    second tier (single-tier legacy plan).
     """
     if bucket_seconds is not None and bucket_seconds <= 0:
         raise ValueError("range_join: bucket_seconds must be positive")
@@ -420,38 +539,71 @@ def range_join(points: DataFrame, intervals: DataFrame,
     # comparison -> filtered), and point-side NULL timestamps drop out
     # of the bucket equi-join on their own — together matching SQL
     # BETWEEN's never-match semantics.
+    if whale_factor < 0:
+        raise ValueError("range_join: whale_factor must be >= 0")
     intervals = intervals.where(F.col(start_col) <= F.col(end_col))
+    log = logging.getLogger("lexmapr_spark.joins")
     if bucket_seconds is None:
         # auto mode is EAGER (the derivation is a blocking aggregate
-        # job at construction time) and the filtered interval side is
-        # lazily localCheckpoint'ed so the derivation scan materializes
-        # blocks the join explode then reuses — the interval lineage is
-        # never computed twice
-        intervals = intervals.localCheckpoint(eager=False)
+        # job at construction time). The filtered interval side is
+        # persist()ed — RECOMPUTABLE, unlike the pre-r9 lazy
+        # localCheckpoint whose blocks died with an executor and
+        # whose storage sat below the derivation's column pruning
+        # (r8 ADVICE) — via the bounded scoped registry, so repeated
+        # auto calls in a long session hold at most one snapshot
+        # (eviction unwarned: the frame is a deterministic pure
+        # derivation of the source, so a recompute is row-identical).
+        from lexmapr_spark.ops.util import scoped_persist
+        intervals = scoped_persist(intervals, "range_join_auto",
+                                   warn_on_evict=False)
         bucket_seconds, stats = derive_bucket_seconds(
             intervals, start_col, end_col)
-        logging.getLogger("lexmapr_spark.joins").info(
+        # fan-out guard (r8 ADVICE): a skewed span mix (tiny median,
+        # long tail) can make the derived width explode the interval
+        # side; the whale tier bounds the worst interval, but a
+        # *pervasively* heavy tail still deserves a loud warning
+        if stats["estimated_fanout_rows"] > 16 * max(
+                1, stats["n_intervals"]):
+            log.warning(
+                "range_join: derived bucket_seconds=%d implies ~%.0fx "
+                "explode fan-out over %d intervals (heavy span tail); "
+                "consider passing an explicit bucket_seconds",
+                bucket_seconds,
+                stats["estimated_fanout_rows"]
+                / max(1, stats["n_intervals"]), stats["n_intervals"])
+        log.info(
             "range_join: derived bucket_seconds=%d (median interval "
             "span) over %d intervals; estimated explode fan-out ~%d "
             "rows", bucket_seconds, stats["n_intervals"],
             stats["estimated_fanout_rows"])
-    iv = intervals.withColumn(
-        "_bucket",
-        F.explode(F.sequence(
-            F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
-            .cast("long"),
-            F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds)
-            .cast("long"))))
-    pt = points.withColumn(
-        "_bucket",
-        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
-        .cast("long"))
-    return (
-        pt.join(iv, "_bucket")
-        .where((F.col(ts_col) >= F.col(start_col))
-               & (F.col(ts_col) <= F.col(end_col)))
-        .drop("_bucket")
-    )
+
+    def _tier(iv_side: DataFrame, width: int) -> DataFrame:
+        iv = iv_side.withColumn(
+            "_bucket",
+            F.explode(F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / width)
+                .cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / width)
+                .cast("long"))))
+        pt = points.withColumn(
+            "_bucket",
+            F.floor(F.unix_timestamp(F.col(ts_col)) / width)
+            .cast("long"))
+        return (
+            pt.join(iv, "_bucket")
+            .where((F.col(ts_col) >= F.col(start_col))
+                   & (F.col(ts_col) <= F.col(end_col)))
+            .drop("_bucket")
+        )
+
+    if whale_factor == 0:
+        return _tier(intervals, bucket_seconds)
+    span = (F.unix_timestamp(F.col(end_col))
+            - F.unix_timestamp(F.col(start_col)))
+    cut = whale_factor * bucket_seconds
+    fine = _tier(intervals.where(span <= cut), bucket_seconds)
+    whales = _tier(intervals.where(span > cut), cut)
+    return fine.unionByName(whales)
 
 
 def range_count_sum(points: DataFrame, intervals: DataFrame,
@@ -514,8 +666,12 @@ def range_count_sum(points: DataFrame, intervals: DataFrame,
                          "before joining")
     intervals = intervals.where(F.col(start_col) <= F.col(end_col))
     if bucket_seconds is None:
-        # share the interval scan across derivation + both joins
-        intervals = intervals.localCheckpoint(eager=False)
+        # share the interval scan across derivation + both joins —
+        # recomputable persist via the bounded scope registry (same
+        # rationale as range_join auto mode)
+        from lexmapr_spark.ops.util import scoped_persist
+        intervals = scoped_persist(intervals, "range_count_sum_auto",
+                                   warn_on_evict=False)
         span_med, iv_stats = derive_bucket_seconds(
             intervals, start_col, end_col)
         prow = points.agg(

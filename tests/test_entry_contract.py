@@ -126,3 +126,30 @@ def test_kg_fixture_oracles_present_and_runnable():
                 f"read_parquet('{fix}/ref_rows.parquet')").fetchone()[0]
     assert n == 500
     con.close()
+
+
+def test_p5_prescreen_matches_bare_try_cast(spark):
+    """r9: the digit/special-literal prescreen in front of try_cast
+    must be decision-identical to the bare try_cast form it replaced
+    (the prescreen exists because a failed string->double cast
+    throws/catches a JVM exception per token)."""
+    from pyspark.sql import functions as F
+
+    adv = ["1 +1 -1.5 .5 5. 1e5 1E-5 1e e5 inf Inf INF INFINITY +inf",
+           "-infinity nan NaN NAN +nan -nan 1.5d 1.5f 1.5D 0x1p3 0xA",
+           "1_000 one 1,000 12.3.4 +-1 --1 ++1 . + - 1e308 1e309",
+           "١٢ i-n-f n a n infinityd nand Infinity -Infinity",
+           "\tinf\t 1 abc123 123abc 9 00 007 2. -1e309",
+           "", " ", "join scan in f ni fi nf infin infinity0"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(adv)],
+                               "doc_id LONG, text STRING")
+    old = "size(filter(split(text, ' '), x -> try_cast(x AS DOUBLE) IS NOT NULL))"
+    new = ("size(filter(split(text, ' '), "
+           "x -> CASE WHEN translate(x, '0123456789', '') != x "
+           "OR lower(regexp_replace(x, '[^a-zA-Z]', '')) "
+           "IN ('inf', 'infinity', 'nan') "
+           "THEN try_cast(x AS DOUBLE) IS NOT NULL ELSE false END))")
+    rows = df.select("doc_id", F.expr(old).alias("o"),
+                     F.expr(new).alias("n")).collect()
+    bad = [(r.doc_id, r.o, r.n) for r in rows if r.o != r.n]
+    assert not bad, bad

@@ -576,3 +576,121 @@ def test_range_count_sum_rejects_bad_args(spark):
         joins.range_count_sum(p.withColumnRenamed("pid", "iid"), iv)
     with pytest.raises(ValueError, match="reserved|staging"):
         joins.range_count_sum(p.withColumnRenamed("pid", "_bucket"), iv)
+
+
+# ---------------------------------------------------------------------------
+# asof_join skew_buckets (r9): hot-key pre-split must be row-identical
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_skew_buckets_identical(spark, direction, exact):
+    """The (key, time-bucket) pre-split + carry pass must reproduce the
+    unsplit window exactly: hot key holding half the rows, duplicate
+    timestamps, NULL keys/times, NULL right tiebreaks, tolerance on
+    and off, several bucket counts."""
+    import random
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s, us=0):
+        return base + dt.timedelta(seconds=s, microseconds=us)
+
+    lrows = [(0 if i % 2 == 0 else rng.randrange(1, 8),
+              ts(rng.randrange(0, 900), rng.choice([0, 0, 500000])), i)
+             for i in range(400)]
+    rrows = [(0 if j % 2 == 0 else rng.randrange(1, 8),
+              ts(rng.randrange(0, 900), rng.choice([0, 0, 500000])),
+              None if j % 13 == 0 else j,
+              round(rng.uniform(0, 9), 2)) for j in range(200)]
+    lrows += [(None, ts(10), 9991), (5, None, 9992)]
+    rrows += [(None, ts(10), 1, 1.0), (5, None, 2, 2.0)]
+    left = spark.createDataFrame(lrows, "k INT, ts TIMESTAMP, lid LONG")
+    right = spark.createDataFrame(
+        rrows, "k INT, ts TIMESTAMP, rid LONG, px DOUBLE")
+    for tol in (None, 120.0):
+        want = sorted(map(repr, joins.asof_join(
+            left, right, "k", payload_cols=["rid", "px"],
+            tiebreak_col="rid", direction=direction, tolerance=tol,
+            allow_exact_matches=exact).collect()))
+        for b in (2, 5):
+            got = sorted(map(repr, joins.asof_join(
+                left, right, "k", payload_cols=["rid", "px"],
+                tiebreak_col="rid", direction=direction, tolerance=tol,
+                allow_exact_matches=exact, skew_buckets=b).collect()))
+            assert got == want, (direction, exact, tol, b)
+
+
+def test_asof_skew_buckets_rejects_bad_args(spark, quotes, trades):
+    with pytest.raises(ValueError, match="skew_buckets"):
+        joins.asof_join(trades, quotes, "k", payload_cols=["px"],
+                        skew_buckets=1)
+    mapped = quotes.select("k", "ts", F.create_map(
+        F.lit("a"), F.col("px")).alias("px"))
+    with pytest.raises(ValueError, match="orderable"):
+        joins.asof_join(trades, mapped, "k", payload_cols=["px"],
+                        skew_buckets=4)
+
+
+def test_asof_skew_buckets_splits_the_window_partition(spark):
+    """With every row on ONE key, the pre-split must actually divide
+    the window's partitioning key space (the whole point: the unsplit
+    form serializes the key in one task)."""
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), i)
+         for i in range(200)], "k INT, ts TIMESTAMP, lid LONG")
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=3 * j), j,
+          float(j)) for j in range(60)],
+        "k INT, ts TIMESTAMP, rid LONG, px DOUBLE")
+    out = joins.asof_join(left, right, "k", payload_cols=["rid", "px"],
+                          tiebreak_col="rid", skew_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_sb" in plan  # the window partitions by (k, _sb)
+    want = sorted(map(repr, joins.asof_join(
+        left, right, "k", payload_cols=["rid", "px"],
+        tiebreak_col="rid").collect()))
+    assert sorted(map(repr, out.collect())) == want
+
+
+def test_range_join_whale_tier_identical(spark):
+    """r9: a 1000x whale interval must route through the coarse tier
+    with bounded explode, and the two-tier union must be
+    row-identical to the single-tier form."""
+    import random
+
+    rng = random.Random(5)
+    points = [(i, _ts(rng.randrange(0, 59), rng.randrange(60)))
+              for i in range(500)]
+    ivs = [(i, dt.datetime(2024, 1, 1, 0, rng.randrange(55)),
+            None) for i in range(60)]
+    ivs = [(i, s, s + dt.timedelta(seconds=rng.randrange(1, 40)))
+           for i, s, _ in ivs]
+    # the whale: spans nearly the whole hour (~1000x the median span)
+    ivs.append((900, dt.datetime(2024, 1, 1, 0, 0),
+                dt.datetime(2024, 1, 1, 0, 59, 59)))
+    p = spark.createDataFrame(points, "pid LONG, ts TIMESTAMP")
+    iv = spark.createDataFrame(
+        ivs, "iid LONG, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    want = {(r.pid, r.iid) for r in joins.range_join(
+        p, iv, bucket_seconds=20, whale_factor=0).collect()}
+    got_rows = joins.range_join(p, iv, bucket_seconds=20,
+                                whale_factor=8).collect()
+    got = {(r.pid, r.iid) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got)  # exactly-once per pair
+    # python truth
+    truth = {(pid, iid) for pid, ts in points for iid, s, e in ivs
+             if s <= ts <= e}
+    assert got == truth
+    # the whale's explode is bounded by span/(whale_factor*W)+1
+    n_whale_rows = spark.createDataFrame(
+        [ivs[-1]], "iid LONG, start_ts TIMESTAMP, end_ts TIMESTAMP") \
+        .select(F.explode(F.sequence(
+            F.floor(F.unix_timestamp("start_ts") / (8 * 20)),
+            F.floor(F.unix_timestamp("end_ts") / (8 * 20))))).count()
+    assert n_whale_rows <= (3600 // (8 * 20)) + 2
+    # auto mode still works end-to-end with the whale present
+    auto = {(r.pid, r.iid) for r in joins.range_join(p, iv).collect()}
+    assert auto == truth
