@@ -1079,52 +1079,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The contract driver records correctness rows for the FIRST
     # DRIVER_SLOTS dict entries only, so dict order decides which
-    # queries get a driver-verified row this round. Round-8 window
+    # queries get a driver-verified row this round. Round-9 window
     # (exactly 50 names, asserted below so a future addition that
     # silently pushes a query out of verification fails loudly —
-    # r5 ADVICE): [1-38] every query absent from the round-7 driver
-    # window (the two-round invariant: nothing goes two rounds
-    # without a driver row) plus the NEW events_asof_nearest;
-    # [39-50] queries whose code paths round 8 touched (range-join
-    # DOUBLE cast + auto-bucket, asof payload-struct tiebreak +
-    # reserved-name guards, dedup prefilter kwarg threading,
-    # with_confidence staging guard) plus the flagship kg family.
+    # r5 ADVICE): [1-38] every query whose last driver row is r7
+    # (the two-round invariant: nothing goes two rounds without a
+    # driver row); [39-50] the paths the r9 optimization round
+    # touched (range_count_sum restructure, pagerank broadcast state
+    # + slice-zip bigrams, shingle slice-zip + connected-components
+    # lazy checkpoints across the dedup family, classification
+    # precompute, try_cast prescreen, asof skew_buckets code motion).
     priority = [
-        # 37 queries with no CORRECTNESS_r07 row — every one of these
-        # was hash-green in the fresh r7 87/87 sweep; the driver now
-        # re-certifies them — plus the NEW nearest-direction as-of
-        "kg_match_histogram", "kg_text_extraction",
-        "s2_multicol_coalesce", "p1_p2_lower_punct",
-        "p5_numeric_token_filter", "p6_preprocess",
-        "p11_stopword_filter", "j1_broadcast_token_match",
-        "agg_event_histogram", "agg_tpch_pricing",
-        "join_orders_customer", "agg_distinct_customers",
-        "agg_rollup_pricing", "agg_value_quantiles",
-        "set_customers_with_orders", "set_multi_lineitem_orders",
-        "window_user_event_seq", "sessionize_events_batch",
-        "json_extract_props", "events_asof_nearest",
-        "set_customers_without_orders", "sort_topk_orders",
-        "dedup_minhash_signatures", "ann_srp_bucketed_topk",
-        "ann_quantized_srp_topk", "ann_ivf_stored_batch_topk",
-        "text_ngram_counts", "text_ngram_topk", "graph_pagerank",
-        "search_bm25_topk", "search_bm25_indexed",
-        "text_pmi_collocations", "sample_mixture",
-        "sample_split_assign", "text_token_count_bpe",
-        "pack_sequences_bpe", "pack_sequences_2k", "pack_examples_512",
-        # 12 round-8-touched paths + flagship kg family (all r7
-        # hash-green; the 38 other r7-window queries rotate out —
-        # each keeps its r7 row, satisfying the two-round invariant)
-        "events_range_join",           # r8 FIX: DOUBLE value_sum
-        "events_asof_attribution",     # joins.py tiebreak + guards
-        "dedup_minhash_lsh",           # prefilter kwarg threading
+        # 38 queries with no CORRECTNESS_r08 row — every one was
+        # hash-green in the r8 88/88 sweep and again in the r9 local
+        # sweeps; the driver now re-certifies them
+        "dedup_exact", "dedup_simhash", "ann_cosine_topk",
+        "ann_quantized_topk", "ann_srp_batch_topk", "ann_ivf_topk",
+        "ann_ivf_batch_topk", "emb_semantic_dedup",
+        "text_token_count", "text_quality", "text_langid",
+        "curation_pipeline", "curation_pipeline_v2",
+        "text_fingerprint", "corpus_stats", "text_pii_redaction",
+        "text_contamination", "search_bm25_batch",
+        "search_bm25_batch_indexed", "search_bm25_merged",
+        "sample_hash_10pct", "sample_domain_cap",
+        "sample_mixture_upsample", "multimodal_features",
+        "multimodal_frame_plan", "multimodal_features_docs",
+        "multimodal_frame_plan_docs", "multimodal_real_decode",
+        "dedup_global_lines", "dedup_exact_substring",
+        "dedup_exact_substring_cdc", "dedup_incremental",
+        "dedup_incremental_merged", "text_repetition",
+        "text_perplexity", "web_host_filter", "web_host_rollup",
+        "web_url_normalize",
+        # 12 round-9-touched paths (all r8 hash-green; the other r8
+        # window queries rotate out — each keeps its r8 row,
+        # satisfying the two-round invariant)
+        "events_range_join",           # r9: range_count_sum rewrite
+        "p5_numeric_token_filter",     # r9: try_cast prescreen
+        "graph_pagerank",              # r9: broadcast state + zip
+        "kg_classification_histogram",  # r9: rule-table precompute
+        "dedup_minhash_lsh",           # r9: shingle slice-zip
+        "dedup_minhash_signatures",
         "dedup_near_dup_filter",
-        "dedup_near_dup_components",
+        "dedup_near_dup_components",   # r9: + lazy cc checkpoints
         "dedup_near_dup_clusters",
-        "kg_confidence_histogram",     # with_confidence staging guard
-        "conf_scoring",
-        "kg_triples", "kg_canonical_triples",
-        "kg_classification_histogram",
-        "emb_near_duplicates",
+        "kg_canonical_triples",        # r9: lazy cc checkpoints
+        "events_asof_attribution",     # r9: asof skew_buckets motion
+        "events_asof_nearest",
     ]
     DRIVER_SLOTS = 50
     assert len(priority) == DRIVER_SLOTS, (

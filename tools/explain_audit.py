@@ -271,15 +271,17 @@ def main():
             "per-gram rollup counts rows instead of expanding a "
             "countDistinct; HAVING runs after the rollup.",
         "graph_pagerank":
-            "Token-adjacency PageRank (round 6): fixed-iteration "
-            "power method — per-round contribution join + one "
-            "groupBy(dst) with DECIMAL sums (shuffle summation order "
-            "cannot perturb the 6-dp contract); the edge aggregate "
-            "is lazily localCheckpoint'ed before the loop, so its "
-            "token-explode build materializes ONCE and every "
-            "iteration's references read the stored blocks instead "
-            "of depending on ReuseExchange to dedupe a per-iteration "
-            "copy.",
+            "Token-adjacency PageRank (r9 shape): bigrams built from "
+            "shifted-slice zips (constant token-array evaluations "
+            "per row), rank/out-weight state BROADCAST into the edge "
+            "scan each iteration (token graphs have vocabulary-"
+            "bounded state; the big edge side is never re-shuffled), "
+            "and the rank lineage truncated with a lazy "
+            "localCheckpoint every round — which is why the final "
+            "plan below is a bare ExistingRDD scan + top-k; the "
+            "per-iteration plan (BroadcastHashJoins + one small "
+            "DECIMAL-sum aggregate exchange) is captured in "
+            "plans/r09/graph_pagerank_iteration_after.txt.",
         "sample_split_assign":
             "Hash-range split assignment (round 6): train/val/test "
             "labels from one md5-threshold CASE projection in "
