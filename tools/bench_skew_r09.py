@@ -92,8 +92,10 @@ def main():
                          tiebreak_col="rid", skew_buckets=32)
 
     def h(df):
+        # DECIMAL sum: 2M 64-bit hashes overflow a long under ANSI
         return df.select(F.sum(F.xxhash64("lid", "rid_matched",
-                                          "px_matched"))).collect()[0][0]
+                                          "px_matched")
+                               .cast("decimal(38,0)"))).collect()[0][0]
 
     out["singlekey_rowhash_equal"] = bool(h(a) == h(b_))
     spark.stop()
