@@ -1045,11 +1045,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .otherwise("Synonym Usage")).alias("micro_status"),
                     F.slice("toks", 1, 2).alias("covered_tokens"),
                     F.slice("toks", 2, 2).alias("head_nouns")))
-        score, rendered = conf.confidence_cols(
-            "sample_tokens", "macro_status", "micro_status",
-            "covered_tokens", "head_nouns")
-        return base.select("doc_id", score.alias("confidence_score"),
-                           rendered.alias("confidence"))
+        # staged form (r9): the inline confidence_cols pair embeds the
+        # score expression inside every rendered-level branch, and
+        # interpreted HOF lambdas get no subexpression elimination —
+        # the penalty fold re-evaluated ~10x per row. Staging each
+        # non-cheap expression as an attribute column (the same
+        # builders + layout as conf.with_confidence) evaluates each
+        # exactly once; output values identical (same expressions,
+        # pinned by the contract oracle).
+        staged = (
+            base
+            .withColumn("_penalty",
+                        conf.penalty_weight_col("micro_status"))
+            .withColumn("_nc_hn",
+                        conf.not_covered_hn_col(F.col("head_nouns"),
+                                                F.col("covered_tokens")))
+            .withColumn("_nc",
+                        conf.not_covered_col(F.col("sample_tokens"),
+                                             F.col("covered_tokens"),
+                                             F.col("_nc_hn")))
+            .withColumn("confidence_score",
+                        conf.confidence_score_col(
+                            F.col("macro_status"), F.col("_penalty"),
+                            F.col("_nc"), F.col("_nc_hn")))
+            .withColumn("confidence",
+                        conf.rendered_confidence_col(
+                            F.col("macro_status"),
+                            F.col("confidence_score"))))
+        return staged.select("doc_id", "confidence_score", "confidence")
     q["conf_scoring"] = conf_scoring
 
     # rows-only (matcher-driven): per-level confidence histogram over
