@@ -339,6 +339,9 @@ RULES = [
 ]
 
 
+_REGEX_META = re.compile(r"[.^$*+?{}\[\]\\|()]")
+
+
 def _build_refinement_table(refinements: dict) -> list:
     rows = []
     for label, refined in refinements.items():
@@ -350,7 +353,17 @@ def _build_refinement_table(refinements: dict) -> list:
             pattern = re.compile(r"\b" + label + r"\b")
         except re.error:
             pattern = None  # reference would crash; we skip the key
-        rows.append((frozenset(word_tokenize(label)), pattern, refined))
+        # prescreen: when the label contains no regex metacharacter,
+        # the compiled pattern is the literal label between \b anchors,
+        # so a match REQUIRES the label as a raw substring — a C-speed
+        # `lit in sample` gates the (much slower) scan without ever
+        # changing its outcome. Labels WITH metachars (1508/1511 are
+        # without) keep the unconditional search, preserving the
+        # unescaped-regex reference quirk above.
+        lit = (label if pattern is not None
+               and not _REGEX_META.search(label) else None)
+        rows.append((frozenset(word_tokenize(label)), pattern, lit,
+                     refined))
     return rows
 
 
@@ -361,10 +374,12 @@ def refine_ifsac_final_labels(sample: str, labels, refinements: dict) -> list:
     sample = punctuation_treatment(sample)
     tokens = set(word_tokenize(sample))
 
-    for label_tokens, pattern, refined in _prepared(
+    for label_tokens, pattern, lit, refined in _prepared(
             refinements, _build_refinement_table):
         if (not (label_tokens - tokens)
-                or (pattern is not None and pattern.search(sample))):
+                or (pattern is not None
+                    and (lit is None or lit in sample)
+                    and pattern.search(sample))):
             ret.add(refined)
             break
 

@@ -126,3 +126,32 @@ def test_bucket_headers_match_reference_empty_goldens():
             "LexMapr Bucket", "Third Party Bucket",
             "Third Party Classification"]
     assert expected_full == base
+
+
+def test_refinement_literal_prescreen_equivalence():
+    """The r9 `lit in sample` gate in front of pattern.search must be
+    outcome-neutral: literal labels still need the \\b regex to decide
+    (substring inside a longer word must NOT match), and labels with
+    regex metacharacters (the unescaped-label reference quirk) bypass
+    the gate entirely."""
+    refinements = {
+        "chickpea": "legume",                      # literal label
+        "environmental (forests)": "environmental",  # metachar label:
+        # parens are a regex group, matches 'environmental forests'
+    }
+    # literal hit via regex word boundary
+    out = cls.refine_ifsac_final_labels("a chickpea stew", set(),
+                                        refinements)
+    assert "legume" in out
+    # substring without a word boundary: prescreen passes
+    # ('chickpea' in 'xchickpeax') but the regex must still refuse
+    out = cls.refine_ifsac_final_labels("xchickpeax", set(), refinements)
+    assert "legume" not in out
+    # metachar label keeps the unconditional regex scan: the raw label
+    # string never occurs in the sample, only its group rendering
+    out = cls.refine_ifsac_final_labels("environmental forests", set(),
+                                        refinements)
+    assert "environmental" in out
+    # table rows carry the lit flag as built
+    rows = cls._build_refinement_table(refinements)
+    assert [lit for _, _, lit, _ in rows] == ["chickpea", None]
