@@ -454,11 +454,13 @@ def derive_bucket_seconds(intervals: DataFrame,
     row = (intervals.where(F.col(start_col) <= F.col(end_col))
            .agg(F.percentile_approx(span, 0.5).alias("p50"),
                 F.count(F.lit(1)).alias("n"),
-                F.sum(span).alias("total")).collect()[0])
+                F.sum(span).alias("total"),
+                F.max(span).alias("mx")).collect()[0])
     bucket = max(1, int(row["p50"])) if row["p50"] is not None else 3600
     fanout = int(row["total"] or 0) // bucket + int(row["n"] or 0)
     return bucket, {"n_intervals": int(row["n"] or 0),
-                    "estimated_fanout_rows": fanout}
+                    "estimated_fanout_rows": fanout,
+                    "span_max": int(row["mx"] or 0)}
 
 
 def range_join(points: DataFrame, intervals: DataFrame,
@@ -612,7 +614,8 @@ def range_count_sum(points: DataFrame, intervals: DataFrame,
                     sum_col: str | None = None,
                     bucket_seconds: int | None = None,
                     count_alias: str = "n_points",
-                    sum_alias: str = "value_sum") -> DataFrame:
+                    sum_alias: str = "value_sum",
+                    whale_factor: int = 32) -> DataFrame:
     """Per-interval COUNT (and optional exact sum of ``sum_col``) of
     the points each interval contains — row-identical to
     ``range_join(points, intervals).groupBy(<interval cols>)
@@ -650,10 +653,28 @@ def range_count_sum(points: DataFrame, intervals: DataFrame,
     through the union). Intervals containing no point produce no row,
     like the pair-form groupBy. Interval columns must be
     group-by-able (no maps).
+
+    Whale intervals (r9, mirroring :func:`range_join`): an interval
+    whose span exceeds ``whale_factor * bucket_seconds`` would explode
+    ``span / bucket_seconds`` inner-epoch rows — unbounded for a
+    p99.9 outlier. Such intervals instead take COARSE epochs of width
+    ``whale_factor * bucket_seconds`` (re-aggregated from the fine
+    bucket table, never from raw points) for the coarse buckets wholly
+    inside their fine-inner region, fine epochs only for the ≤
+    ``2 * (whale_factor - 1)`` leftover fine buckets between the
+    coarse-covered region and their edge epochs, and raw points for
+    the ≤ 2 edge epochs — bounding the explode at
+    ``span / (whale_factor * bucket_seconds) + 2 * whale_factor + 1``
+    rows. The three regions partition the interval's epochs, so
+    associativity keeps totals bit-identical
+    (``test_range_count_sum_whale_tier_identical``). Set
+    ``whale_factor=0`` to disable the tier.
     """
     if bucket_seconds is not None and bucket_seconds <= 0:
         raise ValueError("range_count_sum: bucket_seconds must be "
                          "positive")
+    if whale_factor < 0:
+        raise ValueError("range_count_sum: whale_factor must be >= 0")
     clash = sorted(set(points.columns) & set(intervals.columns))
     if clash:
         raise ValueError(f"range_count_sum: column names {clash} appear "
@@ -689,6 +710,18 @@ def range_count_sum(points: DataFrame, intervals: DataFrame,
             "range_count_sum: derived bucket_seconds=%d (span_med=%d, "
             "time_range=%d s, %d points, %d intervals)", bucket_seconds,
             span_med, t_range, n_pts, iv_stats["n_intervals"])
+        if (whale_factor > 0
+                and iv_stats["span_max"] <= whale_factor * bucket_seconds):
+            # the derivation already observed every span: with no whale
+            # present, plan the flat single-tier form — the tier's
+            # extra branches cost a measured ~20% on whale-free data
+            # for zero benefit. Data-derived, so a whale-bearing input
+            # still gets the bounded plan automatically.
+            logging.getLogger("lexmapr_spark.joins").info(
+                "range_count_sum: span_max=%d <= %d, whale tier "
+                "skipped", iv_stats["span_max"],
+                whale_factor * bucket_seconds)
+            whale_factor = 0
 
     iv_cols = [c for c in intervals.columns]
     sum_exprs = [F.col(sum_col)] if sum_col else []
@@ -703,16 +736,67 @@ def range_count_sum(points: DataFrame, intervals: DataFrame,
                    / bucket_seconds).cast("long")
     b_hi = F.floor(F.unix_timestamp(F.col(end_col))
                    / bucket_seconds).cast("long")
+    _empty = F.array().cast("array<long>")
+    _part_cols = [F.col("_n")] + ([F.col("_s")] if sum_col else [])
+
     # inner epochs: strictly between the edge epochs (guard the
     # explode — Spark's sequence() COUNTS DOWN for descending bounds)
-    inner = (intervals.withColumn(
-        "_bucket",
-        F.explode(F.when(b_hi - b_lo >= 2,
-                         F.sequence(b_lo + 1, b_hi - 1))
-                  .otherwise(F.array().cast("array<long>"))))
-        .join(bucket_agg, "_bucket")
-        .select(*iv_cols, "_n",
-                *([F.col("_s")] if sum_col else [])))
+    def inner_rows(iv_side: DataFrame) -> DataFrame:
+        return (iv_side.withColumn(
+            "_bucket",
+            F.explode(F.when(b_hi - b_lo >= 2,
+                             F.sequence(b_lo + 1, b_hi - 1))
+                      .otherwise(_empty)))
+            .join(bucket_agg, "_bucket")
+            .select(*iv_cols, *_part_cols))
+
+    span = (F.unix_timestamp(F.col(end_col))
+            - F.unix_timestamp(F.col(start_col)))
+    cut = whale_factor * bucket_seconds
+    if whale_factor == 0:
+        parts = [inner_rows(intervals)]
+    else:
+        parts = [inner_rows(intervals.where(span <= cut))]
+        whales = intervals.where(span > cut)
+        f = F.lit(whale_factor)
+        # coarse epochs wholly inside the fine-inner region
+        # [b_lo+1, b_hi-1]: coarse bucket cb covers fine buckets
+        # [cb*f, cb*f + f - 1], so cb runs over
+        # [ceil((b_lo+1)/f), floor((b_hi-f)/f)]
+        cb_start = F.floor((b_lo + whale_factor) / f).cast("long")
+        cb_end = F.floor((b_hi - whale_factor) / f).cast("long")
+        has_coarse = cb_end >= cb_start
+        coarse_agg = (bucket_agg.groupBy(
+            F.floor(F.col("_bucket") / f).cast("long").alias("_bucket"))
+            .agg(F.sum("_n").alias("_n"),
+                 *([F.sum("_s").alias("_s")] if sum_col else [])))
+        parts.append(
+            whales.withColumn(
+                "_bucket",
+                F.explode(F.when(has_coarse,
+                                 F.sequence(cb_start, cb_end))
+                          .otherwise(_empty)))
+            .join(coarse_agg, "_bucket")
+            .select(*iv_cols, *_part_cols))
+        # leftover fine epochs between the fine-inner region and the
+        # coarse-covered region (each side shorter than one coarse
+        # bucket); the whole fine-inner region when no coarse bucket
+        # fits — the three exploded sets partition [b_lo+1, b_hi-1]
+        lf_left = F.when(has_coarse & (cb_start * f - 1 >= b_lo + 1),
+                         F.sequence(b_lo + 1, cb_start * f - 1)) \
+                   .otherwise(_empty)
+        lf_right = F.when(has_coarse & (b_hi - 1 >= cb_end * f + f),
+                          F.sequence(cb_end * f + f, b_hi - 1)) \
+                    .otherwise(_empty)
+        lf_whole = F.when((~has_coarse) & (b_hi - b_lo >= 2),
+                          F.sequence(b_lo + 1, b_hi - 1)) \
+                    .otherwise(_empty)
+        parts.append(
+            whales.withColumn(
+                "_bucket",
+                F.explode(F.concat(lf_left, lf_right, lf_whole)))
+            .join(bucket_agg, "_bucket")
+            .select(*iv_cols, *_part_cols))
     # edge epochs: exact containment filter on the raw points
     edges = (intervals.withColumn(
         "_bucket", F.explode(F.array_distinct(F.array(b_lo, b_hi))))
@@ -721,11 +805,18 @@ def range_count_sum(points: DataFrame, intervals: DataFrame,
                & (F.col(ts_col) <= F.col(end_col)))
         .select(*iv_cols, F.lit(1).cast("long").alias("_n"),
                 *([F.col(sum_col).alias("_s")] if sum_col else [])))
+    parts.append(edges)
     if sum_col:
-        # align the partial-sum DECIMAL widths for the union
-        stype = inner.schema["_s"].dataType
-        edges = edges.withColumn("_s", F.col("_s").cast(stype))
+        # align the partial-sum DECIMAL widths for the union (the
+        # coarse tier's sum-of-sums and the raw edge values are both
+        # partial sums of the same data, bounded by the final total)
+        stype = parts[0].schema["_s"].dataType
+        parts = [p_ if p_.schema["_s"].dataType == stype
+                 else p_.withColumn("_s", F.col("_s").cast(stype))
+                 for p_ in parts]
     out_aggs = [F.sum("_n").alias(count_alias)]
     if sum_col:
         out_aggs.append(F.sum("_s").alias(sum_alias))
-    return inner.unionByName(edges).groupBy(*iv_cols).agg(*out_aggs)
+    from functools import reduce
+    return (reduce(lambda a, b_: a.unionByName(b_), parts)
+            .groupBy(*iv_cols).agg(*out_aggs))

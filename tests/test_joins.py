@@ -476,7 +476,8 @@ def test_derive_bucket_seconds_is_the_op_rule(spark):
         F.unix_timestamp("start_ts") + 90))
     b, stats = joins.derive_bucket_seconds(iv)
     assert b == 90
-    assert stats == {"n_intervals": 50, "estimated_fanout_rows": 100}
+    assert stats == {"n_intervals": 50, "estimated_fanout_rows": 100,
+                     "span_max": 90}
     # empty interval side falls back to the old fixed default
     b2, stats2 = joins.derive_bucket_seconds(iv.where(F.lit(False)))
     assert b2 == 3600 and stats2["n_intervals"] == 0
@@ -576,6 +577,54 @@ def test_range_count_sum_rejects_bad_args(spark):
         joins.range_count_sum(p.withColumnRenamed("pid", "iid"), iv)
     with pytest.raises(ValueError, match="reserved|staging"):
         joins.range_count_sum(p.withColumnRenamed("pid", "_bucket"), iv)
+
+
+def test_range_count_sum_whale_tier_identical(spark):
+    """r9: a ~1000x whale interval routes through the coarse tier and
+    the result stays row-identical to the single-tier form and the
+    pair form; the whale's exploded epoch count is bounded by
+    span/(whale_factor*W) + 2*whale_factor + 1, not span/W."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(31)
+    W, WF = 5, 8
+    points = [(i, _ts(rng.randrange(55), rng.randrange(60)),
+               None if i % 5 == 0 else round(rng.uniform(-3, 3), 2))
+              for i in range(500)]
+    ivs = [(i, _ts(m := rng.randrange(50), s := rng.randrange(60)),
+            _ts(m, s) + dt.timedelta(seconds=rng.choice([0, 4, 17])))
+           for i in range(60)]
+    # the whale: ~55 min span vs the 0-17 s crowd
+    ivs.append((900, _ts(0, 1), _ts(55, 1)))
+    p = spark.createDataFrame(points, "pid LONG, ts TIMESTAMP, v DOUBLE") \
+        .select("ts", F.col("v").cast("decimal(18,2)").alias("val"))
+    iv = spark.createDataFrame(
+        ivs, "iid LONG, start_ts TIMESTAMP, end_ts TIMESTAMP")
+    tiered = _rcs_rows(joins.range_count_sum(
+        p, iv, sum_col="val", bucket_seconds=W, whale_factor=WF))
+    flat = _rcs_rows(joins.range_count_sum(
+        p, iv, sum_col="val", bucket_seconds=W, whale_factor=0))
+    assert tiered == flat
+    assert tiered == _rcs_rows(_pair_form(
+        spark.createDataFrame(points,
+                              "pid LONG, ts TIMESTAMP, v DOUBLE")
+        .select("pid", "ts", F.col("v").cast("decimal(18,2)")
+                .alias("val")).select("pid", "ts", "val"), iv))
+    # bound: coarse + leftover-fine + edge epochs for the whale
+    span = 55 * 60
+    bound = span // (WF * W) + 2 * WF + 2
+    naive = span // W
+    assert bound < naive / 4  # the tier is actually doing something
+    # count the whale's exploded epochs by reproducing the tier split
+    # arithmetic on the one whale row
+    b_lo, b_hi = 1 // W, (55 * 60 + 1) // W
+    cb_start = -(-(b_lo + 1) // WF)
+    cb_end = (b_hi - WF) // WF
+    n_coarse = cb_end - cb_start + 1
+    n_left = max(0, cb_start * WF - 1 - b_lo)
+    n_right = max(0, b_hi - 1 - (cb_end * WF + WF) + 1)
+    assert n_coarse + n_left + n_right + 2 <= bound
 
 
 # ---------------------------------------------------------------------------
